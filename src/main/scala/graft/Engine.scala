@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkSession factory + table registry over the driver testdata layout.
+  *
+  * Scale posture: AQE on (runtime re-plan, skew-join splitting, small-shuffle
+  * coalescing), shuffle partitions sized for local[32] here but overridable —
+  * on a real cluster set `spark.sql.shuffle.partitions` ~ 2-3x total cores.
+  */
+object Engine {
+
+  def session(appName: String = "graft",
+              master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Typed accessors for the driver-generated testdata tables (TESTDATA.md). */
+  final class Tables(spark: SparkSession, dir: String) {
+    def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+    /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+      * rejects; read it as a long (legacy conf) and integer-divide to micros
+      * (a double division would lose precision above 2^53 ns). */
+    def events: DataFrame = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      table("events").withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    }
+    def region: DataFrame     = table("region")
+    def nation: DataFrame     = table("nation")
+    def customer: DataFrame   = table("customer")
+    def supplier: DataFrame   = table("supplier")
+    def part: DataFrame       = table("part")
+    def orders: DataFrame     = table("orders")
+    def lineitem: DataFrame   = table("lineitem")
+    def documents: DataFrame  = table("documents")
+    def embeddings: DataFrame = table("embeddings")
+  }
+
+  def tables(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}

@@ -1,0 +1,299 @@
+package graft
+
+import graft.Engine.Tables
+import graft.functions.TextFunctions._
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The declared query inventory (SURVEY §7.2) — each query is the Spark
+  * re-expression of a reference operator (§2), deterministic and (where
+  * SQL-expressible) oracle-checked against DuckDB at sf0.01.
+  *
+  * Determinism rules used throughout:
+  *  - every result has a total ORDER BY mirrored in the oracle SQL;
+  *  - money sums go through cents (floor(x*100) as BIGINT) — exact,
+  *    reduction-order-independent;
+  *  - floating aggregates (avg/median/stddev/ratios) are round(_, 6)-ed on
+  *    both sides;
+  *  - counts/lengths are BIGINT on both sides.
+  */
+object Queries {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def t(spark: SparkSession, dir: String) = new Tables(spark, dir)
+
+  /** documents.text exploded to non-empty whitespace tokens, column `word`. */
+  private def words(tables: Tables): DataFrame =
+    tables.documents.select(explode(tokens(col("text"))).as("word"))
+
+  // ---- word / text jobs (WordCount, Grep, WordMean/Median/StdDev) ----
+
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    words(t(spark, dir)).groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word")
+
+  def grepTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(explode(regexp_extract_all(col("text"), lit("st[a-z]+"), lit(0))).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("m").asc)
+      .limit(20)
+
+  def wordMean(spark: SparkSession, dir: String): DataFrame =
+    words(t(spark, dir)).agg(round(avg(length(col("word"))), 6).as("mean_len"))
+
+  def wordMedian(spark: SparkSession, dir: String): DataFrame =
+    words(t(spark, dir))
+      .agg(round(median(length(col("word")).cast("long")), 6).as("median_len"))
+
+  def wordStddev(spark: SparkSession, dir: String): DataFrame =
+    words(t(spark, dir)).agg(round(stddev_pop(length(col("word"))), 6).as("stddev_len"))
+
+  // ---- sorts ----
+
+  def sortLineitem(spark: SparkSession, dir: String): DataFrame =
+    Sorts.totalSort(
+      t(spark, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date")),
+      Seq(col("l_orderkey"), col("l_linenumber")))
+
+  def secondarySort(spark: SparkSession, dir: String): DataFrame =
+    Sorts.sortedGroupList(t(spark, dir).lineitem,
+        groupCols = Seq(col("l_orderkey")),
+        orderCols = Seq(col("l_shipdate"), col("l_linenumber")),
+        payload = col("l_linenumber"), alias = "lines")
+      .orderBy("l_orderkey")
+
+  // ---- joins ----
+
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    tb.orders
+      .join(tb.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tb.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    val oAgg = tb.orders.groupBy("o_custkey").agg(count(lit(1)).as("order_cnt"))
+    tb.customer.join(oAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("order_cnt"))
+      .orderBy("custkey")
+  }
+
+  def joinOverride(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    val s1 = tb.customer.select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+    def maxPrice(status: String) = tb.orders
+      .filter(col("o_orderstatus") === status)
+      .groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("mx"))
+      .select(col("o_custkey").as("k"), col("mx").as("v"))
+    Joins.overrideJoin(Seq(s1, maxPrice("F"), maxPrice("O")), "k", "v").orderBy("k")
+  }
+
+  def datajoin(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    tb.orders.join(tb.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_orderpriority"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
+  // ---- aggregate DSL / histogram / rollup / set ops ----
+
+  def aggDsl(spark: SparkSession, dir: String): DataFrame = {
+    import Aggregates._
+    val cents = floor(col("o_totalprice") * 100)
+    aggregate(t(spark, dir).orders,
+      groupCols = Seq(col("o_orderpriority")),
+      specs = Seq(
+        spec("LongValueSum", cents, "sum_cents"),
+        spec("LongValueMax", cents, "max_cents"),
+        spec("UniqValueCount", col("o_custkey"), "uniq_cust"),
+        spec("ValueCount", col("o_orderkey"), "n_orders")))
+      .orderBy("o_orderpriority")
+  }
+
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Aggregates.valueHistogram(t(spark, dir).orders,
+        col("o_orderpriority"), col("o_orderstatus"), "priority")
+      .select(col("priority"), col("n_values"), col("min_cnt"), col("max_cnt"),
+        round(col("avg_cnt"), 6).as("avg_cnt"),
+        round(col("median_cnt"), 6).as("median_cnt"),
+        round(col("stddev_cnt"), 6).as("stddev_cnt"))
+      .orderBy("priority")
+
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    tb.customer.select(col("c_nationkey").as("nk"))
+      .intersect(tb.supplier.select(col("s_nationkey").as("nk")))
+      .except(tb.nation.filter(col("n_regionkey") === 0).select(col("n_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  // ---- projection DSLs ----
+
+  def fieldsel(spark: SparkSession, dir: String): DataFrame = {
+    val line = concat_ws("\t",
+      col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+    FieldSelection(t(spark, dir).customer.select(line.as("line")), "line", "\t", "2,0:3,1-")
+      .orderBy("key", "value")
+  }
+
+  def keyfieldSort(spark: SparkSession, dir: String): DataFrame = {
+    val wc = words(t(spark, dir)).groupBy("word").agg(count(lit(1)).as("cnt"))
+    val lines = wc.select(concat_ws(" ", col("word"), col("cnt")).as("line"))
+    KeyFieldSort.sortLines(lines, "line", " ", "-k2,2nr -k1,1")
+  }
+
+  // ---- events (DBCountPageView shape, top-k, windows, json) ----
+
+  def pageviews(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).events.groupBy("event_type").agg(count(lit(1)).as("views"))
+      .orderBy("event_type")
+
+  def eventsTopKPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Sorts.topKPerGroup(t(spark, dir).events.select(col("event_type"), col("event_id"), col("value")),
+        groupCols = Seq(col("event_type")),
+        orderCols = Seq(col("value").desc, col("event_id").asc), k = 3)
+      .orderBy("event_type", "event_id")
+
+  def eventsGlobalTopK(spark: SparkSession, dir: String): DataFrame =
+    Sorts.topK(t(spark, dir).events.select(col("event_id"), col("value")),
+      Seq(col("value").desc, col("event_id").asc), 50)
+
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("h", "event_type")
+
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).events
+      .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
+      .groupBy("k_bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("k_bucket")
+
+  // ---- dedup / similarity / text analysis (LLM-pipeline extensions) ----
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+      .orderBy("lang")
+
+  val JaccardN = 2
+  val JaccardThreshold = 0.03
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+        t(spark, dir).documents.filter(col("doc_id") < 100),
+        "doc_id", "text", JaccardN, JaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(spark, dir).documents, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.10)
+      .orderBy("id_a", "id_b")
+
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(spark, dir).documents, "doc_id", "text").orderBy("id")
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "la"),
+    "es" -> Seq("el", "y", "la"),
+    "zh" -> Seq("de", "shi"))
+
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .groupBy(col("lang"), langId(col("text"), LangProfiles).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(col("doc_id"), qualityMetrics(col("text"), Stopwords).as("q"))
+      .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
+        col("q.n_uniq").as("n_uniq"), col("q.uniq_ratio").as("uniq_ratio"),
+        col("q.avg_token_len").as("avg_token_len"),
+        col("q.stopword_ratio").as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  def langTokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_uniq_tokens"),
+        round(avg(length(col("word"))), 6).as("avg_token_len"))
+      .orderBy("lang")
+
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.cosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  def simLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.lshCosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, numPlanes = 8, dim = 64)
+      .select(col("qid"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---- pipe / π / partitioned write / multimodal ----
+
+  def pipeUpper(spark: SparkSession, dir: String): DataFrame = {
+    val toks = words(t(spark, dir)).select(col("word")).as(Encoders.STRING)
+    val upper = Pipe.pipeLines(toks, Seq("tr", "a-z", "A-Z")).toDF("word")
+    upper.groupBy(substring(col("word"), 1, 1).as("initial"))
+      .agg(countDistinct(col("word")).as("n_tokens"))
+      .orderBy("initial")
+  }
+
+  def piEstimate(spark: SparkSession, dir: String): DataFrame =
+    MonteCarlo.estimatePi(spark, partitions = 16, pointsPerPartition = 50000L)
+
+  def multiOutput(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_mo").toString
+    graft.sources.Sinks.partitionedParquet(
+      t(spark, dir).lineitem, out, Seq("l_returnflag"))
+    spark.read.parquet(out)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(t(spark, dir).documents, "doc_id", "text")
+    Multimodal.extractFeatures(media)
+      .select(col("media_id"), col("n_bytes"))
+      .orderBy("media_id")
+  }
+}

@@ -1,13 +1,215 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-checked query aliases output columns identically in the Spark
+  * plan and the DuckDB SQL, totals the ordering, and normalizes types
+  * (counts → BIGINT, money → cents BIGINT, float aggregates → round 6).
+  * Queries without an oracle entry are deterministic but use functions DuckDB
+  * cannot reproduce (xxhash64-based sketches, subprocess pipes, Halton).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.datajoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_wordcount"       -> Queries.wordcount _,
+    "q02_grep_topk"       -> Queries.grepTopK _,
+    "q03_word_mean"       -> Queries.wordMean _,
+    "q04_word_median"     -> Queries.wordMedian _,
+    "q05_word_stddev"     -> Queries.wordStddev _,
+    "q06_sort_lineitem"   -> Queries.sortLineitem _,
+    "q07_secondary_sort"  -> Queries.secondarySort _,
+    "q08_join_inner"      -> Queries.joinInner _,
+    "q09_join_outer"      -> Queries.joinOuter _,
+    "q10_join_override"   -> Queries.joinOverride _,
+    "q11_datajoin"        -> Queries.datajoin _,
+    "q12_agg_dsl"         -> Queries.aggDsl _,
+    "q13_value_histogram" -> Queries.valueHistogram _,
+    "q14_fieldsel"        -> Queries.fieldsel _,
+    "q15_keyfield_sort"   -> Queries.keyfieldSort _,
+    "q16_pageviews"       -> Queries.pageviews _,
+    "q17_events_topk"     -> Queries.eventsTopKPerGroup _,
+    "q18_events_global_topk" -> Queries.eventsGlobalTopK _,
+    "q19_events_hourly"   -> Queries.eventsHourly _,
+    "q20_events_json"     -> Queries.eventsJson _,
+    "q21_rollup"          -> Queries.rollupAgg _,
+    "q22_setops"          -> Queries.setOps _,
+    "q23_dedup_exact"     -> Queries.dedupExact _,
+    "q24_jaccard_pairs"   -> Queries.jaccardPairs _,
+    "q25_minhash_pairs"   -> Queries.minhashPairs _,
+    "q26_simhash"         -> Queries.simhashFingerprints _,
+    "q27_fingerprint"     -> Queries.textFingerprint _,
+    "q28_langid"          -> Queries.langIdConfusion _,
+    "q29_text_quality"    -> Queries.textQuality _,
+    "q30_lang_token_stats" -> Queries.langTokenStats _,
+    "q31_sim_topk"        -> Queries.simTopK _,
+    "q32_sim_lsh_topk"    -> Queries.simLshTopK _,
+    "q33_pipe_upper"      -> Queries.pipeUpper _,
+    "q34_pi"              -> Queries.piEstimate _,
+    "q35_multi_output"    -> Queries.multiOutput _,
+    "q36_media_features"  -> Queries.mediaFeatures _
+  )
+
+  /** DuckDB oracle SQL per query (same tables, same column names, same order). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_wordcount" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q02_grep_topk" ->
+      """WITH m AS (SELECT unnest(regexp_extract_all(text, 'st[a-z]+')) AS m FROM documents)
+        |SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM m
+        |GROUP BY m ORDER BY cnt DESC, m ASC LIMIT 20""".stripMargin,
+    "q03_word_mean" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |SELECT round(avg(length(word)), 6) AS mean_len FROM w WHERE word <> ''""".stripMargin,
+    "q04_word_median" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |SELECT round(median(CAST(length(word) AS BIGINT)), 6) AS median_len FROM w WHERE word <> ''""".stripMargin,
+    "q05_word_stddev" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |SELECT round(stddev_pop(length(word)), 6) AS stddev_len FROM w WHERE word <> ''""".stripMargin,
+    "q06_sort_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q07_secondary_sort" ->
+      """SELECT l_orderkey, list(l_linenumber ORDER BY l_shipdate, l_linenumber) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q08_join_inner" ->
+      """SELECT o_orderkey, c_name, n_name, o_orderstatus
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q09_join_outer" ->
+      """WITH oa AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_cnt FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, order_cnt
+        |FROM customer FULL OUTER JOIN oa ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q10_join_override" ->
+      """WITH s1 AS (SELECT c_custkey AS k, c_acctbal AS v FROM customer),
+        |s2 AS (SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |s3 AS (SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |j1 AS (SELECT COALESCE(s1.k, s2.k) AS k, s1.v AS v1, s2.v AS v2 FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k)
+        |SELECT COALESCE(j1.k, s3.k) AS k, COALESCE(s3.v, j1.v2, j1.v1) AS v
+        |FROM j1 FULL OUTER JOIN s3 ON j1.k = s3.k ORDER BY k""".stripMargin,
+    "q11_datajoin" ->
+      """SELECT o_orderkey, l_linenumber, o_orderpriority,
+        |l_extendedprice * (1 - l_discount) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "q12_agg_dsl" ->
+      """SELECT o_orderpriority,
+        |CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+        |CAST(count(DISTINCT o_custkey) AS BIGINT) AS uniq_cust,
+        |CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q13_value_histogram" ->
+      """WITH c AS (SELECT o_orderpriority AS priority, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_values,
+        |CAST(min(cnt) AS BIGINT) AS min_cnt, CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |round(avg(cnt), 6) AS avg_cnt, round(median(cnt), 6) AS median_cnt,
+        |round(stddev_pop(cnt), 6) AS stddev_cnt
+        |FROM c GROUP BY priority ORDER BY priority""".stripMargin,
+    "q14_fieldsel" ->
+      """SELECT (c_mktsegment || chr(9) || CAST(c_custkey AS VARCHAR)) AS key,
+        |(CAST(c_nationkey AS VARCHAR) || chr(9) || c_name || chr(9) || c_mktsegment
+        | || chr(9) || CAST(c_nationkey AS VARCHAR)) AS value
+        |FROM customer ORDER BY key, value""".stripMargin,
+    "q15_keyfield_sort" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word)
+        |SELECT word || ' ' || CAST(cnt AS VARCHAR) AS line FROM wc
+        |ORDER BY cnt DESC, word ASC""".stripMargin,
+    "q16_pageviews" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS views
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_events_topk" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q18_events_global_topk" ->
+      """SELECT event_id, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 50""".stripMargin,
+    "q19_events_hourly" ->
+      """SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS h, event_type,
+        |CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+    "q20_events_json" ->
+      """SELECT (CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10) AS k_bucket,
+        |CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q22_setops" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |EXCEPT SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+        |ORDER BY nk""".stripMargin,
+    "q23_dedup_exact" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q24_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS sh FROM d),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.03
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q29_text_quality" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+        |round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS uniq_ratio,
+        |round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS avg_token_len,
+        |round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q30_lang_token_stats" ->
+      """WITH w AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(count(DISTINCT word) AS BIGINT) AS n_uniq_tokens,
+        |round(avg(length(word)), 6) AS avg_token_len
+        |FROM w WHERE word <> '' GROUP BY lang ORDER BY lang""".stripMargin,
+    "q31_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |s AS (SELECT qid, id,
+        |  list_dot_product(qvec, vec) / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS cos
+        |  FROM q CROSS JOIN c WHERE id <> qid),
+        |r AS (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM s)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(cos, 4) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q33_pipe_upper" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |SELECT substr(upper(word), 1, 1) AS initial,
+        |CAST(count(DISTINCT upper(word)) AS BIGINT) AS n_tokens
+        |FROM w WHERE word <> '' GROUP BY 1 ORDER BY initial""".stripMargin,
+    "q35_multi_output" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q36_media_features" ->
+      """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

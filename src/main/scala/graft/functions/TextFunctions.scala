@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for large-scale corpus processing.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * whole-stage-codegen'd, no UDFs, so the hot path stays inside Tungsten at
+  * 100 TB. Tokenization mirrors the reference's whitespace StringTokenizer
+  * (hadoop-mapreduce-examples WordCount.java:36-50); the rest is the
+  * LLM-pipeline extension surface (dedup/quality/lang-id/fingerprinting).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings dropped (StringTokenizer semantics). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= lit(""))
+
+  /** Word-level n-gram shingles joined with a single space. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Deterministic 32-bit-ranged token hash (xxhash64 masked), for sketches. */
+  def tokenHash32(tok: Column): Column =
+    xxhash64(tok).bitwiseAND(lit(0xffffffffL))
+
+  /** SimHash bit contributions: per token-hash, array of (bit, ±1) for all 64
+    * bits — statically unrolled so each element is a codegen'd bit test. */
+  def simhashContrib(hash64: Column): Column =
+    array((0 until 64).map { b =>
+      struct(lit(b).as("bit"),
+        when(shiftright(hash64, b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+          .otherwise(lit(-1)).as("s"))
+    }: _*)
+
+  /** Order-sensitive rolling fingerprint of the token stream: a chained
+    * hash acc' = xxhash64(acc, token) — overflow-free under ANSI mode, one
+    * codegen'd pass, order-sensitive by construction. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
+
+  /** Language-ID by stopword-profile overlap: argmax over profiles of
+    * |distinct(tokens) ∩ profile|; ties resolved by profile order. */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    require(profiles.nonEmpty)
+    val toks = array_distinct(tokens(text))
+    val scores = profiles.map { case (l, ws) =>
+      (lit(l), size(array_intersect(toks, typedLitStrings(ws))))
+    }
+    val (bl, _) = scores.tail.foldLeft((scores.head._1, scores.head._2)) {
+      case ((bestL, bestS), (l, s)) =>
+        (when(s > bestS, l).otherwise(bestL), when(s > bestS, s).otherwise(bestS))
+    }
+    bl
+  }
+
+  private def typedLitStrings(ws: Seq[String]): Column =
+    array(ws.map(lit): _*)
+
+  /** Per-document quality metrics as a struct:
+    * n_tokens, n_uniq, uniq_ratio, avg_token_len, stopword_ratio. */
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val nStop = size(filter(toks, w => array_contains(typedLitStrings(stopwords), w))).cast("long")
+    struct(
+      n.as("n_tokens"),
+      nUniq.as("n_uniq"),
+      round(nUniq / n, 6).as("uniq_ratio"),
+      round(sumLen / n, 6).as("avg_token_len"),
+      round(nStop / n, 6).as("stopword_ratio"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-ary join operators.
+  *
+  * Re-expresses the reference's composite map-side join family
+  * (hadoop-mapreduce-client-core .../lib/join/CompositeInputFormat.java:39-52 —
+  * `compose("inner"|"outer"|"override", fmt, paths...)`,
+  * InnerJoinRecordReader.java:34, OuterJoinRecordReader.java:49,
+  * OverrideRecordReader.java:42) and the tagged reduce-side join framework
+  * (hadoop-tools/hadoop-datajoin .../DataJoinReducerBase.java:174-214).
+  *
+  * Spark-first: Catalyst picks sort-merge vs broadcast-hash per side (AQE can
+  * flip to broadcast at runtime); the reference's "already co-sorted, no
+  * shuffle" case corresponds to bucketed tables. At 100 TB: join keys shuffle
+  * once; dimension-sized sides should be wrapped in `broadcast(...)` by the
+  * caller or left to AQE's size estimate.
+  */
+object Joins {
+
+  /** n-ary equi-join on a shared key column name. joinType: "inner" | "full_outer" | ... */
+  def nary(dfs: Seq[DataFrame], key: String, joinType: String): DataFrame = {
+    require(dfs.nonEmpty, "need at least one input")
+    // USING-column join: Spark emits a single coalesced key column, matching
+    // the reference's TupleWritable-with-one-key shape.
+    dfs.reduceLeft((a, b) => a.join(b, Seq(key), joinType))
+  }
+
+  def naryInner(dfs: Seq[DataFrame], key: String): DataFrame = nary(dfs, key, "inner")
+  def naryOuter(dfs: Seq[DataFrame], key: String): DataFrame = nary(dfs, key, "full_outer")
+
+  /** Priority ("override") join: for each key emit the value from the
+    * RIGHT-MOST source that has it. Each input must have columns (key, value).
+    * Mirrors OverrideRecordReader.java:42 semantics.
+    */
+  def overrideJoin(sources: Seq[DataFrame], key: String, value: String): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    val renamed = sources.zipWithIndex.map { case (df, i) =>
+      df.select(col(key).as(key), col(value).as(s"__v$i"))
+    }
+    val joined = renamed.reduceLeft((a, b) => a.join(b, Seq(key), "full_outer"))
+    val vcols = sources.indices.reverse.map(i => col(s"__v$i")) // rightmost wins
+    joined.select(col(key), coalesce(vcols: _*).as(value))
+  }
+
+  /** Tagged reduce-side join (datajoin framework): group both sides by key,
+    * hand the per-key value lists to a user `combine` — the generalized form
+    * of DataJoinReducerBase.joinAndCollect's per-key cross product. Built on
+    * `cogroup`, which co-partitions both sides with a single shuffle each.
+    */
+  def tagged[K: Encoder, L: Encoder, R: Encoder, OUT: Encoder](
+      left: Dataset[L], right: Dataset[R])(
+      leftKey: L => K, rightKey: R => K)(
+      combine: (K, Iterator[L], Iterator[R]) => IterableOnce[OUT]): Dataset[OUT] =
+    left.groupByKey(leftKey).cogroup(right.groupByKey(rightKey))(combine)
+
+  /** Semi/anti exposure (absent as named ops in the reference — §2.4 note). */
+  def semi(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right, Seq(key), "left_semi")
+  def anti(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right, Seq(key), "left_anti")
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unix-`sort`-style key-field ordering.
+  *
+  * Re-expresses the reference's KeyFieldBasedComparator / KeyFieldBasedPartitioner
+  * (hadoop-mapreduce-client-core .../lib/partition/KeyFieldBasedComparator.java:36-50,
+  * KeyFieldHelper.java): a spec like `-k2,2nr -k1,1` orders split-line records
+  * by field 2 numerically descending, then field 1 lexicographically.
+  *
+  * Spark-first: the spec compiles to `Seq[Column]` sort expressions fed to
+  * `orderBy` — Catalyst plans a sampled RangePartitioning global sort (the
+  * moral equivalent of TotalOrderPartitioner, minus the manual sampling job).
+  * Fields are 1-based as in `sort(1)`.
+  */
+object KeyFieldSort {
+
+  final case class KeySpec(field: Int, numeric: Boolean, reverse: Boolean)
+
+  private val KeyPat = """-k(\d+)(?:\.\d+)?(?:,(\d+)(?:\.\d+)?)?([nr]*)""".r
+
+  def parse(spec: String): Seq[KeySpec] =
+    spec.trim.split("\\s+").toSeq.filter(_.nonEmpty).map {
+      case KeyPat(f, _, opts) =>
+        KeySpec(f.toInt, numeric = opts.contains('n'), reverse = opts.contains('r'))
+      case other => throw new IllegalArgumentException(s"bad key spec token: $other")
+    }
+
+  /** Sort expressions over a split-line array column. */
+  def sortColumns(arr: Column, keys: Seq[KeySpec]): Seq[Column] =
+    keys.map { k =>
+      val f = element_at(arr, k.field)
+      val typed = if (k.numeric) f.cast("double") else f
+      if (k.reverse) typed.desc_nulls_last else typed.asc_nulls_first
+    }
+
+  /** Globally sort a single-string-column DataFrame of lines by the spec. */
+  def sortLines(df: DataFrame, lineCol: String, separator: String, spec: String): DataFrame = {
+    val arr = split(col(lineCol), java.util.regex.Pattern.quote(separator))
+    df.orderBy(sortColumns(arr, parse(spec)): _*)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * stream the corpus once, per-partition heap via TakeOrdered semantics
+  * (row_number window per query). Dot products are `zip_with`+`aggregate`
+  * column expressions (codegen'd, deterministic left-to-right fold — no
+  * reduction-order nondeterminism).
+  *
+  * Scale path: LSH bucketing via random hyperplane signs (`rpSignature`) —
+  * corpus hashed once, queries probe only their bucket, turning the scan into
+  * an inverted-index join; the 100 TB variant of similarity search.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns (computed in double). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries` (qid, qvec), the `k`
+    * nearest corpus rows (id, vec) by cosine, self-matches excluded, ties
+    * broken by corpus id. Queries are broadcast — corpus is streamed once
+    * with no shuffle; the only shuffle is the final per-query top-k window
+    * over |queries| * |corpus-candidates| rows. */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qidCol: String, qvecCol: String,
+                 k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane sign signature (for cosine LSH): `planes` is a fixed
+    * Seq of unit-ish vectors; output = bit-packed sign pattern as long. */
+  def rpSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 63)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, planeLit, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (xorshift64, fixed seed). */
+  def randomPlanes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    var state = 2463534242555777L
+    def next(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Seq.fill(numPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** LSH-bucketed cosine top-k: candidates limited to corpus rows whose
+    * hyperplane signature matches the query's — then exact cosine re-rank.
+    * Recall < 1 (approximate), cost ~ bucket sizes instead of |corpus|. */
+  def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = randomPlanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      rpSignature(col(vecCol), planes).as("sig"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      rpSignature(col(qvecCol), planes).as("sig"))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks — the reference's output-format family over `df.write`.
+  *
+  * Mappings (SURVEY §2.2):
+  *  - TextOutputFormat (key TAB value lines)       → csv with tab separator
+  *  - MultipleTextOutputFormat / MultipleOutputs   → `partitionBy` dynamic partitioning
+  *  - NullOutputFormat                             → `format("noop")`
+  *  - DBOutputFormat                               → `write.jdbc`
+  *  - FileOutputCommitter / ManifestCommitter      → built-in (Spark drives Hadoop committers)
+  *
+  * Scale notes: partitioned writes should be preceded by
+  * `repartition(partitionCols)` so each task writes few files (no
+  * small-file explosion at 1000 executors); `maxRecordsPerFile` caps runaway
+  * partitions.
+  */
+object Sinks {
+
+  /** TextOutputFormat: `key<TAB>value` lines. */
+  def keyValueText(df: DataFrame, path: String, separator: String = "\t"): Unit =
+    df.select(concat_ws(separator, df.columns.map(col): _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** Dynamic-partitioned parquet (MultipleOutputs / MultipleTextOutputFormat):
+    * one directory per distinct partition value. Repartitions on the
+    * partition columns first so each output partition is written by a single
+    * task — the 1000-executor-safe layout. */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Discard sink (NullOutputFormat) — runs the plan, writes nothing. */
+  def noop(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).format("noop").save()
+
+  /** JDBC sink (DBOutputFormat). */
+  def jdbc(df: DataFrame, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources beyond plain parquet — the reference's input-format family
+  * re-expressed over Spark's datasources.
+  *
+  * Mappings (SURVEY §2.1):
+  *  - TextInputFormat            → `spark.read.text` (value = line)
+  *  - KeyValueTextInputFormat    → text + first-separator split (.../lib/input/KeyValueLineRecordReader.java:39)
+  *  - FixedLengthInputFormat     → `binaryRecords` (.../lib/input/FixedLengthInputFormat.java:47)
+  *  - NLineInputFormat           → text + repartition (parallelism control)
+  *  - MultipleInputs             → per-path read + transform + unionByName (.../lib/input/MultipleInputs.java:40)
+  *  - SequenceFileInputFormat    → `sc.sequenceFile` (Writables natively readable)
+  *  - DBInputFormat              → `spark.read.jdbc` with stride partitioning
+  * Split sizing / small-file packing / compressed-splittable handling are
+  * Spark built-ins (`maxPartitionBytes`, `openCostInBytes`, codec registry).
+  */
+object Sources {
+
+  /** Lines of text: one `value` string column. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** KeyValueTextInputFormat: split each line at the FIRST separator into
+    * (key, value); a line with no separator becomes (line, ""). */
+  def keyValueText(spark: SparkSession, path: String, separator: String = "\t"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(separator)
+    spark.read.text(path).select(
+      split(col("value"), sepLit, 2).as("kv"))
+      .select(
+        col("kv").getItem(0).as("key"),
+        coalesce(col("kv").getItem(1), lit("")).as("value"))
+  }
+
+  /** FixedLengthInputFormat: headerless binary records of constant width →
+    * one `record: binary` column. */
+  def fixedLength(spark: SparkSession, path: String, recordLength: Int): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryRecords(path, recordLength).toDF("record")
+  }
+
+  /** NLineInputFormat's real purpose was parallelism control: expose it as
+    * text with an explicit target partition count. */
+  def textWithParallelism(spark: SparkSession, path: String, numPartitions: Int): DataFrame =
+    spark.read.text(path).repartition(numPartitions)
+
+  /** MultipleInputs/DelegatingInputFormat: heterogeneous per-path loaders
+    * unioned by column name (missing columns null-filled). */
+  def multipleInputs(branches: Seq[DataFrame]): DataFrame = {
+    require(branches.nonEmpty)
+    branches.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** SequenceFile of (Text, Text) — Spark reads Writables natively. */
+  def sequenceFileText(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.io.Text
+    spark.sparkContext.sequenceFile(path, classOf[Text], classOf[Text])
+      .map { case (k, v) => (k.toString, v.toString) }.toDF("key", "value")
+  }
+
+  /** DBInputFormat/DataDrivenDBInputFormat: JDBC scan with value-range
+    * stride partitioning (≙ IntegerSplitter). */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int, props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
+}
