@@ -30,8 +30,9 @@ object Sources {
     spark.read.text(path).select(
       split(col("value"), sepLit, 2).as("kv"))
       .select(
-        col("kv").getItem(0).as("key"),
-        coalesce(col("kv").getItem(1), lit("")).as("value"))
+        element_at(col("kv"), 1).as("key"),
+        // get() tolerates the missing-separator case (1-element array) under ANSI
+        coalesce(get(col("kv"), lit(1)), lit("")).as("value"))
   }
 
   /** FixedLengthInputFormat: headerless binary records of constant width →

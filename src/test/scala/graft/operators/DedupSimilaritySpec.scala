@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps exactly one row per duplicate group (min tiebreak)") {
+    val df = Seq((1L, "same text here"), (2L, "same text here"), (3L, "unique"))
+      .toDF("id", "text")
+    val out = Dedup.exactDedup(df, Seq(col("text")), col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("minhash estimate tracks true jaccard for identical and disjoint docs") {
+    val words = (0 until 50).map(i => s"w$i").mkString(" ")
+    val other = (100 until 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, words), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical docs: signature agreement must be 1.0; disjoint doc never pairs
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash signatures are deterministic across invocations") {
+    val df = Seq((1L, "a b c d e f g h")).toDF("id", "text")
+    val s1 = Dedup.minhashSignatures(df, "id", "text").collect().head.getSeq[Long](1)
+    val s2 = Dedup.minhashSignatures(df, "id", "text").collect().head.getSeq[Long](1)
+    assert(s1 == s2 && s1.length == 64)
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("id", "text")
+    val m = Dedup.simhash(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    // doc1/doc2 share half their 2-gram shingles
+    val df = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z")).toDF("id", "text")
+    // shingles(1) = {a b, b c}; shingles(2) = {a b, b d} → jaccard = 1/3
+    val out = Dedup.ngramJaccardPairs(df, "id", "text", 2, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 2L, 1.0 / 3.0)))
+  }
+
+  test("cosine: orthogonal = 0, identical = 1") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f)))
+      .toDF("id", "vec")
+    val q = df.filter(col("id") === 1).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Similarity.cosineTopK(df, "id", "vec", q, "qid", "qvec", 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(got(3L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L)) < 1e-12)
+  }
+
+  test("lshCosineTopK returns a subset of brute-force results per query") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("id", "vec")
+    val q = df.filter(col("id") <= 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val brute = Similarity.cosineTopK(df, "id", "vec", q, "qid", "qvec", 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosineTopK(df, "id", "vec", q, "qid", "qvec", 60,
+      numPlanes = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty && lsh.subsetOf(brute))
+  }
+}

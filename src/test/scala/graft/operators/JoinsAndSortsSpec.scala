@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsAndSortsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overrideJoin: rightmost source wins per key") {
+    val s1 = Seq((1, "a1"), (2, "a2"), (3, "a3")).toDF("k", "v")
+    val s2 = Seq((2, "b2"), (4, "b4")).toDF("k", "v")
+    val s3 = Seq((3, "c3"), (4, "c4")).toDF("k", "v")
+    val out = Joins.overrideJoin(Seq(s1, s2, s3), "k", "v")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "a1", 2 -> "b2", 3 -> "c3", 4 -> "c4"))
+  }
+
+  test("naryInner / naryOuter row semantics") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "a")
+    val b = Seq((2, "p"), (3, "q")).toDF("k", "b")
+    assert(Joins.naryInner(Seq(a, b), "k").collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(Joins.naryOuter(Seq(a, b), "k").count() == 3)
+  }
+
+  test("tagged cogroup join reproduces the per-key cross product") {
+    val left = Seq((1, "l1"), (1, "l2"), (2, "l3")).toDS()
+    val right = Seq((1, "r1"), (3, "r2")).toDS()
+    val out = Joins.tagged(left, right)(_._1, _._1) { (k, ls, rs) =>
+      val rsList = rs.toSeq
+      ls.flatMap(l => rsList.map(r => (k, l._2, r._2)))
+    }.collect().toSet
+    assert(out == Set((1, "l1", "r1"), (1, "l2", "r1")))
+  }
+
+  test("semi/anti joins") {
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "a")
+    val b = Seq((2, "p")).toDF("k", "b")
+    assert(Joins.semi(a, b, "k").collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(Joins.anti(a, b, "k").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
+  test("typed secondarySort streams values in sorted order per group") {
+    val ds = Seq((1, 30, "c"), (1, 10, "a"), (1, 20, "b"), (2, 5, "z")).toDS()
+    val out = Sorts.secondarySort(ds, (t: (Int, Int, String)) => t._1, Seq(col("_2"))) {
+      (k, it) => Iterator(k -> it.map(_._3).mkString(","))
+    }.collect().toMap
+    assert(out == Map(1 -> "a,b,c", 2 -> "z"))
+  }
+
+  test("columnar sortedGroupList equals typed secondary sort") {
+    val ds = Seq((1, 30, "c"), (1, 10, "a"), (1, 20, "b"), (2, 5, "z")).toDS()
+      .toDF("k", "o", "p")
+    val out = Sorts.sortedGroupList(ds, Seq(col("k")), Seq(col("o")), col("p"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).mkString(",")).toMap
+    assert(out == Map(1 -> "a,b,c", 2 -> "z"))
+  }
+
+  test("topKPerGroup takes k per group with deterministic tiebreak") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 5.0), ("b", 4, 1.0))
+      .toDF("g", "id", "v")
+    val out = Sorts.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc, col("id").asc), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("a", 1), ("a", 2), ("b", 4)))
+  }
+
+  test("global topK is a true limit-k of the total order") {
+    val df = (1 to 100).map(i => (i, (i * 37 % 100).toDouble)).toDF("id", "v")
+    val got = Sorts.topK(df, Seq(col("v").desc, col("id").asc), 5)
+      .collect().map(_.getInt(0)).toSeq
+    val exp = (1 to 100).map(i => (i, (i * 37 % 100).toDouble))
+      .sortBy { case (id, v) => (-v, id) }.take(5).map(_._1)
+    assert(got == exp)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class MiscOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KeyFieldSort parses -k specs and orders numerically/reversed") {
+    import KeyFieldSort._
+    assert(parse("-k2,2nr -k1,1") ==
+      Seq(KeySpec(2, numeric = true, reverse = true), KeySpec(1, numeric = false, reverse = false)))
+    val df = Seq("b 2", "a 10", "c 2").toDF("line")
+    val got = sortLines(df, "line", " ", "-k2,2nr -k1,1").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a 10", "b 2", "c 2")) // numeric desc (10 first), then word asc
+  }
+
+  test("Aggregates DSL matches direct aggregation") {
+    val df = Seq(("x", 1), ("x", 5), ("y", 2)).toDF("g", "v")
+    import Aggregates._
+    val out = aggregate(df, Seq(col("g")), Seq(
+      spec("LongValueSum", col("v"), "s"),
+      spec("LongValueMax", col("v"), "mx"),
+      spec("UniqValueCount", col("v"), "u")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map("x" -> (6L, 5L, 2L), "y" -> (2L, 2L, 1L)))
+  }
+
+  test("ValueHistogram reports stats of per-value counts") {
+    val df = Seq(("g", "a"), ("g", "a"), ("g", "a"), ("g", "b")).toDF("k", "v")
+    val r = Aggregates.valueHistogram(df, col("k"), col("v")).collect().head
+    assert(r.getAs[Long]("n_values") == 2L)
+    assert(r.getAs[Long]("min_cnt") == 1L)
+    assert(r.getAs[Long]("max_cnt") == 3L)
+    assert(math.abs(r.getAs[Double]("avg_cnt") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("stddev_cnt") - 1.0) < 1e-12)
+  }
+
+  test("Pipe through cat is identity; through tr uppercases") {
+    val ds = Seq("hello", "world").toDS()
+    assert(Pipe.pipeLines(ds, Seq("cat")).collect().sorted.toSeq == Seq("hello", "world"))
+    assert(Pipe.pipeLines(ds, Seq("tr", "a-z", "A-Z")).collect().sorted.toSeq
+      == Seq("HELLO", "WORLD"))
+  }
+
+  test("Pipe surfaces nonzero exit codes") {
+    val ds = Seq("x").toDS()
+    val ex = intercept[Exception] {
+      Pipe.pipeLines(ds, Seq("false")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("TextFunctions: tokens, shingles, fingerprint determinism, langId") {
+    val df = Seq("the quick brown fox").toDF("text")
+    val toks = df.select(TextFunctions.tokens(col("text"))).collect().head.getSeq[String](0)
+    assert(toks == Seq("the", "quick", "brown", "fox"))
+    val sh = df.select(TextFunctions.wordShingles(col("text"), 2)).collect().head.getSeq[String](0)
+    assert(sh == Seq("the quick", "quick brown", "brown fox"))
+    val f1 = df.select(TextFunctions.fingerprint(col("text"))).collect().head.getLong(0)
+    val f2 = df.select(TextFunctions.fingerprint(col("text"))).collect().head.getLong(0)
+    assert(f1 == f2)
+    // order sensitivity
+    val g = Seq("quick the brown fox").toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).collect().head.getLong(0)
+    assert(f1 != g)
+    val lang = df.select(TextFunctions.langId(col("text"),
+      Seq("de" -> Seq("der"), "en" -> Seq("the")))).collect().head.getString(0)
+    assert(lang == "en")
+  }
+
+  test("quality metrics") {
+    val df = Seq("the the fox").toDF("text")
+    val r = df.select(TextFunctions.qualityMetrics(col("text"), Seq("the")).as("q"))
+      .select(col("q.*")).collect().head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_uniq") == 2L)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.666667) < 1e-6)
+  }
+
+  test("MonteCarlo: radical inverse + pi estimate accuracy") {
+    import MonteCarlo._
+    assert(radicalInverse(1, 2) == 0.5)
+    assert(radicalInverse(2, 2) == 0.25)
+    assert(radicalInverse(3, 2) == 0.75)
+    val pi = estimatePi(spark, 4, 25000).collect().head.getAs[Double]("pi_est")
+    assert(math.abs(pi - math.Pi) < 0.01)
+  }
+
+  test("Multimodal: stub decode is deterministic and batch plumbing preserves ids") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .collect()
+    assert(feats.length == 10)
+    assert(feats.forall(_.feature.length == 8))
+    val again = Multimodal.extractFeatures(Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .collect()
+    assert(feats.map(f => (f.media_id, f.checksum)).toSet ==
+      again.map(f => (f.media_id, f.checksum)).toSet)
+  }
+}

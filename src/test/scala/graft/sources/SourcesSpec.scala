@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+class SourcesSpec extends SparkSpec {
+
+  test("keyValueText splits at first separator; missing separator → empty value") {
+    val dir = Files.createTempDirectory("graft_kv")
+    Files.write(dir.resolve("in.txt"),
+      "k1\tv1\nk2\tv2a\tv2b\nnovalue\n".getBytes(StandardCharsets.UTF_8))
+    val got = Sources.keyValueText(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("k1", "v1"), ("k2", "v2a\tv2b"), ("novalue", "")))
+  }
+
+  test("fixedLength reads constant-width binary records") {
+    val dir = Files.createTempDirectory("graft_fl")
+    Files.write(dir.resolve("in.bin"), "AAABBBCCC".getBytes(StandardCharsets.UTF_8))
+    val got = Sources.fixedLength(spark, dir.resolve("in.bin").toString, 3)
+      .collect().map(r => new String(r.getAs[Array[Byte]](0), StandardCharsets.UTF_8)).toSet
+    assert(got == Set("AAA", "BBB", "CCC"))
+  }
+
+  test("multipleInputs unions heterogeneous branches by name") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("id", "a_only")
+    val b = Seq((2, 9.0)).toDF("id", "b_only")
+    val out = Sources.multipleInputs(Seq(a, b))
+    assert(out.columns.toSet == Set("id", "a_only", "b_only"))
+    assert(out.count() == 2)
+  }
+
+  test("partitionedParquet writes hive-style partitions readable back") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "tag")
+    val out = Files.createTempDirectory("graft_pw").toString
+    Sinks.partitionedParquet(df, out, Seq("tag"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("tag=")) == 2)
+  }
+}
