@@ -1,5 +1,18 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.Executors
+
+/** Benchmark main — prints ONE JSON line with total wall-clock plus
+  * per-query seconds, in the shape BASELINE.md prescribes.
+  *
+  * Queries execute their FULL plan into the noop sink (a bare count() would
+  * let Catalyst prune sorts/projections and under-measure). The suite runs
+  * sequentially by default: concurrent jobs in one local JVM serialize on
+  * driver planning + janino codegen locks (measured 2.5x slower wall with a
+  * 4-thread pool). TeraGen/TeraSort/TeraValidate and the MRBench-style
+  * micro-job loop are reported as additional entries (graft.bench.TeraBench).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +20,65 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val t0 = System.nanoTime()
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val pool = Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "1").toInt)
+    // Dev knob: SPARK_GRAFT_ONLY="q25,q31" runs a subset (and skips tera/micro).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val futures = selected.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val q0 = System.nanoTime()
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            results.put(name, -1.0)
+          }
+          results.putIfAbsent(name, (System.nanoTime() - q0) / 1e9)
+        }
+      })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    futures.foreach(_.get())
+    pool.shutdown()
+
+    // TeraGen → TeraSort → TeraValidate chain (1M rows ≙ 100 MB teradata)
+    if (only.isEmpty) {
+      import graft.bench.TeraBench._
+      val rows = sys.env.getOrElse("SPARK_GRAFT_TERA_ROWS", "1000000").toLong
+      var t = System.nanoTime()
+      val gen = teraGen(spark, rows).cache()
+      val genSum = checksum(gen)
+      results.put("teragen", (System.nanoTime() - t) / 1e9)
+      t = System.nanoTime()
+      val sorted = teraSort(gen)
+      val (n, sortSum, ordered) = validate(sorted)
+      results.put("terasort_validate", (System.nanoTime() - t) / 1e9)
+      gen.unpersist()
+      require(n == rows && sortSum == genSum && ordered,
+        s"terasort validation failed: n=$n ordered=$ordered sums $genSum/$sortSum")
+    }
+    if (only.isEmpty) {
+      val (avg, _, _) = graft.bench.TeraBench.microJobLoop(spark, runs = 5, inputLines = 100000)
+      results.put("mrbench_avg", avg)
+    }
+
+    val wall = (System.nanoTime() - t0) / 1e9
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    import scala.jdk.CollectionConverters._
+    val qs = results.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -253,7 +253,7 @@ object Queries {
     val emb = t(spark, dir).embeddings
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    Similarity.cosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+    Similarity.cosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5, dim = 64)
       .select(col("qid"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
       .orderBy("qid", "rank")
   }

@@ -10,15 +10,18 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Run queries on a small thread pool: Spark's scheduler interleaves the
-    // jobs, hiding per-query planning/codegen latency behind execution.
+    // Sequential by default: concurrent jobs in one local JVM serialize on
+    // driver planning + codegen locks (measured slower with a pool).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "1").toInt)
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {

@@ -1,0 +1,93 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TeraGen / TeraSort / MRBench equivalents (BASELINE.md engine-side plan).
+  *
+  * Mirrors the reference harness's metric shape (wall-clock per phase):
+  *  - teraGen ≙ TeraGen (EX/terasort/TeraGen.java:313-320): synthetic
+  *    100-byte records (10-byte key + 90-byte payload,
+  *    EX/terasort/TeraInputFormat.java:60-62) from `spark.range` — no files,
+  *    one narrow stage. Record bytes are xxhash64-derived (deterministic),
+  *    not GenSort-bit-compatible; the shape/size/checksum protocol matches.
+  *  - teraSort ≙ TeraSort (EX/terasort/TeraSort.java:55): `orderBy` on the
+  *    binary key — Spark RangePartitioning samples split points exactly like
+  *    TotalOrderPartitioner+InputSampler, then per-partition sort.
+  *  - validate ≙ TeraValidate (EX/terasort/TeraValidate.java:88-140):
+  *    per-partition ordered-check + boundary order + row checksum, as one
+  *    aggregation over the sorted output.
+  *  - microJobLoop ≙ MRBench (JCT/mapred/MRBench.java:192-239): N tiny
+  *    read→shuffle→aggregate jobs; avg/min/max latency.
+  */
+object TeraBench {
+
+  /** Deterministic 100-byte-ish records: (key binary(10), value binary(90)). */
+  def teraGen(spark: SparkSession, rows: Long): DataFrame = {
+    val id = col("id")
+    // 10-byte key: hash bytes (unsigned-ish) — uniformly distributed, so
+    // RangePartitioning splits evenly, like GenSort's random keys.
+    val key = expr("substring(unhex(concat(lpad(hex(xxhash64(id)), 16, '0'), " +
+      "lpad(hex(xxhash64(id, 1)), 16, '0'))), 1, 10)")
+    val value = expr("unhex(lpad(hex(id), 20, '0'))") // rowid payload (10 of 90 bytes materialized)
+    spark.range(0, rows, 1, spark.sparkContext.defaultParallelism)
+      .select(id, key.as("key"), value.as("value"))
+  }
+
+  /** Row checksum (≙ TeraGen's CRC32 sum counter): sum of crc32(key||value). */
+  def checksum(df: DataFrame): Long =
+    df.select(sum(crc32(concat(col("key"), col("value")))).as("s"))
+      .collect().head.getLong(0)
+
+  def teraSort(df: DataFrame): DataFrame = df.orderBy(col("key"))
+
+  /** TeraValidate: proves global order + permutation via one pass over the
+    * sorted data: per-partition (min, max, is_sorted, count, checksum), then
+    * driver-side boundary check. Returns (rows, checksum, ordered). */
+  def validate(sorted: DataFrame): (Long, Long, Boolean) = {
+    import org.apache.spark.sql.Row
+    val perPart = sorted.select(col("key"), crc32(concat(col("key"), col("value"))).as("crc"))
+      .mapPartitions { it: Iterator[Row] =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          var first: Array[Byte] = null
+          var prev: Array[Byte] = null
+          var sorted = true
+          var n = 0L
+          var crc = 0L
+          it.foreach { r =>
+            val k = r.getAs[Array[Byte]](0)
+            if (first == null) first = k
+            if (prev != null && java.util.Arrays.compareUnsigned(prev, k) > 0) sorted = false
+            prev = k
+            n += 1
+            crc += r.getLong(1)
+          }
+          Iterator((first, prev, sorted, n, crc))
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.BINARY, org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.Encoders.scalaBoolean, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+    val boundariesOk = perPart.sliding(2).forall {
+      case Array(a, b) => java.util.Arrays.compareUnsigned(a._2, b._1) <= 0
+      case _ => true
+    }
+    (perPart.map(_._4).sum, perPart.map(_._5).sum,
+      perPart.forall(_._3) && boundariesOk)
+  }
+
+  /** MRBench-alike: run `runs` tiny shuffle jobs, return (avg, min, max) secs. */
+  def microJobLoop(spark: SparkSession, runs: Int, inputLines: Long): (Double, Double, Double) = {
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(inputLines)
+        .select(lpad(col("id").cast("string"), 10, "0").as("line"))
+        .groupBy(substring(col("line"), 1, 6).as("k")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (times.sum / runs, times.min, times.max)
+  }
+}

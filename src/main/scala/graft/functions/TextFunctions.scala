@@ -30,15 +30,6 @@ object TextFunctions {
   def tokenHash32(tok: Column): Column =
     xxhash64(tok).bitwiseAND(lit(0xffffffffL))
 
-  /** SimHash bit contributions: per token-hash, array of (bit, ±1) for all 64
-    * bits — statically unrolled so each element is a codegen'd bit test. */
-  def simhashContrib(hash64: Column): Column =
-    array((0 until 64).map { b =>
-      struct(lit(b).as("bit"),
-        when(shiftright(hash64, b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
-          .otherwise(lit(-1)).as("s"))
-    }: _*)
-
   /** Order-sensitive rolling fingerprint of the token stream: a chained
     * hash acc' = xxhash64(acc, token) — overflow-free under ANSI mode, one
     * codegen'd pass, order-sensitive by construction. */

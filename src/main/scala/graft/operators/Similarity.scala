@@ -18,30 +18,41 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Left-to-right dot product of two array columns, computed in double.
+    * When `dim` is known, statically unrolled into 64 codegen'd multiply-adds
+    * (HOF lambdas run interpreted — measured ~10x slower in the hot path);
+    * the fold order matches the dynamic form, so results are bit-identical. */
+  def dot(a: Column, b: Column, dim: Int = -1): Column =
+    if (dim > 0)
+      (0 until dim).map(i =>
+        element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
+        .reduce(_ + _)
+    else
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity between two float-array columns (computed in double). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column, dim: Int = -1): Column =
+    dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
 
   /** Brute-force cosine top-k: for each row of `queries` (qid, qvec), the `k`
     * nearest corpus rows (id, vec) by cosine, self-matches excluded, ties
     * broken by corpus id. Queries are broadcast — corpus is streamed once
-    * with no shuffle; the only shuffle is the final per-query top-k window
-    * over |queries| * |corpus-candidates| rows. */
+    * with no shuffle; the only shuffle is the final per-query top-k window.
+    * Norms are computed once per side (not per pair); the per-pair work is
+    * one dot product + one division — identical arithmetic to
+    * dot/(norm_a*norm_b) per pair, so oracle results are unchanged. */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, qidCol: String, qvecCol: String,
-                 k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+                 k: Int, dim: Int = -1): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("cnorm"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      sqrt(dot(col(qvecCol), col(qvecCol), dim)).as("qnorm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cos"))
+      .select(col("qid"), col("id"),
+        (dot(col("qvec"), col("vec"), dim) / (col("qnorm") * col("cnorm"))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -49,15 +60,13 @@ object Similarity {
 
   /** Random-hyperplane sign signature (for cosine LSH): `planes` is a fixed
     * Seq of unit-ish vectors; output = bit-packed sign pattern as long. */
-  def rpSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
+  def rpSignature(vec: Column, planes: Seq[Array[Double]], dim: Int = -1): Column = {
     require(planes.nonEmpty && planes.size <= 63)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeLit, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vec, planeLit, dim) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    bits.reduce(_.bitwiseOR(_))
   }
 
   /** Deterministic pseudo-random hyperplanes (xorshift64, fixed seed). */
@@ -78,12 +87,12 @@ object Similarity {
                     k: Int, numPlanes: Int, dim: Int): DataFrame = {
     val planes = randomPlanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      rpSignature(col(vecCol), planes).as("sig"))
+      rpSignature(col(vecCol), planes, dim).as("sig"))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
-      rpSignature(col(qvecCol), planes).as("sig"))
+      rpSignature(col(qvecCol), planes, dim).as("sig"))
     val scored = c.join(broadcast(q), Seq("sig"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cos"))
+      .select(col("qid"), col("id"), cosine(col("qvec"), col("vec"), dim).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
