@@ -290,6 +290,11 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  def sampleFilter(spark: SparkSession, dir: String): DataFrame =
+    Sampling.md5Filter(t(spark, dir).documents, col("text"), 16)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(spark, dir).documents, "doc_id", "text")
     Multimodal.extractFeatures(media)

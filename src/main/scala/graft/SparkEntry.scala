@@ -52,7 +52,8 @@ object SparkEntry {
     "q33_pipe_upper"      -> Queries.pipeUpper _,
     "q34_pi"              -> Queries.piEstimate _,
     "q35_multi_output"    -> Queries.multiOutput _,
-    "q36_media_features"  -> Queries.mediaFeatures _
+    "q36_media_features"  -> Queries.mediaFeatures _,
+    "q37_sample_filter"   -> Queries.sampleFilter _
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names, same order). */
@@ -210,6 +211,10 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q36_media_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q37_sample_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 16 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

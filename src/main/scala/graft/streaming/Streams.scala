@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.9 extension — the reference has
+  * no stream engine; this is the designated extension, not parity work).
+  *
+  * All transforms are source-agnostic: they accept either a batch DataFrame
+  * or a `readStream` DataFrame with the same schema, so every operator is
+  * testable in batch and deployable as a stream.
+  */
+object Streams {
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String, value: Double)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Tumbling-window per-type aggregate with a watermark (late data beyond
+    * `lateness` is dropped; state is bounded — the 100 TB-stream essential). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(events: DataFrame, window_ : String, slide: String,
+                    lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when no event arrives within `gapMillis`. Works on a stream (event-time
+    * timeout) and, for testing, on a batch Dataset (single pass per group).
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    implicit val se: Encoder[Session] = Encoders.product[Session]
+    implicit val le: Encoder[Long] = Encoders.scalaLong
+    implicit val ee: Encoder[Event] = Encoders.product[Event]
+    implicit val be: Encoder[List[Event]] = Encoders.kryo[List[Event]]
+
+    def close(userId: Long, buf: Seq[Event]): Session =
+      Session(userId, buf.head.ts, buf.last.ts, buf.size.toLong, buf.map(_.value).sum)
+
+    if (events.isStreaming) {
+      // EventTimeTimeout requires a watermark to drive timeout firing.
+      events.withWatermark("ts", "10 seconds").groupByKey(_.user_id)
+        .flatMapGroupsWithState[List[Event], Session](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+            if (state.hasTimedOut) {
+              val out = state.getOption.filter(_.nonEmpty)
+                .map(buf => close(userId, buf.sortBy(_.ts.getTime))).iterator
+              state.remove()
+              out
+            } else {
+              val buf = state.getOption.getOrElse(Nil) ++ it
+              state.update(buf)
+              state.setTimeoutTimestamp(buf.map(_.ts.getTime).max + gapMillis)
+              Iterator.empty
+            }
+        }
+    } else {
+      // batch path: same session semantics in one pass per user
+      events.groupByKey(_.user_id).flatMapGroups { (userId: Long, it: Iterator[Event]) =>
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[Event]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[Event]
+        sorted.foreach { e =>
+          if (cur.nonEmpty && e.ts.getTime - cur.last.ts.getTime > gapMillis) {
+            sessions += cur.toSeq
+            cur = scala.collection.mutable.ArrayBuffer.empty[Event]
+          }
+          cur += e
+        }
+        if (cur.nonEmpty) sessions += cur.toSeq
+        sessions.map(close(userId, _)).iterator
+      }
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Streams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(3600L * 1000 * 24 + minute * 60000L)
+
+  test("batch sessionize splits on gap and aggregates per session") {
+    val events = Seq(
+      Event(1, ts(0), "click", 1.0), Event(1, ts(2), "click", 2.0),
+      Event(1, ts(30), "view", 5.0), // > 10 min gap → new session
+      Event(2, ts(1), "click", 1.0)).toDS()
+    val out = sessionize(events, gapMillis = 10 * 60000L).collect()
+      .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 5.0), (2L, 1L, 1.0)))
+  }
+
+  test("streaming sessionize emits closed sessions via event-time timeout") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), "click", 1.0), Event(1, ts(2), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far past the gap so the watermark closes user 1's session
+      mem.addData(Event(2, ts(60), "click", 9.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(120), "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out").as[Session].collect()
+        .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+      assert(got.contains((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("windowedCounts over a stream equals the batch aggregation") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedCounts(mem.toDF(), "1 hour").writeStream
+      .format("memory").queryName("wc_out").outputMode("complete").start()
+    try {
+      mem.addData(Event(1, ts(0), "click", 1.0), Event(2, ts(30), "click", 2.0),
+        Event(1, ts(70), "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("wc_out")
+        .select(col("event_type"), col("n"), col("sum_value")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+}
