@@ -62,6 +62,21 @@ object Sources {
       .map { case (k, v) => (k.toString, v.toString) }.toDF("key", "value")
   }
 
+  /** StreamXmlRecordReader (hadoop-streaming .../streaming/StreamXmlRecordReader.java):
+    * records delimited by begin/end tag patterns. Spark-first: read with the
+    * END tag as the record separator (the text datasource handles split
+    * boundaries), then slice each chunk from its begin tag — no
+    * wholeTextFiles, so a single huge XML file still reads in parallel. */
+  def xmlRecords(spark: SparkSession, path: String,
+                 beginTag: String, endTag: String): DataFrame = {
+    val beginQ = java.util.regex.Pattern.quote(beginTag)
+    spark.read.option("lineSep", endTag).text(path)
+      .filter(col("value").contains(beginTag))
+      .select(concat(
+        regexp_extract(col("value"), "(?s)(" + beginQ + ".*)$", 1),
+        lit(endTag)).as("record"))
+  }
+
   /** DBInputFormat/DataDrivenDBInputFormat: JDBC scan with value-range
     * stride partitioning (≙ IntegerSplitter). */
   def jdbc(spark: SparkSession, url: String, table: String,

@@ -32,6 +32,26 @@ class SourcesSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("xmlRecords extracts begin/end-tag-delimited records") {
+    val dir = Files.createTempDirectory("graft_xml")
+    Files.write(dir.resolve("in.xml"),
+      "<?junk?><rec><a>1</a></rec>\n<rec><a>2</a></rec>trailing".getBytes(StandardCharsets.UTF_8))
+    val got = Sources.xmlRecords(spark, dir.toString, "<rec>", "</rec>")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("<rec><a>1</a></rec>", "<rec><a>2</a></rec>"))
+  }
+
+  test("sequenceFileText round-trips (Text, Text) records") {
+    import org.apache.hadoop.io.Text
+    val dir = Files.createTempDirectory("graft_seq").resolve("part").toString
+    spark.sparkContext.parallelize(Seq(("k1", "v1"), ("k2", "v2")), 1)
+      .map { case (k, v) => (new Text(k), new Text(v)) }
+      .saveAsSequenceFile(dir)
+    val got = Sources.sequenceFileText(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("k1", "v1"), ("k2", "v2")))
+  }
+
   test("partitionedParquet writes hive-style partitions readable back") {
     import spark.implicits._
     val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "tag")
