@@ -177,6 +177,22 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.03
         |ORDER BY id_a, id_b""".stripMargin,
+    "q28_langid" ->
+      """WITH t AS (SELECT lang, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_intersect(w, ['the','a','of','and'])) AS s_en,
+        |  len(list_intersect(w, ['der','und','die'])) AS s_de,
+        |  len(list_intersect(w, ['le','et','la'])) AS s_fr,
+        |  len(list_intersect(w, ['el','y','la'])) AS s_es,
+        |  len(list_intersect(w, ['de','shi'])) AS s_zh FROM t),
+        |p AS (SELECT lang, CASE
+        |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |  WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |  WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted FROM s)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
     "q29_text_quality" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
         |  FROM documents)
