@@ -57,7 +57,9 @@ object Bench {
       import graft.bench.TeraBench._
       val rows = sys.env.getOrElse("SPARK_GRAFT_TERA_ROWS", "1000000").toLong
       var t = System.nanoTime()
-      val gen = teraGen(spark, rows).cache()
+      // gensort-bit-compatible records (GenSortParity); checksum protocol =
+      // sum of per-record CRC32, as the reference's CHECKSUM counter
+      val gen = graft.bench.GenSortParity.teraGen(spark, rows).cache()
       val genSum = checksum(gen)
       results.put("teragen", (System.nanoTime() - t) / 1e9)
       t = System.nanoTime()

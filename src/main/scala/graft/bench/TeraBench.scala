@@ -6,11 +6,9 @@ import org.apache.spark.sql.functions._
 /** TeraGen / TeraSort / MRBench equivalents (BASELINE.md engine-side plan).
   *
   * Mirrors the reference harness's metric shape (wall-clock per phase):
-  *  - teraGen ≙ TeraGen (EX/terasort/TeraGen.java:313-320): synthetic
-  *    100-byte records (10-byte key + 90-byte payload,
-  *    EX/terasort/TeraInputFormat.java:60-62) from `spark.range` — no files,
-  *    one narrow stage. Record bytes are xxhash64-derived (deterministic),
-  *    not GenSort-bit-compatible; the shape/size/checksum protocol matches.
+  *  - teraGen ≙ TeraGen (EX/terasort/TeraGen.java:313-320): see
+  *    GenSortParity.teraGen — gensort-bit-compatible 100-byte records
+  *    (10-byte key + 90-byte payload, EX/terasort/TeraInputFormat.java:60-62).
   *  - teraSort ≙ TeraSort (EX/terasort/TeraSort.java:55): `orderBy` on the
   *    binary key — Spark RangePartitioning samples split points exactly like
   *    TotalOrderPartitioner+InputSampler, then per-partition sort.
@@ -21,18 +19,6 @@ import org.apache.spark.sql.functions._
   *    read→shuffle→aggregate jobs; avg/min/max latency.
   */
 object TeraBench {
-
-  /** Deterministic 100-byte-ish records: (key binary(10), value binary(90)). */
-  def teraGen(spark: SparkSession, rows: Long): DataFrame = {
-    val id = col("id")
-    // 10-byte key: hash bytes (unsigned-ish) — uniformly distributed, so
-    // RangePartitioning splits evenly, like GenSort's random keys.
-    val key = expr("substring(unhex(concat(lpad(hex(xxhash64(id)), 16, '0'), " +
-      "lpad(hex(xxhash64(id, 1)), 16, '0'))), 1, 10)")
-    val value = expr("unhex(lpad(hex(id), 20, '0'))") // rowid payload (10 of 90 bytes materialized)
-    spark.range(0, rows, 1, spark.sparkContext.defaultParallelism)
-      .select(id, key.as("key"), value.as("value"))
-  }
 
   /** Row checksum (≙ TeraGen's CRC32 sum counter): sum of crc32(key||value). */
   def checksum(df: DataFrame): Long =

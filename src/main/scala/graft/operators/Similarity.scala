@@ -62,9 +62,13 @@ object Similarity {
     * Seq of unit-ish vectors; output = bit-packed sign pattern as long. */
   def rpSignature(vec: Column, planes: Seq[Array[Double]], dim: Int = -1): Column = {
     require(planes.nonEmpty && planes.size <= 63)
+    // Deliberately the dynamic (HOF) dot here: unrolling planes x dim terms
+    // into one expression tree (8x64x2 ≈ 1000 nodes) produces janino methods
+    // past JIT limits — signature is computed once per ROW, so the
+    // interpreted fold is cheap; only the per-PAIR cosine merits unrolling.
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit, dim) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vec, planeLit, -1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
