@@ -290,6 +290,19 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** As-of join: for each purchase event, the most recent prior-or-equal
+    * click by the same user (backward as-of, tie → largest click id). */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts", "click_id")
+      .select(col("event_id"), col("user_id"), col("r_click_id").as("click_id"))
+      .orderBy("event_id")
+  }
+
   def sampleFilter(spark: SparkSession, dir: String): DataFrame =
     Sampling.md5Filter(t(spark, dir).documents, col("text"), 16)
       .select(col("doc_id"), col("lang"))

@@ -53,7 +53,8 @@ object SparkEntry {
     "q34_pi"              -> Queries.piEstimate _,
     "q35_multi_output"    -> Queries.multiOutput _,
     "q36_media_features"  -> Queries.mediaFeatures _,
-    "q37_sample_filter"   -> Queries.sampleFilter _
+    "q37_sample_filter"   -> Queries.sampleFilter _,
+    "q38_asof_join"       -> Queries.asofPurchaseClick _
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names, same order). */
@@ -231,6 +232,14 @@ object SparkEntry {
     "q37_sample_filter" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 16 = 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q38_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |(SELECT c.event_id FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+        |FROM p ORDER BY p.event_id""".stripMargin
   )
 }

@@ -39,6 +39,18 @@ class JoinsAndSortsSpec extends SparkSpec {
     assert(Joins.anti(a, b, "k").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("asOf join picks greatest right time <= left time, ties by largest tie id") {
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 40L, 900L), (1L, 100L, 901L), (1L, 100L, 902L), (1L, 120L, 903L),
+      (2L, 11L, 904L)).toDF("k", "rt", "rid")
+    val out = Joins.asOf(left, right, Seq("k"), "t", "rt", "rid")
+      .collect().map(r => (r.getAs[String]("name"), Option(r.getAs[Any]("r_rid")))).toMap
+    assert(out("p1").contains(902L)) // rt=100 <= 100, tie → larger rid
+    assert(out("p2").contains(900L)) // rt=40 is the only one <= 50
+    assert(out("p3").isEmpty)        // no click at or before t=10
+  }
+
   test("typed secondarySort streams values in sorted order per group") {
     val ds = Seq((1, 30, "c"), (1, 10, "a"), (1, 20, "b"), (2, 5, "z")).toDS()
     val out = Sorts.secondarySort(ds, (t: (Int, Int, String)) => t._1, Seq(col("_2"))) {
