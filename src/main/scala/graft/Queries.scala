@@ -308,6 +308,30 @@ object Queries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(col("lang"), explode(bpeTokens(col("text"))).as("tok"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_uniq"))
+      .orderBy("lang")
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(spark, dir).documents, "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Same join semantics as q11 but executed through the explicit skew-salting
+    * operator — results must be identical to the unsalted oracle join. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    val li = tb.lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+    Skew.saltedJoin(li, tb.orders, Seq("o_orderkey"), saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(spark, dir).documents, "doc_id", "text")
     Multimodal.extractFeatures(media)

@@ -54,7 +54,10 @@ object SparkEntry {
     "q35_multi_output"    -> Queries.multiOutput _,
     "q36_media_features"  -> Queries.mediaFeatures _,
     "q37_sample_filter"   -> Queries.sampleFilter _,
-    "q38_asof_join"       -> Queries.asofPurchaseClick _
+    "q38_asof_join"       -> Queries.asofPurchaseClick _,
+    "q39_bpe_tokens"      -> Queries.bpeTokenStats _,
+    "q40_simhash_pairs"   -> Queries.simhashPairs _,
+    "q41_salted_join"     -> Queries.saltedJoinAgg _
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names, same order). */
@@ -240,6 +243,18 @@ object SparkEntry {
         |(SELECT c.event_id FROM c
         |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
-        |FROM p ORDER BY p.event_id""".stripMargin
+        |FROM p ORDER BY p.event_id""".stripMargin,
+    "q39_bpe_tokens" ->
+      """WITH t AS (SELECT lang, unnest(regexp_extract_all(text,
+        |  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS tok FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q41_salted_join" ->
+      """SELECT o_orderpriority,
+        |CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

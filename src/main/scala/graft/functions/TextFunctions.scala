@@ -26,6 +26,16 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape): contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs. The actual BPE
+    * merge table is model-specific; this is the regex split stage every BPE
+    * pipeline runs first, which is what token-count estimation needs. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Deterministic 32-bit-ranged token hash (xxhash64 masked), for sketches. */
   def tokenHash32(tok: Column): Column =
     xxhash64(tok).bitwiseAND(lit(0xffffffffL))

@@ -40,6 +40,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m(1L) != m(3L))
   }
 
+  test("simhashNearDupPairs finds identical docs at hamming 0 via band join") {
+    val df = Seq((1L, "alpha beta gamma delta eps"), (2L, "alpha beta gamma delta eps"),
+      (3L, "totally different words here now")).toDF("id", "text")
+    val out = Dedup.simhashNearDupPairs(df, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 0L)))
+  }
+
+  test("saltedJoin equals the plain join") {
+    val fact = (1 to 500).map(i => (i % 7, i)).toDF("k", "v")
+    val dim = (0 until 7).map(i => (i, s"d$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     // doc1/doc2 share half their 2-gram shingles
     val df = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z")).toDF("id", "text")
