@@ -45,14 +45,17 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, qidCol: String, qvecCol: String,
                  k: Int, dim: Int = -1): DataFrame = {
+    // float-array columns go through the native VectorDot expression
+    // (graft.plans): tight codegen'd loop, bit-identical accumulation order
+    val d = graft.plans.VectorExpressions.vec_dot _
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sqrt(dot(col(vecCol), col(vecCol), dim)).as("cnorm"))
+      sqrt(d(col(vecCol), col(vecCol))).as("cnorm"))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
-      sqrt(dot(col(qvecCol), col(qvecCol), dim)).as("qnorm"))
+      sqrt(d(col(qvecCol), col(qvecCol))).as("qnorm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        (dot(col("qvec"), col("vec"), dim) / (col("qnorm") * col("cnorm"))).as("cos"))
+        (d(col("qvec"), col("vec")) / (col("qnorm") * col("cnorm"))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
