@@ -58,15 +58,15 @@ object Bench {
       val rows = sys.env.getOrElse("SPARK_GRAFT_TERA_ROWS", "1000000").toLong
       var t = System.nanoTime()
       // gensort-bit-compatible records (GenSortParity); checksum protocol =
-      // sum of per-record CRC32, as the reference's CHECKSUM counter
-      val gen = graft.bench.GenSortParity.teraGen(spark, rows).cache()
+      // sum of per-record CRC32, as the reference's CHECKSUM counter.
+      // No cache: regenerating 1M records is cheaper than caching 100 MB.
+      val gen = graft.bench.GenSortParity.teraGen(spark, rows)
       val genSum = checksum(gen)
       results.put("teragen", (System.nanoTime() - t) / 1e9)
       t = System.nanoTime()
       val sorted = teraSort(gen)
       val (n, sortSum, ordered) = validate(sorted)
       results.put("terasort_validate", (System.nanoTime() - t) / 1e9)
-      gen.unpersist()
       require(n == rows && sortSum == genSum && ordered,
         s"terasort validation failed: n=$n ordered=$ordered sums $genSum/$sortSum")
     }
