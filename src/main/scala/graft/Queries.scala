@@ -268,6 +268,16 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  def simIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, nlist = 16, nprobe = 4)
+      .select(col("qid"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

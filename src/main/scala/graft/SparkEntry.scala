@@ -57,7 +57,8 @@ object SparkEntry {
     "q38_asof_join"       -> Queries.asofPurchaseClick _,
     "q39_bpe_tokens"      -> Queries.bpeTokenStats _,
     "q40_simhash_pairs"   -> Queries.simhashPairs _,
-    "q41_salted_join"     -> Queries.saltedJoinAgg _
+    "q41_salted_join"     -> Queries.saltedJoinAgg _,
+    "q42_sim_ivf_topk"    -> Queries.simIvfTopK _
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names, same order). */

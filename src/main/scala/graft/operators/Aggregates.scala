@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  /** Default cap for CappedUniqValueCount (reference default maxNumItems). */
+  val UniqCap: Int = 100
+
   /** Registry: aggregator name → (value column → aggregate Column). */
   val registry: Map[String, Column => Column] = Map(
     "LongValueSum"         -> (c => sum(c.cast("long"))),
@@ -28,6 +31,9 @@ object Aggregates {
     "StringValueMax"       -> (c => max(c.cast("string"))),
     "StringValueMin"       -> (c => min(c.cast("string"))),
     "UniqValueCount"       -> (c => countDistinct(c)),
+    // the reference's UniqValueCount maxNumItems cap (ValueAggregator DSL
+    // .../lib/aggregate/UniqValueCount.java:35): report at most `cap`
+    "CappedUniqValueCount" -> (c => least(countDistinct(c), lit(UniqCap.toLong))),
     "ApproxUniqValueCount" -> (c => approx_count_distinct(c)),
     "ValueCount"           -> (c => count(c))
   )

@@ -76,6 +76,72 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF(-flat) approximate top-k: the corpus is coarse-quantized into
+    * `nlist` inverted lists (deterministic seed vectors + `iters` Lloyd
+    * steps, all as DataFrame ops — only the nlist x dim centroid table ever
+    * reaches the driver); each query probes its `nprobe` nearest lists and
+    * re-ranks exactly. Cost per query scans ~nprobe/nlist of the corpus —
+    * the classic IVF trade, and the 100 TB path when LSH recall is too
+    * vector-distribution-sensitive.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    import graft.plans.VectorExpressions.vec_dot
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm"))
+
+    def centroidLit(v: Array[Double]): Column =
+      array(v.map(x => lit(x.toFloat)): _*)
+
+    // nearest-centroid id by cosine (centroids are broadcast as literals)
+    def assign(vecC: Column, normC: Column, cents: Seq[Array[Double]]): Column = {
+      val scores = cents.map(ct => vec_dot(vecC, centroidLit(ct)) /
+        (normC * math.sqrt(ct.map(x => x * x).sum)))
+      val arr = array(scores: _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+
+    // deterministic seeds: the nlist corpus vectors with smallest xxhash64(id)
+    var cents: Seq[Array[Double]] = c.orderBy(xxhash64(col("id"))).limit(nlist)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = c.select(col("vec"), assign(col("vec"), col("cnorm"), cents).as("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      it += 1
+    }
+
+    val bucketed = c.select(col("id"), col("vec"), col("cnorm"),
+      assign(col("vec"), col("cnorm"), cents).as("cid"))
+    // each query probes its nprobe nearest lists
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm"))
+    val qScores = cents.zipWithIndex.map { case (ct, i) =>
+      struct((vec_dot(col("qvec"), centroidLit(ct)) /
+        (col("qnorm") * math.sqrt(ct.map(x => x * x).sum))).as("s"), lit(i).as("cid"))
+    }
+    val probes = q.select(col("qid"), col("qvec"), col("qnorm"),
+      explode(slice(reverse(array_sort(array(qScores: _*))), 1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("qnorm"), col("p.cid").as("cid"))
+    val scored = bucketed.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (vec_dot(col("qvec"), col("vec")) / (col("qnorm") * col("cnorm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (xorshift64, fixed seed). */
   def randomPlanes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
     var state = 2463534242555777L

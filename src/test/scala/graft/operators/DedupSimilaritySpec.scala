@@ -77,6 +77,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(got(2L)) < 1e-12)
   }
 
+  test("ivfTopK with nprobe == nlist is exactly brute force; nprobe=1 is a subset") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 80L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("id", "vec")
+    val q = df.filter(col("id") <= 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.cosineTopK(df, "id", "vec", q, "qid", "qvec", 5, dim = 16)
+      .select("qid", "id"))
+    val full = pairs(Similarity.ivfTopK(df, "id", "vec", q, "qid", "qvec", 5,
+      nlist = 4, nprobe = 4).select("qid", "id"))
+    assert(full == brute)
+    val narrow = pairs(Similarity.ivfTopK(df, "id", "vec", q, "qid", "qvec", 5,
+      nlist = 4, nprobe = 1).select("qid", "id"))
+    assert(narrow.nonEmpty && narrow.subsetOf(
+      pairs(Similarity.cosineTopK(df, "id", "vec", q, "qid", "qvec", 80, dim = 16)
+        .select("qid", "id"))))
+  }
+
   test("lshCosineTopK returns a subset of brute-force results per query") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
