@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.io.{BufferedInputStream, BufferedOutputStream, BufferedReader, BufferedWriter,
+  DataInputStream, DataOutputStream, InputStreamReader, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 
@@ -19,6 +20,53 @@ import scala.jdk.CollectionConverters._
   * exec + two pipe pumps per task).
   */
 object Pipe {
+
+  /** Typed-bytes variant (the `-io typedbytes` wire of hadoop-streaming,
+    * STR/streaming/io + STR/typedbytes): (key, value) records framed as two
+    * typed-bytes values each way. Same per-partition process + feeder-thread
+    * shape as `pipeLines`. */
+  def pipeTypedBytes(ds: Dataset[(TypedBytes.TBValue, TypedBytes.TBValue)],
+                     cmd: Seq[String],
+                     env: Map[String, String] = Map.empty)
+      : Dataset[(TypedBytes.TBValue, TypedBytes.TBValue)] = {
+    implicit val enc: Encoder[(TypedBytes.TBValue, TypedBytes.TBValue)] =
+      Encoders.kryo[(TypedBytes.TBValue, TypedBytes.TBValue)]
+    ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(cmd.asJava)
+        env.foreach { case (k, v) => pb.environment().put(k, v) }
+        val proc = pb.start()
+        val out = new DataOutputStream(new BufferedOutputStream(proc.getOutputStream))
+        val feeder = new Thread(() => {
+          try {
+            it.foreach { case (k, v) =>
+              TypedBytes.write(out, k); TypedBytes.write(out, v)
+            }
+            out.close()
+          } catch { case _: java.io.IOException => () }
+        }, "graft-tb-pipe-feeder")
+        feeder.setDaemon(true)
+        feeder.start()
+        val in = new DataInputStream(new BufferedInputStream(proc.getInputStream))
+        Iterator.continually {
+          TypedBytes.read(in).map { k =>
+            val v = TypedBytes.read(in)
+              .getOrElse(throw new java.io.EOFException("odd typed-bytes stream"))
+            (k, v)
+          }
+        }.takeWhile {
+          case Some(_) => true
+          case None =>
+            in.close()
+            val code = proc.waitFor()
+            if (code != 0)
+              throw new RuntimeException(s"pipe command ${cmd.mkString(" ")} exited with $code")
+            false
+        }.map(_.get)
+      }
+    }
+  }
 
   def pipeLines(ds: Dataset[String], cmd: Seq[String],
                 env: Map[String, String] = Map.empty): Dataset[String] = {

@@ -44,6 +44,36 @@ class MiscOperatorsSpec extends SparkSpec {
       == Seq("HELLO", "WORLD"))
   }
 
+  test("TypedBytes codec round-trips all types including nesting") {
+    import TypedBytes._
+    val vals: Seq[TBValue] = Seq(
+      TBBytes(Array[Byte](1, 2, -3)), TBByte(7), TBBool(true), TBInt(42),
+      TBLong(1L << 40), TBFloat(1.5f), TBDouble(math.Pi), TBString("héllo"),
+      TBVector(Vector(TBInt(1), TBString("x"))),
+      TBList(List(TBBool(false), TBLong(9))),
+      TBMap(Map(TBString("k") -> TBVector(Vector(TBDouble(2.5))))))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    vals.foreach(write(out, _))
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = Iterator.continually(read(in)).takeWhile(_.isDefined).map(_.get).toSeq
+    assert(back.length == vals.length)
+    back.zip(vals).foreach {
+      case (TBBytes(a), TBBytes(b)) => assert(a.sameElements(b))
+      case (got, exp) => assert(got == exp)
+    }
+  }
+
+  test("pipeTypedBytes round-trips records through cat") {
+    import TypedBytes._
+    implicit val enc = org.apache.spark.sql.Encoders.kryo[(TBValue, TBValue)]
+    val recs: Seq[(TBValue, TBValue)] =
+      (1 to 50).map(i => (TBString(s"k$i"): TBValue, TBLong(i.toLong): TBValue))
+    val ds = spark.createDataset(recs)(enc).repartition(2)
+    val back = Pipe.pipeTypedBytes(ds, Seq("cat")).collect().toSet
+    assert(back == recs.toSet)
+  }
+
   test("Pipe surfaces nonzero exit codes") {
     val ds = Seq("x").toDS()
     val ex = intercept[Exception] {
