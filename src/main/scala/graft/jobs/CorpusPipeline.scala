@@ -1,0 +1,54 @@
+package graft.jobs
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline — the composition the engine
+  * exists for. One declarative chain, every stage from the operator library:
+  *
+  *   read → quality score → filter → exact dedup → MinHash near-dup removal
+  *        → language-ID annotate → partitioned write
+  *
+  * Scale shape: two content shuffles (exact-dedup digest groupBy, MinHash
+  * signature groupBy) + the near-dup candidate join (inverted-index via LSH
+  * bands, linear in candidates); the final write repartitions by the
+  * partition column so each output partition is written by one task.
+  */
+object CorpusPipeline {
+
+  final case class Config(minTokens: Long = 5, maxStopwordRatio: Double = 0.9,
+                          minUniqRatio: Double = 0.1, nearDupThreshold: Double = 0.9)
+
+  /** Returns the curated corpus (doc_id, text, lang, predicted_lang, n_tokens). */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val stopwords = graft.Queries.Stopwords
+    // 1. quality gate — single codegen'd projection + filter
+    val scored = docs.withColumn("q", qualityMetrics(col("text"), stopwords))
+      .filter(col("q.n_tokens") >= cfg.minTokens &&
+        col("q.stopword_ratio") <= cfg.maxStopwordRatio &&
+        col("q.uniq_ratio") >= cfg.minUniqRatio)
+    // 2. exact dedup (content digest, keep smallest doc_id)
+    val exact = Dedup.exactDedup(scored, Seq(col("text")), col("doc_id"))
+    // 3. near-dup removal: of each candidate pair keep the smaller id
+    //    (greedy; transitive clusters collapse over the id ordering)
+    val dupIds = Dedup.minhashCandidatePairs(exact, "doc_id", "text",
+        threshold = cfg.nearDupThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    // 4. annotate
+    deduped.select(col("doc_id"), col("text"), col("lang"),
+      langId(col("text"), graft.Queries.LangProfiles).as("predicted_lang"),
+      col("q.n_tokens").as("n_tokens"))
+  }
+
+  /** Curate + write partitioned by annotated language. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          cfg: Config = Config()): DataFrame = {
+    val docs = graft.Engine.tables(spark, sfDir).documents
+    val curated = curate(docs, cfg)
+    graft.sources.Sinks.partitionedParquet(curated, outDir, Seq("predicted_lang"))
+    spark.read.parquet(outDir)
+  }
+}
