@@ -268,6 +268,28 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  /** Window analytics (capability superset — the reference has no window
+    * functions): per-customer running order total + previous order gap. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(floor(col("o_totalprice") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   def simIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir).embeddings
     val queries = emb.filter(col("vec_id") % 50 === 0)

@@ -58,7 +58,9 @@ object SparkEntry {
     "q39_bpe_tokens"      -> Queries.bpeTokenStats _,
     "q40_simhash_pairs"   -> Queries.simhashPairs _,
     "q41_salted_join"     -> Queries.saltedJoinAgg _,
-    "q42_sim_ivf_topk"    -> Queries.simIvfTopK _
+    "q42_sim_ivf_topk"    -> Queries.simIvfTopK _,
+    "q43_window_running"  -> Queries.windowRunning _,
+    "q44_cube"            -> Queries.cubeAgg _
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names, same order). */
@@ -256,6 +258,18 @@ object SparkEntry {
         |CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |CAST(count(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q43_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+        |lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q44_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
   )
 }
