@@ -18,10 +18,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Sequential by default: concurrent jobs in one local JVM serialize on
-    // driver planning + codegen locks (measured slower with a pool).
+    // Two workers: sf0.01 queries are light enough to interleave (measured
+    // 83s vs ~300s sequential); heavier pools serialize on driver
+    // planning/codegen locks.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "1").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "2").toInt)
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
