@@ -34,6 +34,16 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** MultipleOutputs named side outputs (.../lib/output/MultipleOutputs.java:187):
+    * several independently-shaped outputs from ONE computed input. The input
+    * should be cached/checkpointed by the caller if expensive — each named
+    * output is a separate write of a derived frame. */
+  def multipleOutputs(df: DataFrame,
+                      outputs: Map[String, (DataFrame => DataFrame, String)]): Unit =
+    outputs.foreach { case (_, (derive, path)) =>
+      derive(df).write.mode(SaveMode.Overwrite).parquet(path)
+    }
+
   /** Discard sink (NullOutputFormat) — runs the plan, writes nothing. */
   def noop(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).format("noop").save()
