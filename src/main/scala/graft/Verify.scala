@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -18,27 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Two workers: sf0.01 queries are light enough to interleave (measured
-    // 83s vs ~300s sequential); heavier pools serialize on driver
-    // planning/codegen locks.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "2").toInt)
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit = {
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-          } catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
-        }
-      })
-    }
-    futures.foreach(_.get())
-    pool.shutdown()
+
+    // Write the oracle SQL FIRST: if a query later hangs or the process is
+    // killed, the completed queries can still be graded.
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -54,6 +37,42 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Two workers: sf0.01 queries are light enough to interleave (measured
+    // 83s vs ~300s sequential); heavier pools serialize on driver
+    // planning/codegen locks.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "2").toInt)
+    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> pool.submit(new Runnable {
+        def run(): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      })
+    }
+    // Per-query wall bound: a single wedged query (e.g. a host slow window)
+    // must not starve the rest of the suite or the final exit.
+    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
+    futures.foreach { case (name, f) =>
+      try f.get(perQuerySec, TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[verify] $name timed out after ${perQuerySec}s; cancelling")
+          f.cancel(true)
+          spark.sparkContext.cancelAllJobs()
+        case e: Throwable =>
+          System.err.println(s"[verify] $name wait failed: ${e.getMessage}")
+      }
+    }
+    pool.shutdown()
+    pool.awaitTermination(60, TimeUnit.SECONDS)
     spark.stop()
   }
 }
