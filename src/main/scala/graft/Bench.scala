@@ -80,7 +80,14 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val qs = results.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy: round 1's JSON line was buried in sbt [info] noise and the
+    // driver recorded parsed:null. Write the line to a file as well, and print
+    // it AFTER spark.stop() so it is the process's last stdout line.
+    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
+    println(line)
   }
 }

@@ -64,6 +64,10 @@ object Queries {
         groupCols = Seq(col("l_orderkey")),
         orderCols = Seq(col("l_shipdate"), col("l_linenumber")),
         payload = col("l_linenumber"), alias = "lines")
+      // string-encode the grouped list: the driver's pandas comparator cannot
+      // hash array cells, so both sides emit "1,3,2"-style CSV
+      .select(col("l_orderkey"),
+        array_join(transform(col("lines"), _.cast("string")), ",").as("lines"))
       .orderBy("l_orderkey")
 
   // ---- joins ----
@@ -314,7 +318,9 @@ object Queries {
     MonteCarlo.estimatePi(spark, partitions = 16, pointsPerPartition = 50000L)
 
   def multiOutput(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_mo").toString
+    // fixed (overwritten) scratch dir — createTempDirectory would leak one dir per run
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_mo").toString
     graft.sources.Sinks.partitionedParquet(
       t(spark, dir).lineitem, out, Seq("l_returnflag"))
     spark.read.parquet(out)

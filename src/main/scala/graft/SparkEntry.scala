@@ -87,7 +87,8 @@ object SparkEntry {
         |strftime(l_shipdate, '%Y-%m-%d') AS ship_date
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q07_secondary_sort" ->
-      """SELECT l_orderkey, list(l_linenumber ORDER BY l_shipdate, l_linenumber) AS lines
+      """SELECT l_orderkey,
+        |string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_shipdate, l_linenumber) AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q08_join_inner" ->
       """SELECT o_orderkey, c_name, n_name, o_orderstatus
@@ -225,10 +226,14 @@ object SparkEntry {
         |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(cos, 4) AS cos
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q33_pipe_upper" ->
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
-        |SELECT substr(upper(word), 1, 1) AS initial,
-        |CAST(count(DISTINCT upper(word)) AS BIGINT) AS n_tokens
-        |FROM w WHERE word <> '' GROUP BY 1 ORDER BY initial""".stripMargin,
+      // translate() (ASCII-only) mirrors `tr a-z A-Z` exactly; upper() would be
+      // Unicode-aware and silently diverge on a non-ASCII corpus.
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |u AS (SELECT translate(word, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS word
+        |  FROM w WHERE word <> '')
+        |SELECT substr(word, 1, 1) AS initial,
+        |CAST(count(DISTINCT word) AS BIGINT) AS n_tokens
+        |FROM u GROUP BY 1 ORDER BY initial""".stripMargin,
     "q35_multi_output" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -43,17 +43,32 @@ object Verify {
     // planning/codegen locks.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "2").toInt)
+    // A failed or cancelled write can leave a partial parquet dir that the
+    // checker would grade as real output — always remove it on failure.
+    def deleteDir(path: String): Unit = {
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> pool.submit(new Runnable {
         def run(): Unit = {
           val t0 = System.nanoTime()
+          // Job group is thread-local: a timeout cancels THIS query's jobs
+          // only, never the healthy query on the other worker thread.
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           try {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+            try deleteDir(s"$outDir/$name")
+            catch { case e2: Throwable =>
+              System.err.println(s"[verify] $name cleanup failed: ${e2.getMessage}") }
+          } finally spark.sparkContext.clearJobGroup()
         }
       })
     }
@@ -65,8 +80,11 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           System.err.println(s"[verify] $name timed out after ${perQuerySec}s; cancelling")
+          spark.sparkContext.cancelJobGroup(name)
           f.cancel(true)
-          spark.sparkContext.cancelAllJobs()
+          try deleteDir(s"$outDir/$name")
+          catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name cleanup failed: ${e2.getMessage}") }
         case e: Throwable =>
           System.err.println(s"[verify] $name wait failed: ${e.getMessage}")
       }

@@ -36,6 +36,10 @@ object Pipe {
       else {
         val pb = new ProcessBuilder(cmd.asJava)
         env.foreach { case (k, v) => pb.environment().put(k, v) }
+        // child stderr goes straight to the task's stderr: an undrained pipe
+        // blocks the child after ~64KB (the reference pumps stderr for the
+        // same reason, PipeMapRed.java:293)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
         val out = new DataOutputStream(new BufferedOutputStream(proc.getOutputStream))
         val feeder = new Thread(() => {
@@ -76,7 +80,7 @@ object Pipe {
       else {
         val pb = new ProcessBuilder(cmd.asJava)
         env.foreach { case (k, v) => pb.environment().put(k, v) }
-        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT) // never let stderr back-pressure the child
         val proc = pb.start()
         val writer = new BufferedWriter(
           new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))

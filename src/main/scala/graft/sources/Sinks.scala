@@ -25,14 +25,23 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).text(path)
 
   /** Dynamic-partitioned parquet (MultipleOutputs / MultipleTextOutputFormat):
-    * one directory per distinct partition value. Repartitions on the
-    * partition columns first so each output partition is written by a single
-    * task — the 1000-executor-safe layout. */
-  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.repartition(partitionCols.map(col): _*)
+    * one directory per distinct partition value.
+    *
+    * Repartitioning on the partition columns ALONE collapses parallelism to
+    * the partition-value cardinality (3 writers for a 3-value column — at
+    * 100 TB that's 3 tasks writing the whole table). Instead the shuffle key
+    * is (partitionCols, spread) where spread fans each value over up to
+    * `numWriteTasks` writers: full write parallelism, while files-per-dir
+    * stays bounded by numWriteTasks (no small-file explosion). The explicit
+    * partition count keeps AQE from re-coalescing the write stage. */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+                         numWriteTasks: Int = 32): Unit = {
+    val spread = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(numWriteTasks))
+    df.repartition(numWriteTasks, partitionCols.map(col) :+ spread: _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   /** MultipleOutputs named side outputs (.../lib/output/MultipleOutputs.java:187):
     * several independently-shaped outputs from ONE computed input. The input
