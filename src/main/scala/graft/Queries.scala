@@ -209,17 +209,21 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** MinHash-LSH near-dup candidates. threshold 0.5 matches the (16 bands x
+    * 4 rows) s-curve midpoint (j ≈ 0.55); the md5 token hash makes the whole
+    * sketch DuckDB-reproducible, so this query is hash-checked end to end. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(t(spark, dir).documents, "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.10)
+        numHashes = 64, bands = 16, threshold = 0.5, tokenHash = md5Hash32)
       .orderBy("id_a", "id_b")
 
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(t(spark, dir).documents, "doc_id", "text").orderBy("id")
+    Dedup.simhash(t(spark, dir).documents, "doc_id", "text", Dedup.Md5Words)
+      .orderBy("id")
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir).documents
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .orderBy("doc_id")
 
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
@@ -262,12 +266,17 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  /** Multi-probe LSH ANN at the exhaustive setting (probeRadius = numPlanes):
+    * probes every bucket, which the recall test proves equals brute force —
+    * making the LSH plumbing itself oracle-checkable. The approximate
+    * configurations (radius 0-2) are covered by the recall spec. Query set
+    * (% 50 == 25) is disjoint from q31's so the two queries differ. */
   def simLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir).embeddings
-    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 25)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Similarity.lshCosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
-        k = 5, numPlanes = 8, dim = 64)
+        k = 5, numPlanes = 8, dim = 64, probeRadius = 8)
       .select(col("qid"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
       .orderBy("qid", "rank")
   }
@@ -294,12 +303,17 @@ object Queries {
         sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** IVF ANN at the exhaustive setting (nprobe = nlist): every list is
+    * probed, which IvfSpec proves equals brute force — so the full IVF build
+    * (Lloyd iterations + list assignment + probe ranking) is oracle-checked.
+    * The approximate nprobe < nlist trade is covered by the spec. Query set
+    * (% 50 == 10) is disjoint from q31/q32's. */
   def simIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir).embeddings
-    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
-        k = 5, nlist = 16, nprobe = 4)
+        k = 5, nlist = 16, nprobe = 16)
       .select(col("qid"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
       .orderBy("qid", "rank")
   }
@@ -355,15 +369,20 @@ object Queries {
       .orderBy("lang")
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(t(spark, dir).documents, "doc_id", "text", maxHamming = 3)
+    Dedup.simhashNearDupPairs(t(spark, dir).documents, "doc_id", "text",
+        maxHamming = 3, hashWords = Dedup.Md5Words)
       .orderBy("id_a", "id_b")
 
   /** Same join semantics as q11 but executed through the explicit skew-salting
-    * operator — results must be identical to the unsalted oracle join. */
+    * operator — results must be identical to the unsalted oracle join.
+    * hotKeyThreshold = 5 deliberately classifies orders with 6-7 lineitems as
+    * "hot", so BOTH the salted and the unsalted branch carry real rows and the
+    * oracle checks their union semantics. */
   def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val tb = t(spark, dir)
     val li = tb.lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
-    Skew.saltedJoin(li, tb.orders, Seq("o_orderkey"), saltFactor = 8)
+    Skew.saltedJoin(li, tb.orders, Seq("o_orderkey"), saltFactor = 8,
+        hotKeyThreshold = 5)
       .groupBy("o_orderpriority")
       .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
         count(lit(1)).as("n"))

@@ -7,10 +7,80 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every oracle-checked query aliases output columns identically in the Spark
   * plan and the DuckDB SQL, totals the ordering, and normalizes types
   * (counts → BIGINT, money → cents BIGINT, float aggregates → round 6).
-  * Queries without an oracle entry are deterministic but use functions DuckDB
-  * cannot reproduce (xxhash64-based sketches, subprocess pipes, Halton).
+  * The sketch tier (minhash / simhash / fingerprint) uses md5-derived hashes
+  * precisely so DuckDB can replay the full algorithm; the wide 64-column
+  * sketch SQL is generated programmatically below from the same permutation
+  * constants the Spark operators use.
   */
 object SparkEntry {
+
+  /** DuckDB replay of `Dedup.minhashSignatures` + LSH banding + agreement
+    * estimate, generated from the same `permParams(64)` constants. Band
+    * membership is tested as exact equality of the 4-row signature slice —
+    * the Spark side buckets on xxhash64(slice), identical up to 64-bit hash
+    * collisions (negligible); the maxBucket skew cap never binds at oracle
+    * scale (needs >1000 near-identical docs in one bucket). */
+  private def minhashOracleSql: String = {
+    val (as, bs) = graft.operators.Dedup.permParams(64)
+    val p = 4294967311L
+    val mins = (0 until 64).map(i => s"min((${as(i)}*h + ${bs(i)}) % $p) AS m$i").mkString(", ")
+    val agree = (0 until 64).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val bandEq = (0 until 16).map { b =>
+      (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH toksrc AS (
+       |  SELECT doc_id AS id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+       |    ELSE [] END)) AS s
+       |  FROM toksrc),
+       |h AS (SELECT id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
+       |sig AS (SELECT id, $mins FROM h GROUP BY id),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, ($agree) AS agree
+       |  FROM sig a JOIN sig b ON a.id < b.id
+       |  WHERE ($bandEq))
+       |SELECT id_a, id_b, agree / 64.0 AS est_jaccard
+       |FROM pairs WHERE agree >= 32 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Shared CTE chain replaying `Dedup.simhash(..., Md5Words)`: token counts,
+    * two 32-bit md5 hash words, 64 weighted bit sums, sign assembly. Bit 63
+    * is assembled via (-(2^63-1) - 1) so every literal stays in BIGINT range
+    * (a bare -9223372036854775808 parses as HUGEINT in DuckDB). */
+  private def simhashSigCtes: String = {
+    val sums = (0 until 64).map { b =>
+      val w = if (b < 32) "h0" else "h1"
+      s"sum(CASE WHEN (($w >> ${b % 32}) & 1) = 1 THEN cnt ELSE -cnt END) AS b$b"
+    }.mkString(", ")
+    val asm = (0 until 64).map { b =>
+      val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"(CASE WHEN b$b > 0 THEN $v ELSE 0 END)"
+    }.mkString(" + ")
+    s"""w AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |wc AS (SELECT id, w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY id, w),
+       |hw AS (SELECT id, cnt,
+       |  CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS h0,
+       |  CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) AS h1 FROM wc),
+       |sums AS (SELECT id, $sums FROM hw GROUP BY id),
+       |sig AS (SELECT id, CAST(($asm) AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  /** Brute-force cosine top-k oracle (the q31 pattern) for query set
+    * `vec_id % 50 = mod` — also the oracle for the exhaustive-probe LSH/IVF
+    * declarations, whose equivalence to brute force the specs prove. */
+  private def cosineTopKOracleSql(mod: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id % 50 = $mod),
+       |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |s AS (SELECT qid, id,
+       |  list_dot_product(qvec, vec) / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS cos
+       |  FROM q CROSS JOIN c WHERE id <> qid),
+       |r AS (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM s)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(cos, 4) AS cos
+       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -216,15 +286,31 @@ object SparkEntry {
         |CAST(count(DISTINCT word) AS BIGINT) AS n_uniq_tokens,
         |round(avg(length(word)), 6) AS avg_token_len
         |FROM w WHERE word <> '' GROUP BY lang ORDER BY lang""".stripMargin,
-    "q31_sim_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id % 50 = 0),
-        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |s AS (SELECT qid, id,
-        |  list_dot_product(qvec, vec) / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS cos
-        |  FROM q CROSS JOIN c WHERE id <> qid),
-        |r AS (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM s)
-        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(cos, 4) AS cos
-        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q25_minhash_pairs" -> minhashOracleSql,
+    "q26_simhash" ->
+      s"""WITH $simhashSigCtes
+         |SELECT id, simhash FROM sig ORDER BY id""".stripMargin,
+    "q27_fingerprint" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(('0x' || list_reduce(list_prepend('0', toks),
+        |  (a, w) -> substring(md5(a || chr(1) || w), 1, 15))) AS BIGINT) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q31_sim_topk" -> cosineTopKOracleSql(0),
+    "q32_sim_lsh_topk" -> cosineTopKOracleSql(25),
+    "q34_pi" ->
+      // Halton(2,3) over 16x50000 points is a fixed constant; n_inside was
+      // computed independently (pure-Python replay of the radical inverse).
+      """SELECT CAST(628317 AS BIGINT) AS n_inside, CAST(800000 AS BIGINT) AS n_total,
+        |round(628317 * 4.0 / 800000, 6) AS pi_est""".stripMargin,
+    "q40_simhash_pairs" ->
+      s"""WITH $simhashSigCtes
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q42_sim_ivf_topk" -> cosineTopKOracleSql(10),
     "q33_pipe_upper" ->
       // translate() (ASCII-only) mirrors `tr a-z A-Z` exactly; upper() would be
       // Unicode-aware and silently diverge on a non-ASCII corpus.

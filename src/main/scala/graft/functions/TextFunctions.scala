@@ -17,14 +17,22 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= lit(""))
 
-  /** Word-level n-gram shingles joined with a single space. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word-level n-gram shingles over an ALREADY-MATERIALIZED token-array
+    * column. `toks` MUST be a plain attribute (project `tokens(text)` into a
+    * named column first): a computed expression passed here is re-evaluated
+    * per shingle index inside the `transform` lambda — the whole text gets
+    * re-tokenized O(len) times per document (measured 295 s → seconds on the
+    * sf0.1 minhash bench when hoisted). */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience one-expression form for small frames / tests. Do NOT use in
+    * per-document hot paths — see `shinglesOfTokens` for why. */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
 
   /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape): contractions,
     * space-prefixed letter runs, digit runs, punctuation runs. The actual BPE
@@ -36,15 +44,37 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
-  /** Deterministic 32-bit-ranged token hash (xxhash64 masked), for sketches. */
+  /** Deterministic 32-bit-ranged token hash (xxhash64 masked), for sketches.
+    * The fast default — one codegen'd hash, no md5. */
   def tokenHash32(tok: Column): Column =
     xxhash64(tok).bitwiseAND(lit(0xffffffffL))
+
+  /** 32-bit token hash an ANSI-SQL engine can reproduce exactly:
+    * first 8 md5 hex chars as an integer. Spark `conv(substring(md5(x),1,8),16,10)`
+    * ≡ DuckDB `CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)` — the same
+    * trick `Sampling.md5HashBucket` uses. Use when the sketch must be
+    * oracle-checkable; ~2-3x the cost of `tokenHash32`. */
+  def md5Hash32(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Second independent 32-bit word from the same md5 digest (hex chars 9-16). */
+  def md5Hash32b(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 9, 8), 16, 10).cast("long")
 
   /** Order-sensitive rolling fingerprint of the token stream: a chained
     * hash acc' = xxhash64(acc, token) — overflow-free under ANSI mode, one
     * codegen'd pass, order-sensitive by construction. */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
+
+  /** Rolling fingerprint in an oracle-reproducible form: the accumulator is
+    * the first 15 md5 hex chars (60 bits — fits a signed BIGINT), chained
+    * acc' = md5(acc || 0x01 || token), final state parsed as a long. DuckDB:
+    * `list_reduce(list_prepend('0', toks), (a, w) -> substring(md5(a || chr(1) || w), 1, 15))`. */
+  def fingerprintMd5(text: Column): Column =
+    conv(aggregate(tokens(text), lit("0"),
+      (acc, w) => substring(md5(concat(acc, lit("\u0001"), w).cast("binary")), 1, 15)),
+      16, 10).cast("long")
 
   /** Language-ID by stopword-profile overlap: argmax over profiles of
     * |distinct(tokens) ∩ profile|; ties resolved by profile order. */

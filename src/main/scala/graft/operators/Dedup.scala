@@ -54,11 +54,17 @@ object Dedup {
     * Docs with no shingles (shorter than `shingleN` words) are dropped.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+                        numHashes: Int = 64, shingleN: Int = 3,
+                        tokenHash: Column => Column = tokenHash32): DataFrame = {
     val (as, bs) = permParams(numHashes)
-    val hs = df.select(col(idCol).as("id"),
-      explode(transform(array_distinct(wordShingles(col(textCol), shingleN)),
-        s => tokenHash32(s))).as("h"))
+    // Tokenize ONCE into a named column before shingling: passing the token
+    // expression straight into the shingle transform re-tokenizes the text
+    // per shingle index (the q25 295 s pathology; see shinglesOfTokens).
+    val hs = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(shinglesOfTokens(col("__toks"), shingleN))).as("s"))
+      .select(col("id"), tokenHash(col("s")).as("h"))
     val aggs = (0 until numHashes).map { i =>
       min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashPrime))).as(s"__m$i")
     }
@@ -86,14 +92,22 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 16,
                             threshold: Double = 0.5,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = 1000,
+                            tokenHash: Column => Column = tokenHash32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // Parameter sanity: the (bands, rows) s-curve should put its steep section
+    // near the declared threshold — 50% candidate recall at j ≈ (1/bands)^(1/r).
+    // A threshold far below that point implies recall the banding cannot give.
+    val recall50 = math.pow(1.0 / bands, 1.0 / r)
+    require(threshold >= recall50 * 0.6,
+      f"threshold $threshold%.2f is far below the (bands=$bands, rows=$r) " +
+        f"s-curve midpoint $recall50%.2f — re-band or raise the threshold")
     // The signature table is referenced four times in this plan (both sides
     // of the bucket join, both signature joins); persist so the shingle
     // explosion + 64-way min aggregation runs once. ~520 B/doc — at 100 TB
     // input this is n_docs * 0.5 KB, safely cacheable/spillable.
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, tokenHash = tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Explode band buckets; kill skewed buckets before the self-join.
     val bucketed = sigs
@@ -123,18 +137,33 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Hash-word providers for `simhash`: token → fixed-width hash words whose
+    * concatenated low bits form the 64-bit space. The default is one 64-bit
+    * xxhash64 word (fast path); `Md5Words` is two 32-bit words from the md5
+    * digest — reproducible by an ANSI SQL oracle (no 64-bit hex parse, which
+    * would overflow a signed BIGINT). */
+  val XxWords: (Column => Seq[Column], Int) = (w => Seq(xxhash64(w)), 64)
+  val Md5Words: (Column => Seq[Column], Int) = (w => Seq(md5Hash32(w), md5Hash32b(w)), 32)
+
   /** 64-bit SimHash per row: sign of per-bit weighted sums over token hashes.
-    * ONE hash aggregation with 64 statically-unrolled sum(±1) columns — all
-    * whole-stage-codegen'd, map-side combined, no row expansion (an exploded
-    * (id, bit) form costs 64x the rows and measured 10x slower). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
+    * Tokens are pre-aggregated to (id, token) → count so the 64-column sum
+    * runs over DISTINCT words weighted by count (roughly halves the agg input
+    * on natural text); then ONE hash aggregation with 64 statically-unrolled
+    * sum(±count) columns — whole-stage-codegen'd, map-side combined, no
+    * row×64 expansion (an exploded (id, bit) form measured 10x slower). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              hashWords: (Column => Seq[Column], Int) = XxWords): DataFrame = {
+    val (words, wordBits) = hashWords
+    val wc = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
+    val hcols = words(col("w")).zipWithIndex.map { case (c, i) => c.as(s"__h$i") }
+    val hashed = wc.select(col("id") +: col("cnt") +: hcols: _*)
+    def bit(b: Int): Column =
+      shiftright(col(s"__h${b / wordBits}"), b % wordBits).bitwiseAND(lit(1L))
     val sums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L), 1)
-        .otherwise(-1)).as(s"__b$b")
+      sum(when(bit(b) === lit(1L), col("cnt")).otherwise(-col("cnt"))).as(s"__b$b")
     }
-    toks.groupBy("id").agg(sums.head, sums.tail: _*)
+    hashed.groupBy("id").agg(sums.head, sums.tail: _*)
       .select(col("id"),
         (0 until 64).map { b =>
           when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
@@ -147,9 +176,10 @@ object Dedup {
     * then the exact distance is one codegen'd `bit_count(xor)`. Linear in
     * candidates, never O(n²). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          hashWords: (Column => Seq[Column], Int) = XxWords): DataFrame = {
     require(maxHamming < 4, "4 bands of 16 bits guarantee recall only for maxHamming < 4")
-    val sim = simhash(df, idCol, textCol)
+    val sim = simhash(df, idCol, textCol, hashWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sim.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
@@ -170,14 +200,26 @@ object Dedup {
   /** Exact word-`n`-gram Jaccard similarity for all pairs with ≥1 shared
     * shingle and jaccard ≥ threshold. Shingle-explode + equi-join: each pair
     * is formed only via shared shingles (inverted-index join), never a cross
-    * join. Intended for modest candidate sets or as the exactness oracle. */
+    * join. Intended for modest candidate sets or as the exactness oracle.
+    *
+    * `maxDocFreq` drops shingles appearing in more than that many documents
+    * from the inverted index BEFORE the self-join: one ubiquitous shingle
+    * (boilerplate, a stop-phrase) would otherwise fan out df² pairs — the
+    * quadratic blowup at 100 TB. Set sizes are computed from the UNCAPPED
+    * shingle sets, so when the cap binds the reported jaccard is a lower
+    * bound (capped shingles lose only their pair-discovery role). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+                        n: Int, threshold: Double,
+                        maxDocFreq: Long = 10000): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(array_distinct(shinglesOfTokens(col("__toks"), n))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("id").as("id_a"), col("sh"))
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val idx = sh.join(rare, Seq("sh"), "left_semi")
+    val inter = idx.select(col("id").as("id_a"), col("sh"))
+      .join(idx.select(col("id").as("id_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
