@@ -276,7 +276,7 @@ object Queries {
     val queries = emb.filter(col("vec_id") % 50 === 25)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Similarity.lshCosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
-        k = 5, numPlanes = 8, dim = 64, probeRadius = 8)
+        k = 5, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
       .select(col("qid"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
       .orderBy("qid", "rank")
   }

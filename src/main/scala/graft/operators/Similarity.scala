@@ -156,39 +156,56 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(next()))
   }
 
-  /** Multi-probe LSH cosine top-k: candidates limited to corpus rows whose
-    * hyperplane signature is within Hamming distance `probeRadius` of the
-    * query's — each query probes sum_{i<=r} C(numPlanes, i) buckets, then an
-    * exact cosine re-rank (same vec_dot arithmetic as `cosineTopK`, so the
-    * re-ranked scores are oracle-identical).
+  /** Multi-table, multi-probe LSH cosine top-k.
     *
-    * probeRadius=0 is classic single-bucket LSH (lowest cost, lowest recall);
-    * radius 1-2 recovers most neighbors lost to a single sign flip (the
-    * standard multi-probe trade — tested recall >= 0.9 at radius 2 with 8
-    * planes); radius=numPlanes probes every bucket and is EXACTLY brute
-    * force — the oracle-checkable configuration. Cost scales with probed
-    * bucket population, never O(|corpus| x |queries|) unless exhaustive. */
+    * `numTables` independent hyperplane sets of `numPlanes` bits each; a
+    * corpus row is a candidate for a query if, in ANY table, its signature is
+    * within Hamming distance `probeRadius` of the query's. Candidates are
+    * deduped on (qid, id), then exact-cosine re-ranked with the same native
+    * vec_dot arithmetic as `cosineTopK` (so re-ranked scores are
+    * oracle-identical). Recall for a pair with per-plane flip probability p
+    * is 1 - (1 - P[Binom(numPlanes, p) <= probeRadius])^numTables — tune
+    * (numTables, numPlanes, probeRadius) to the corpus's neighbor-angle
+    * distribution. On the synthetic bench embeddings (near-random: top-5
+    * neighbors at cos ≈ 0.33, p ≈ 0.39) the tested 16x4-bit radius-1 config
+    * reaches recall ≈ 0.99; on genuinely clustered embeddings the same
+    * config prunes far more (LSH's pruning power grows with the
+    * neighbor/random angle gap).
+    *
+    * (numTables=1, probeRadius=numPlanes) probes every bucket of the single
+    * table and is EXACTLY brute force — the oracle-checkable configuration
+    * (q32). Cost scales with probed bucket population, never
+    * O(|corpus| x |queries|) unless exhaustive. */
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
                     queries: DataFrame, qidCol: String, qvecCol: String,
                     k: Int, numPlanes: Int, dim: Int,
-                    probeRadius: Int = 2): DataFrame = {
+                    probeRadius: Int = 1, numTables: Int = 8): DataFrame = {
     import graft.plans.VectorExpressions.vec_dot
     require(numPlanes <= 20, "probe mask enumeration is 2^numPlanes bounded")
-    val planes = randomPlanes(numPlanes, dim)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm"),
-      rpSignature(col(vecCol), planes, dim).as("sig"))
+    val planes = randomPlanes(numPlanes * numTables, dim)
+    def sigs(vec: Column): Column = array((0 until numTables).map { t =>
+      rpSignature(vec, planes.slice(t * numPlanes, (t + 1) * numPlanes), dim)
+    }: _*)
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), sigs(col(vecCol)).as("sigs"))
+      .select(col("id"), col("vec"), posexplode(col("sigs")).as(Seq("t", "sig")))
     val masks = (0 until (1 << numPlanes))
       .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
-    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
-        sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm"),
-        rpSignature(col(qvecCol), planes, dim).as("sig0"))
-      // distinct masks give distinct probed signatures, so no duplicate
-      // (qid, id) candidates arise — no dedup pass needed
-      .select(col("qid"), col("qvec"), col("qnorm"),
+    val q = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"), sigs(col(qvecCol)).as("sigs"))
+      .select(col("qid"), posexplode(col("sigs")).as(Seq("t", "sig0")))
+      .select(col("qid"), col("t"),
         explode(array(masks.map(m => col("sig0").bitwiseXOR(lit(m.toLong))): _*)).as("sig"))
-    val scored = c.join(broadcast(q), Seq("sig"))
+    // candidate ids first (a pair found in several tables/probes must score
+    // once), then vectors join back for the exact re-rank
+    val cand = c.join(broadcast(q), Seq("t", "sig"))
       .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm"))
+    val qv = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm"))
+    val scored = cand.join(broadcast(qv), Seq("qid")).join(cv, Seq("id"))
       .select(col("qid"), col("id"),
         (vec_dot(col("qvec"), col("vec")) / (col("qnorm") * col("cnorm"))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
