@@ -331,6 +331,17 @@ object Queries {
   def piEstimate(spark: SparkSession, dir: String): DataFrame =
     MonteCarlo.estimatePi(spark, partitions = 16, pointsPerPartition = 50000L)
 
+  /** First 64 hex digits of π via distributed BBP digit extraction; the
+    * oracle is the publicly known expansion (independently recomputed via
+    * Machin big-int arithmetic). */
+  def bbpPiHex(spark: SparkSession, dir: String): DataFrame =
+    Bbp.piHexDigits(spark, 64).orderBy("pos")
+
+  /** 6x10 pentomino tiling count via first-placement fan-out; 9356 raw
+    * placements = 4 x 2339 (the classic count, once per rectangle symmetry). */
+  def pentominoCount(spark: SparkSession, dir: String): DataFrame =
+    Pentomino.solutionCount(spark, width = 10, height = 6)
+
   def multiOutput(spark: SparkSession, dir: String): DataFrame = {
     // fixed (overwritten) scratch dir — createTempDirectory would leak one dir per run
     val out = java.nio.file.Paths.get(
@@ -387,6 +398,26 @@ object Queries {
       .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Full hadoop-streaming job shape (q45): mapper command → keyed shuffle →
+    * reducer command. `tr` uppercases tokens (ASCII, like q33), the shuffle
+    * brings all lines of a key to one partition sorted, and `uniq -c` —
+    * which only counts CONSECUTIVE identical lines — produces the global
+    * word frequency, proving the shuffle contract a streaming reducer
+    * relies on. */
+  def streamJobWordFreq(spark: SparkSession, dir: String): DataFrame = {
+    val lines = words(t(spark, dir)).select(col("word")).as(Encoders.STRING)
+    val out = jobs.StreamJob.run(lines, jobs.StreamJob.Spec(
+      mapper = Seq("tr", "a-z", "A-Z"),
+      reducer = Seq("uniq", "-c")))
+    // uniq -c lines: `  <cnt> WORD<TAB>` (the trailing separator is the
+    // PipeMapRed empty-value wire format)
+    out.toDF("line")
+      .select(
+        regexp_extract(col("line"), "^ *([0-9]+) (.*?)\\t?$", 2).as("word"),
+        regexp_extract(col("line"), "^ *([0-9]+) ", 1).cast("long").as("cnt"))
+      .orderBy("word")
   }
 
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {

@@ -130,8 +130,16 @@ object SparkEntry {
     "q41_salted_join"     -> Queries.saltedJoinAgg _,
     "q42_sim_ivf_topk"    -> Queries.simIvfTopK _,
     "q43_window_running"  -> Queries.windowRunning _,
-    "q44_cube"            -> Queries.cubeAgg _
+    "q44_cube"            -> Queries.cubeAgg _,
+    "q45_streamjob"       -> Queries.streamJobWordFreq _,
+    "q46_bbp"             -> Queries.bbpPiHex _,
+    "q47_pentomino"       -> Queries.pentominoCount _
   )
+
+  /** First 64 hex digits of π — computed independently of the BBP code via
+    * Machin-formula big-int arithmetic; matches the published expansion. */
+  private val PiHex64 =
+    "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89"
 
   /** DuckDB oracle SQL per query (same tables, same column names, same order). */
   def oracleSql: Map[String, String] = Map(
@@ -361,6 +369,17 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q45_streamjob" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |u AS (SELECT translate(word, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS word
+        |  FROM w WHERE word <> '')
+        |SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM u
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q46_bbp" ->
+      s"""SELECT CAST(i AS BIGINT) AS pos, substring('$PiHex64', CAST(i AS INT), 1) AS digit
+         |FROM range(1, 65) t(i) ORDER BY pos""".stripMargin,
+    "q47_pentomino" ->
+      """SELECT CAST(9356 AS BIGINT) AS n_solutions, 10 AS width, 6 AS height""".stripMargin
   )
 }

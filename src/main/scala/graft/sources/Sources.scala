@@ -77,6 +77,38 @@ object Sources {
         lit(endTag)).as("record"))
   }
 
+  /** AutoInputFormat (hadoop-streaming .../streaming/AutoInputFormat.java:40-45):
+    * deduce each file's format from its magic bytes — sequence files start
+    * with "SEQ" — and read text and sequence files from one directory as a
+    * single (key, value) frame. Text rows carry key = "" (the reference's
+    * LongWritable offset key is an artifact of LineRecordReader, not data).
+    *
+    * The sniff reads 3 bytes per FILE at the driver (the reference sniffs per
+    * split, on every task); file listing + header reads are metadata-scale,
+    * the data itself is still read fully distributed. */
+  def auto(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
+      .filter(s => s.isFile && s.getLen > 0 && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+    val (seq, text) = files.partition { f =>
+      val in = fs.open(f)
+      try {
+        val magic = new Array[Byte](3)
+        val n = in.read(magic)
+        n == 3 && magic(0) == 'S' && magic(1) == 'E' && magic(2) == 'Q'
+      } finally in.close()
+    }
+    val parts =
+      seq.map(f => sequenceFileText(spark, f.toString)) ++
+      text.map(f => spark.read.text(f.toString)
+        .select(lit("").as("key"), col("value")))
+    require(parts.nonEmpty, s"auto: no readable files under $path")
+    parts.reduceLeft(_.unionByName(_))
+  }
+
   /** DBInputFormat/DataDrivenDBInputFormat: JDBC scan with value-range
     * stride partitioning (≙ IntegerSplitter). */
   def jdbc(spark: SparkSession, url: String, table: String,

@@ -1,0 +1,24 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BBP digit extraction and pentomino search against public constants. */
+class MathJobsSpec extends SparkSpec {
+
+  test("BBP hex digits match the known expansion of pi") {
+    val known = "243F6A8885A308D313198A2E03707344"
+    val got = (1 to 32).map(p => "%X".format(Bbp.hexDigitAt(p.toLong))).mkString
+    assert(got == known)
+  }
+
+  test("distributed BBP equals local digits") {
+    val rows = Bbp.piHexDigits(spark, 16).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1 to 16).forall(p => rows(p.toLong) == "%X".format(Bbp.hexDigitAt(p.toLong))))
+  }
+
+  test("pentomino 6x10 raw tiling count is 4 x 2339") {
+    val row = Pentomino.solutionCount(spark, width = 10, height = 6).collect().head
+    assert(row.getLong(0) == 9356L) // 2339 classic solutions x 4 rectangle symmetries
+  }
+}

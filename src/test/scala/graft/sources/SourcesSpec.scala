@@ -52,6 +52,26 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set(("k1", "v1"), ("k2", "v2")))
   }
 
+  test("auto sniffs sequence-file magic vs text per file and unions them") {
+    import org.apache.hadoop.io.Text
+    val dir = Files.createTempDirectory("graft_auto")
+    // one sequence file + one text file in the SAME directory
+    spark.sparkContext.parallelize(Seq(("sk", "sv")), 1)
+      .map { case (k, v) => (new Text(k), new Text(v)) }
+      .saveAsSequenceFile(dir.resolve("seqpart").toString)
+    // saveAsSequenceFile writes a subdir; auto() is per-file, so point at a dir
+    // holding the actual files
+    val flat = Files.createTempDirectory("graft_auto_flat")
+    Files.list(dir.resolve("seqpart")).forEach { p =>
+      if (p.getFileName.toString.startsWith("part-"))
+        Files.copy(p, flat.resolve("data.seq"))
+    }
+    Files.write(flat.resolve("plain.txt"), "hello\nworld\n".getBytes(StandardCharsets.UTF_8))
+    val got = Sources.auto(spark, flat.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("sk", "sv"), ("", "hello"), ("", "world")))
+  }
+
   test("partitionedParquet writes hive-style partitions readable back") {
     import spark.implicits._
     val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "tag")
