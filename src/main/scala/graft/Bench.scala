@@ -73,6 +73,13 @@ object Bench {
     if (only.isEmpty) {
       val (avg, _, _) = graft.bench.TeraBench.microJobLoop(spark, runs = 5, inputLines = 100000)
       results.put("mrbench_avg", avg)
+      // MRBench's asc/desc/random input-order variants (MRBench.java:305-341)
+      val (descAvg, _, _) = graft.bench.TeraBench.microJobLoop(spark, runs = 2,
+        inputLines = 100000, order = "desc")
+      results.put("mrbench_desc_avg", descAvg)
+      val (rndAvg, _, _) = graft.bench.TeraBench.microJobLoop(spark, runs = 2,
+        inputLines = 100000, order = "random")
+      results.put("mrbench_random_avg", rndAvg)
     }
 
     val wall = (System.nanoTime() - t0) / 1e9

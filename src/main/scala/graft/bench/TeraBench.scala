@@ -65,11 +65,26 @@ object TeraBench {
   }
 
   /** MRBench-alike: run `runs` tiny shuffle jobs, return (avg, min, max) secs. */
-  def microJobLoop(spark: SparkSession, runs: Int, inputLines: Long): (Double, Double, Double) = {
+  /** MRBench input orders (JCT/mapred/MRBench.java:305-341 Order.{ASCENDING,
+    * DESCENDING, RANDOM}): the generated line stream arrives sorted,
+    * reverse-sorted, or hash-scrambled — exercising the shuffle's
+    * pre-sortedness sensitivity exactly as the reference's generator does. */
+  def microInput(spark: SparkSession, inputLines: Long, order: String): DataFrame = {
+    val ids = spark.range(inputLines)
+    val ordered = order match {
+      case "asc"    => ids.select(col("id"))
+      case "desc"   => ids.select((lit(inputLines - 1) - col("id")).as("id"))
+      case "random" => ids.select(col("id")).orderBy(xxhash64(col("id")))
+      case other    => throw new IllegalArgumentException(s"order: $other")
+    }
+    ordered.select(lpad(col("id").cast("string"), 10, "0").as("line"))
+  }
+
+  def microJobLoop(spark: SparkSession, runs: Int, inputLines: Long,
+                   order: String = "asc"): (Double, Double, Double) = {
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(inputLines)
-        .select(lpad(col("id").cast("string"), 10, "0").as("line"))
+      microInput(spark, inputLines, order)
         .groupBy(substring(col("line"), 1, 6).as("k")).agg(count(lit(1)).as("n"))
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9

@@ -41,4 +41,22 @@ object KeyFieldSort {
     val arr = split(col(lineCol), java.util.regex.Pattern.quote(separator))
     df.orderBy(sortColumns(arr, parse(spec)): _*)
   }
+
+  /** Partition expressions for a spec — the KeyFieldBasedPartitioner side
+    * (CORE/mapreduce/lib/partition/KeyFieldBasedPartitioner.java:51): rows
+    * are co-located by the named fields' VALUES (numeric/reverse flags only
+    * affect ordering, not partitioning). */
+  def partitionColumns(arr: Column, keys: Seq[KeySpec]): Seq[Column] =
+    keys.map(k => element_at(arr, k.field))
+
+  /** The full MapReduce contract `-partitioner KeyFieldBasedPartitioner
+    * -k partSpec` + comparator sortSpec: co-locate by the partition fields,
+    * order each partition by the (usually longer) sort spec — the
+    * secondary-sort idiom over text lines. */
+  def partitionAndSortLines(df: DataFrame, lineCol: String, separator: String,
+                            partSpec: String, sortSpec: String): DataFrame = {
+    val arr = split(col(lineCol), java.util.regex.Pattern.quote(separator))
+    df.repartition(partitionColumns(arr, parse(partSpec)): _*)
+      .sortWithinPartitions(sortColumns(arr, parse(sortSpec)): _*)
+  }
 }

@@ -48,6 +48,15 @@ object Streams {
     def close(userId: Long, buf: Seq[Event]): Session =
       Session(userId, buf.head.ts, buf.last.ts, buf.size.toLong, buf.map(_.value).sum)
 
+    /** Split a time-sorted buffer at gaps > gapMillis. */
+    def segments(sorted: List[Event]): List[List[Event]] =
+      sorted.foldLeft(List.empty[List[Event]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e.ts.getTime - cur.head.ts.getTime > gapMillis) List(e) :: cur :: done
+          else (e :: cur) :: done // segments and their events accumulate reversed
+      }.map(_.reverse).reverse
+
     if (events.isStreaming) {
       // EventTimeTimeout requires a watermark to drive timeout firing.
       events.withWatermark("ts", "10 seconds").groupByKey(_.user_id)
@@ -55,15 +64,29 @@ object Streams {
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
           (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
             if (state.hasTimedOut) {
+              // the buffer may hold SEVERAL gap-separated sessions (events
+              // that arrived before the watermark advanced past their gaps) —
+              // closing it as one session would merge them
               val out = state.getOption.filter(_.nonEmpty)
-                .map(buf => close(userId, buf.sortBy(_.ts.getTime))).iterator
+                .map(buf => segments(buf.sortBy(_.ts.getTime)).map(close(userId, _)))
+                .getOrElse(Nil).iterator
               state.remove()
               out
             } else {
-              val buf = state.getOption.getOrElse(Nil) ++ it
-              state.update(buf)
-              state.setTimeoutTimestamp(buf.map(_.ts.getTime).max + gapMillis)
-              Iterator.empty
+              val buf = (state.getOption.getOrElse(Nil) ++ it).sortBy(_.ts.getTime)
+              // emit every segment already safely closed: no event still
+              // admissible under the watermark (ts >= wm) can extend a
+              // segment whose end + gap precedes the watermark
+              val wm = state.getCurrentWatermarkMs()
+              val (closed, open) = segments(buf).partition(seg =>
+                seg.last.ts.getTime + gapMillis < wm)
+              val rest = open.flatten
+              if (rest.isEmpty) state.remove()
+              else {
+                state.update(rest)
+                state.setTimeoutTimestamp(rest.map(_.ts.getTime).max + gapMillis)
+              }
+              closed.map(close(userId, _)).iterator
             }
         }
     } else {

@@ -72,6 +72,39 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set(("sk", "sv"), ("", "hello"), ("", "world")))
   }
 
+  test("MapFiles: lookup pushes the key predicate into the parquet scan") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val out = Files.createTempDirectory("graft_mapfile").toString
+    MapFiles.write(df, out, "k")
+    val hit = MapFiles.lookup(spark, out, "k", 437L)
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((437L, "v437")))
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,437)"),
+      s"key predicate not pushed into the scan:\n$plan")
+  }
+
+  test("partitionAndSortLines co-locates by partition fields and sorts by the full spec") {
+    import spark.implicits._
+    val lines = Seq("u1 b 2", "u2 a 5", "u1 a 9", "u1 c 1", "u2 b 3")
+      .toDF("line").repartition(4)
+    val out = graft.operators.KeyFieldSort
+      .partitionAndSortLines(lines, "line", " ", "-k1,1", "-k1,1 -k3,3nr")
+    val parts = out.select("line").as[String].rdd.glom().collect().filter(_.nonEmpty)
+    // each user's lines live in exactly one partition...
+    Seq("u1", "u2").foreach { u =>
+      assert(parts.count(_.exists(_.startsWith(u))) == 1, s"$u split across partitions")
+    }
+    // ...and within it are ordered by user then numeric field 3 descending
+    parts.foreach { p =>
+      val perUser = p.groupBy(_.split(" ")(0))
+      perUser.foreach { case (_, ls) =>
+        val vals = ls.map(_.split(" ")(2).toInt)
+        assert(vals.sameElements(vals.sortBy(-(_: Int))), s"not sorted desc: ${ls.toSeq}")
+      }
+    }
+  }
+
   test("partitionedParquet writes hive-style partitions readable back") {
     import spark.implicits._
     val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "tag")

@@ -41,6 +41,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize splits gap-separated events buffered before the watermark fires") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessions_split_out")
+      .outputMode("append").start()
+    try {
+      // both events arrive in ONE batch, separated by > gap: the watermark
+      // has not fired between them, but they must still close as TWO sessions
+      mem.addData(Event(1, ts(0), "click", 1.0), Event(1, ts(30), "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(120), "click", 9.0)) // push the watermark far ahead
+      q.processAllAvailable()
+      val got = spark.table("sessions_split_out").as[Session].collect()
+        .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+      assert(got.contains((1L, 1L, 1.0)) && got.contains((1L, 1L, 5.0)),
+        s"expected two split sessions for user 1, got $got")
+    } finally q.stop()
+  }
+
   test("windowedCounts over a stream equals the batch aggregation") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
