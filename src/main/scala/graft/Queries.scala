@@ -426,4 +426,38 @@ object Queries {
       .select(col("media_id"), col("n_bytes"))
       .orderBy("media_id")
   }
+
+  /** Embedding-cosine near-dup pairs (q48), exhaustive-candidate declaration
+    * (1 table, radius = planes → every pair checked exactly) so the whole
+    * pipeline is oracle-checkable; the pruned configs are spec-covered. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(spark, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  /** Real image decode end-to-end (q49): synthesize a deterministic PNG per
+    * document id in each task, then byte-parse the header AND fully decode
+    * the pixels with the pure-JVM codec. width/height come from the header
+    * parse, n_pixels from the DECODED image — the oracle's closed-form
+    * expectation cross-checks encode → header-sniff → decode agreement. */
+  def imageMeta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(spark, dir).documents.select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 16 + (id % 16).toInt
+        val h = 12 + (id % 8).toInt
+        val png = ImageCodec.synthPng(id, w, h)
+        val (fmt, hw, hh) = ImageCodec.parseHeader(png)
+          .getOrElse(throw new IllegalStateException(s"unparseable header for id=$id"))
+        val img = ImageCodec.decode(png)
+          .getOrElse(throw new IllegalStateException(s"undecodable png for id=$id"))
+        (id, fmt, hw, hh, img.getWidth.toLong * img.getHeight)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaLong))
+      .toDF("media_id", "format", "width", "height", "n_pixels")
+      .orderBy("media_id")
+  }
 }

@@ -133,7 +133,9 @@ object SparkEntry {
     "q44_cube"            -> Queries.cubeAgg _,
     "q45_streamjob"       -> Queries.streamJobWordFreq _,
     "q46_bbp"             -> Queries.bbpPiHex _,
-    "q47_pentomino"       -> Queries.pentominoCount _
+    "q47_pentomino"       -> Queries.pentominoCount _,
+    "q48_embed_neardup"   -> Queries.embeddingNearDupPairs _,
+    "q49_image_meta"      -> Queries.imageMeta _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -380,6 +382,22 @@ object SparkEntry {
       s"""SELECT CAST(i AS BIGINT) AS pos, substring('$PiHex64', CAST(i AS INT), 1) AS digit
          |FROM range(1, 65) t(i) ORDER BY pos""".stripMargin,
     "q47_pentomino" ->
-      """SELECT CAST(9356 AS BIGINT) AS n_solutions, 10 AS width, 6 AS height""".stripMargin
+      """SELECT CAST(9356 AS BIGINT) AS n_solutions, 10 AS width, 6 AS height""".stripMargin,
+    "q48_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos FROM p
+        |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+    "q49_image_meta" ->
+      // closed-form expectation for the synthesized image set: the Spark side
+      // must round-trip PNG encode -> header parse -> full decode to match
+      """SELECT doc_id AS media_id, 'png' AS format,
+        |CAST(16 + doc_id % 16 AS INT) AS width,
+        |CAST(12 + doc_id % 8 AS INT) AS height,
+        |CAST((16 + doc_id % 16) * (12 + doc_id % 8) AS BIGINT) AS n_pixels
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * batched per partition (`mapPartitions`) so codec state is initialized once
   * per task, not per row — the Scala analogue of `mapInPandas` batching.
   *
-  * The actual media decode is STUBBED (`FakeDecoder`) — the container has no
-  * image/audio libraries — but the Spark-side plumbing (schema, partitioning,
-  * batch shape, feature schema) is real and tested.
+  * Decode: IMAGE payloads (png/jpeg/gif/bmp) go through a REAL pure-JVM
+  * decode (`ImageCodec`: byte-level header sniff + javax.imageio pixel
+  * decode + grid-luminance feature — see ImageCodecSpec and q49's oracle).
+  * Non-image media (audio/video, which the JDK cannot decode) fall back to
+  * `FakeDecoder`, a deterministic stand-in with the same bytes→float-vector
+  * contract a native codec would fill.
   */
 object Multimodal {
 
@@ -56,13 +59,20 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction: decoder state initialized once
-    * per partition; rows streamed through. Fully distributed, no driver hop. */
+    * per partition; rows streamed through. Fully distributed, no driver hop.
+    * Payloads whose magic bytes identify a JDK-decodable image get the REAL
+    * decode (grid-luminance embedding); everything else the deterministic
+    * fallback. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeature] = {
     implicit val enc: Encoder[MediaFeature] = Encoders.product[MediaFeature]
     media.mapPartitions { it =>
       // per-partition init point (real codecs allocate native context here)
       it.map { r =>
-        val feat = FakeDecoder.decode(r.payload, dim)
+        val feat = ImageCodec.parseHeader(r.payload)
+          .flatMap(_ => ImageCodec.decode(r.payload))
+          .map(img => ImageCodec.luminanceFeature(img,
+            grid = math.max(1, math.sqrt(dim.toDouble).toInt)))
+          .getOrElse(FakeDecoder.decode(r.payload, dim))
         var crc = 0L
         var i = 0
         while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }

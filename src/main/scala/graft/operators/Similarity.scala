@@ -146,6 +146,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    * cosine >= threshold, candidates from the same multi-table hyperplane
+    * bucketing as `lshCosineTopK` — a pair is considered if any table places
+    * both rows within `probeRadius` bits of each other — then an exact
+    * vec_dot check. The embedding-space member of the dedup family
+    * (exact / minhash / simhash / embedding).
+    *
+    * (numTables=1, probeRadius=numPlanes) makes every pair a candidate —
+    * exhaustive, the oracle-checkable configuration. At scale, candidates ~
+    * bucket populations, never O(n²). */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, numPlanes: Int, dim: Int,
+                         probeRadius: Int = 1, numTables: Int = 8): DataFrame = {
+    import graft.plans.VectorExpressions.vec_dot
+    require(numPlanes <= 20, "probe mask enumeration is 2^numPlanes bounded")
+    val planes = randomPlanes(numPlanes * numTables, dim)
+    def sigs(vec: Column): Column = array((0 until numTables).map { t =>
+      rpSignature(vec, planes.slice(t * numPlanes, (t + 1) * numPlanes), dim)
+    }: _*)
+    val base = corpus
+      .select(col(idCol).as("id"), sigs(col(vecCol)).as("sigs"))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
+    val probed = base.select(col("id"), col("t"),
+      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m.toLong))): _*)).as("sig"))
+    val cand = base.select(col("t"), col("sig"), col("id").as("id_a"))
+      .join(probed.select(col("t"), col("sig"), col("id").as("id_b")), Seq("t", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("norm"))
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplanes (xorshift64, fixed seed). */
   def randomPlanes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
     var state = 2463534242555777L

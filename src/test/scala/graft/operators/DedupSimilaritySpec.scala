@@ -129,6 +129,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"multi-table LSH recall $recall%.3f < 0.9")
   }
 
+  test("cosineNearDupPairs: exhaustive config is exact; pruned config is a high-recall subset") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1))
+    assert(exact.nonEmpty)
+    val pruned = pairs(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16))
+    assert(pruned.subsetOf(exact), "pruned candidates must never invent pairs")
+    val recall = pruned.size.toDouble / exact.size
+    assert(recall >= 0.9, f"near-dup recall $recall%.3f < 0.9")
+  }
+
   test("ngramJaccardPairs df-cap keeps a stop-shingle corpus near-linear") {
     // 40 docs, pairwise-disjoint content except ONE ubiquitous shingle
     // ("the same") present in every doc. Uncapped, that shingle alone fans
