@@ -342,6 +342,11 @@ object Queries {
   def pentominoCount(spark: SparkSession, dir: String): DataFrame =
     Pentomino.solutionCount(spark, width = 10, height = 6)
 
+  /** 10 synthetic sudoku puzzles solved one-per-task; each solution must be
+    * the closed-form canonical grid and provably unique (n_solutions = 1). */
+  def sudokuSolve(spark: SparkSession, dir: String): DataFrame =
+    Sudoku.solvePuzzles(spark, 10).orderBy("puzzle_id")
+
   def multiOutput(spark: SparkSession, dir: String): DataFrame = {
     // fixed (overwritten) scratch dir — createTempDirectory would leak one dir per run
     val out = java.nio.file.Paths.get(

@@ -135,7 +135,8 @@ object SparkEntry {
     "q46_bbp"             -> Queries.bbpPiHex _,
     "q47_pentomino"       -> Queries.pentominoCount _,
     "q48_embed_neardup"   -> Queries.embeddingNearDupPairs _,
-    "q49_image_meta"      -> Queries.imageMeta _
+    "q49_image_meta"      -> Queries.imageMeta _,
+    "q50_sudoku"          -> Queries.sudokuSolve _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -398,6 +399,14 @@ object SparkEntry {
         |CAST(16 + doc_id % 16 AS INT) AS width,
         |CAST(12 + doc_id % 8 AS INT) AS height,
         |CAST((16 + doc_id % 16) * (12 + doc_id % 8) AS BIGINT) AS n_pixels
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q50_sudoku" ->
+      // the solver must recover the closed-form canonical grid (the blanked
+      // cells admit exactly one completion — n_solutions doubles as proof)
+      """SELECT CAST(pid AS BIGINT) AS puzzle_id,
+        |array_to_string([CAST((((i // 9) * 3 + (i // 9) // 3 + (i % 9) + pid) % 9) + 1 AS VARCHAR)
+        |  for i in range(0, 81)], '') AS solution,
+        |CAST(1 AS BIGINT) AS n_solutions
+        |FROM range(0, 10) t(pid) ORDER BY puzzle_id""".stripMargin
   )
 }

@@ -35,6 +35,37 @@ object Streams {
       .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup on `keyCols` — the continuous-ingest counterpart
+    * of `Dedup.exactDedup` for an always-on corpus pipeline. State is bounded
+    * by the watermark: a key is remembered only `lateness` past its event
+    * time (`dropDuplicatesWithinWatermark`), so 100 TB/day ingest does not
+    * accumulate unbounded dedup state. Works on batch frames too (plain
+    * dropDuplicates semantics). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+                  lateness: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
+  /** Stream-stream inner equi-join with an event-time interval bound:
+    * right.ts ∈ [left.ts - before, left.ts + after]. Both sides carry
+    * watermarks, so each side's join state is purged once the other side's
+    * watermark passes the interval — the bounded-state form of a
+    * stream-stream join (unbounded joins never GC their buffers). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   before: String, after: String,
+                   lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = r(rightTs).between(
+      l(leftTs) - expr(s"INTERVAL $before"),
+      l(leftTs) + expr(s"INTERVAL $after"))
+    // inner equi-join: keep one copy of the key columns (the left's)
+    keys.foldLeft(l.join(r, keyCond && range, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives within `gapMillis`. Works on a stream (event-time
     * timeout) and, for testing, on a batch Dataset (single pass per group).

@@ -21,4 +21,17 @@ class MathJobsSpec extends SparkSpec {
     val row = Pentomino.solutionCount(spark, width = 10, height = 6).collect().head
     assert(row.getLong(0) == 9356L) // 2339 classic solutions x 4 rectangle symmetries
   }
+
+  test("sudoku: every synthetic puzzle recovers the canonical grid uniquely") {
+    (0 until 10).foreach { pid =>
+      val (sol, cnt) = Sudoku.solve(Sudoku.syntheticPuzzle(pid))
+      val expected = (0 until 81)
+        .map(i => ('0' + Sudoku.canonicalValue(i / 9, i % 9, pid)).toChar).mkString
+      assert(cnt == 1, s"puzzle $pid has $cnt solutions (must be unique)")
+      assert(sol.contains(expected), s"puzzle $pid solved to ${sol.orNull}")
+    }
+    // a puzzle with too few clues must report non-uniqueness, not a wrong answer
+    val (_, many) = Sudoku.solve("0" * 81)
+    assert(many == 2) // capped count: >= 2 solutions detected
+  }
 }

@@ -61,6 +61,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-watermark duplicate keys on a real micro-batch stream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDS().toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), "click", 1.0), Event(1, ts(1), "click", 2.0), // dup key
+        Event(1, ts(2), "view", 3.0), Event(2, ts(3), "click", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(4), "click", 5.0)) // still within watermark → dup
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq
+      assert(got.size == 3 && got.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
+  test("intervalJoin bounds matches by event-time range on streams") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = intervalJoin(
+      clicks.toDS().toDF("user_id", "ts", "event_type", "value"),
+      buys.toDS().toDF().select(col("user_id"), col("ts").as("buy_ts"),
+        col("event_type").as("buy_type"), col("value").as("buy_value")),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "buy_ts",
+      before = "0 minutes", after = "30 minutes")
+    val q = joined.select(col("user_id"), col("ts"), col("buy_ts"))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), "click", 1.0), Event(2, ts(0), "click", 1.0))
+      buys.addData(
+        Event(1, ts(10), "purchase", 9.0),  // within 30 min after the click → match
+        Event(2, ts(45), "purchase", 9.0),  // beyond the interval → no match
+        Event(3, ts(5), "purchase", 9.0))   // no clicking user → no match
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L), s"expected only user 1 to join, got $got")
+    } finally q.stop()
+  }
+
   test("windowedCounts over a stream equals the batch aggregation") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
