@@ -23,10 +23,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Untimed warmup: pay executor spin-up, codegen compiler init, and first
+    // shuffle setup once, outside any query's timing — otherwise the
+    // alphabetically-first query absorbs ~5 s of one-time JVM cost.
+    {
+      import org.apache.spark.sql.functions._
+      spark.range(100000).groupBy((col("id") % 10).as("k"))
+        .agg(count(lit(1))).write.mode("overwrite").format("noop").save()
+    }
 
     val t0 = System.nanoTime()
     val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()

@@ -24,6 +24,9 @@ object Engine {
       // bench suite) and is the right policy on a real cluster too.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // set once at build time: events.parquet is TIMESTAMP(NANOS); setting this
+      // per-access would mutate shared session conf from query threads
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
