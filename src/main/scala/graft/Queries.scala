@@ -347,10 +347,29 @@ object Queries {
   def sudokuSolve(spark: SparkSession, dir: String): DataFrame =
     Sudoku.solvePuzzles(spark, 10).orderBy("puzzle_id")
 
+  private val scratchCleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Process-unique scratch dir (no cross-process q35 collisions), deleted on
+    * JVM exit (no per-run temp-dir leak). */
+  private def scratchDir(spark: SparkSession, tag: String): String = {
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${spark.sparkContext.applicationId}").toString
+    if (scratchCleanupRegistered.putIfAbsent(out, true) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val root = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case _: Exception => () }
+          finally walk.close()
+        }
+      }, s"graft-scratch-cleanup"))
+    out
+  }
+
   def multiOutput(spark: SparkSession, dir: String): DataFrame = {
-    // fixed (overwritten) scratch dir — createTempDirectory would leak one dir per run
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_mo").toString
+    val out = scratchDir(spark, s"mo_${Integer.toHexString(dir.hashCode)}")
     graft.sources.Sinks.partitionedParquet(
       t(spark, dir).lineitem, out, Seq("l_returnflag"))
     spark.read.parquet(out)

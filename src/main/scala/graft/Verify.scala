@@ -49,8 +49,10 @@ object Verify {
     def deleteDir(path: String): Unit = {
       val root = Paths.get(path)
       if (Files.exists(root)) {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(root) // close the stream: it holds directory fds
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -81,8 +83,15 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           System.err.println(s"[verify] $name timed out after ${perQuerySec}s; cancelling")
+          // cancelJobGroup (interruptOnCancel) makes the worker's write throw;
+          // do NOT Future.cancel here — it flips isDone while the runnable is
+          // still unwinding, and deleting immediately would race the dying
+          // committer, which could re-create a partial dir AFTER the delete.
+          // Wait (bounded) for the worker to actually finish — its own
+          // catch-path cleans up; this delete is the backstop.
           spark.sparkContext.cancelJobGroup(name)
-          f.cancel(true)
+          val deadline = System.nanoTime() + 30L * 1000000000L
+          while (!f.isDone && System.nanoTime() < deadline) Thread.sleep(200)
           try deleteDir(s"$outDir/$name")
           catch { case e2: Throwable =>
             System.err.println(s"[verify] $name cleanup failed: ${e2.getMessage}") }

@@ -50,34 +50,33 @@ object StreamJob {
     val mapped = Pipe.pipeLines(lines, spec.mapper)
 
     val sepQ = java.util.regex.Pattern.quote(spec.separator)
-    val fields = split(col("line"), sepQ)
-    val keyOf = concat_ws(spec.separator,
-      (1 to spec.numKeyFields).map(i => coalesce(get(fields, lit(i - 1)), lit(""))): _*)
     val partFields = if (spec.partitionKeyFields > 0) spec.partitionKeyFields
                      else spec.numKeyFields
-    val partKey = concat_ws(spec.separator,
-      (1 to partFields).map(i => coalesce(get(fields, lit(i - 1)), lit(""))): _*)
-    val valOf = array_join(slice(fields, spec.numKeyFields + 1, 1 << 24), spec.separator)
 
-    // reducer input line = key SEP value (trailing separator when the value
-    // is empty — the PipeMapRed wire format)
-    val keyed = mapped.toDF("line")
-      .select(col("line"), keyOf.as("__key"), partKey.as("__pkey"), valOf.as("__val"))
-      .select(concat(col("__key"), lit(spec.separator), col("__val")).as("line"),
-        col("__key"), col("__pkey"))
+    // Canonicalize a line stream to the PipeMapRed wire format: line is
+    // rebuilt as key SEP value (a trailing separator marks an empty value),
+    // with __key/__pkey alongside. Applied identically to mapper AND combiner
+    // output — MapReduce guarantees combiner output is re-serialized exactly
+    // like mapper output, so the reducer sees one wire format either way.
+    def keyed(lines: Dataset[String]): DataFrame = {
+      val fields = split(col("line"), sepQ)
+      def joinFields(n: Int): Column = concat_ws(spec.separator,
+        (1 to n).map(i => coalesce(get(fields, lit(i - 1)), lit(""))): _*)
+      lines.toDF("line")
+        .select(joinFields(spec.numKeyFields).as("__key"),
+          joinFields(partFields).as("__pkey"),
+          array_join(slice(fields, spec.numKeyFields + 1, 1 << 24), spec.separator).as("__val"))
+        .select(concat(col("__key"), lit(spec.separator), col("__val")).as("line"),
+          col("__key"), col("__pkey"))
+    }
 
+    val mappedKeyed = keyed(mapped)
     val combined =
-      if (spec.combiner.isEmpty) keyed
+      if (spec.combiner.isEmpty) mappedKeyed
       else { // combiner runs on map-side-sorted runs, before the shuffle
-        val pre = keyed.sortWithinPartitions(col("__key"))
+        val pre = mappedKeyed.sortWithinPartitions(col("__key"))
           .select(col("line")).as(Encoders.STRING)
-        val out = Pipe.pipeLines(pre, spec.combiner).toDF("line")
-        val f2 = split(col("line"), sepQ)
-        out.select(col("line"),
-          concat_ws(spec.separator,
-            (1 to spec.numKeyFields).map(i => coalesce(get(f2, lit(i - 1)), lit(""))): _*).as("__key"),
-          concat_ws(spec.separator,
-            (1 to partFields).map(i => coalesce(get(f2, lit(i - 1)), lit(""))): _*).as("__pkey"))
+        keyed(Pipe.pipeLines(pre, spec.combiner))
       }
 
     val sortCols: Seq[Column] =

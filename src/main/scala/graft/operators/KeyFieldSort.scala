@@ -28,11 +28,14 @@ object KeyFieldSort {
       case other => throw new IllegalArgumentException(s"bad key spec token: $other")
     }
 
-  /** Sort expressions over a split-line array column. */
+  /** Sort expressions over a split-line array column. A line with fewer
+    * fields than the spec sorts as NULL / empty (the reference comparator's
+    * missing-field behavior) — `get` is OOB-null-safe where `element_at`
+    * would throw under Spark 4 ANSI mode. */
   def sortColumns(arr: Column, keys: Seq[KeySpec]): Seq[Column] =
     keys.map { k =>
-      val f = element_at(arr, k.field)
-      val typed = if (k.numeric) f.cast("double") else f
+      val f = get(arr, lit(k.field - 1))
+      val typed = if (k.numeric) f.cast("double") else coalesce(f, lit(""))
       if (k.reverse) typed.desc_nulls_last else typed.asc_nulls_first
     }
 
@@ -47,7 +50,7 @@ object KeyFieldSort {
     * are co-located by the named fields' VALUES (numeric/reverse flags only
     * affect ordering, not partitioning). */
   def partitionColumns(arr: Column, keys: Seq[KeySpec]): Seq[Column] =
-    keys.map(k => element_at(arr, k.field))
+    keys.map(k => coalesce(get(arr, lit(k.field - 1)), lit("")))
 
   /** The full MapReduce contract `-partitioner KeyFieldBasedPartitioner
     * -k partSpec` + comparator sortSpec: co-locate by the partition fields,

@@ -68,10 +68,12 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition init point (real codecs allocate native context here)
       it.map { r =>
+        // every row gets EXACTLY dim floats (fixed-size contract): the image
+        // path computes the smallest grid covering dim cells and truncates
+        val grid = math.ceil(math.sqrt(dim.toDouble)).toInt
         val feat = ImageCodec.parseHeader(r.payload)
           .flatMap(_ => ImageCodec.decode(r.payload))
-          .map(img => ImageCodec.luminanceFeature(img,
-            grid = math.max(1, math.sqrt(dim.toDouble).toInt)))
+          .map(img => ImageCodec.luminanceFeature(img, grid).take(dim))
           .getOrElse(FakeDecoder.decode(r.payload, dim))
         var crc = 0L
         var i = 0

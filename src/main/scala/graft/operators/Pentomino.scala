@@ -99,8 +99,8 @@ object Pentomino {
     import spark.implicits._
     require(width * height == 60, "12 pentominoes tile exactly 60 cells")
     val byCell = placements(width, height)
-    val empty = if (width * height == 64) 0L else -1L << (width * height)
-    val seeds = byCell(0).toSeq.map { case (pi, mask) => (pi, mask) }
+    val empty = -1L << 60 // cells 60-63 pre-set "occupied"; full board == -1L
+    val seeds = byCell(0).toSeq
     val counts = spark.createDataset(seeds)
       .repartition(seeds.size)
       .map { case (pi, mask) => solve(empty | mask, 1 << pi, byCell) }

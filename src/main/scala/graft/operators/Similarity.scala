@@ -160,18 +160,11 @@ object Similarity {
                          threshold: Double, numPlanes: Int, dim: Int,
                          probeRadius: Int = 1, numTables: Int = 8): DataFrame = {
     import graft.plans.VectorExpressions.vec_dot
-    require(numPlanes <= 20, "probe mask enumeration is 2^numPlanes bounded")
-    val planes = randomPlanes(numPlanes * numTables, dim)
-    def sigs(vec: Column): Column = array((0 until numTables).map { t =>
-      rpSignature(vec, planes.slice(t * numPlanes, (t + 1) * numPlanes), dim)
-    }: _*)
+    val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius)
     val base = corpus
-      .select(col(idCol).as("id"), sigs(col(vecCol)).as("sigs"))
+      .select(col(idCol).as("id"), lsh.sigs(col(vecCol)).as("sigs"))
       .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
-    val masks = (0 until (1 << numPlanes))
-      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
-    val probed = base.select(col("id"), col("t"),
-      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m.toLong))): _*)).as("sig"))
+    val probed = base.select(col("id"), col("t"), lsh.probes(col("sig")).as("sig"))
     val cand = base.select(col("t"), col("sig"), col("id").as("id_a"))
       .join(probed.select(col("t"), col("sig"), col("id").as("id_b")), Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
@@ -194,6 +187,24 @@ object Similarity {
       (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
     Seq.fill(numPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** Shared multi-table LSH plumbing for `lshCosineTopK` and
+    * `cosineNearDupPairs` (ONE implementation so their bucketings can never
+    * drift apart): `sig(vec)` = per-table signature array; `masks` = all
+    * probe offsets within `probeRadius` bits. */
+  private final case class MultiTableLsh(numPlanes: Int, numTables: Int,
+                                         dim: Int, probeRadius: Int) {
+    require(numPlanes <= 20, "probe mask enumeration is 2^numPlanes bounded")
+    private val planes = randomPlanes(numPlanes * numTables, dim)
+    /** (table, signature) rows for a vector column. */
+    def sigs(vec: Column): Column = array((0 until numTables).map { t =>
+      rpSignature(vec, planes.slice(t * numPlanes, (t + 1) * numPlanes), dim)
+    }: _*)
+    val masks: Seq[Int] = (0 until (1 << numPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
+    def probes(sig: Column): Column =
+      explode(array(masks.map(m => sig.bitwiseXOR(lit(m.toLong))): _*))
   }
 
   /** Multi-table, multi-probe LSH cosine top-k.
@@ -221,21 +232,14 @@ object Similarity {
                     k: Int, numPlanes: Int, dim: Int,
                     probeRadius: Int = 1, numTables: Int = 8): DataFrame = {
     import graft.plans.VectorExpressions.vec_dot
-    require(numPlanes <= 20, "probe mask enumeration is 2^numPlanes bounded")
-    val planes = randomPlanes(numPlanes * numTables, dim)
-    def sigs(vec: Column): Column = array((0 until numTables).map { t =>
-      rpSignature(vec, planes.slice(t * numPlanes, (t + 1) * numPlanes), dim)
-    }: _*)
+    val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius)
     val c = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), sigs(col(vecCol)).as("sigs"))
-      .select(col("id"), col("vec"), posexplode(col("sigs")).as(Seq("t", "sig")))
-    val masks = (0 until (1 << numPlanes))
-      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
+      .select(col(idCol).as("id"), lsh.sigs(col(vecCol)).as("sigs"))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
     val q = queries
-      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"), sigs(col(qvecCol)).as("sigs"))
+      .select(col(qidCol).as("qid"), lsh.sigs(col(qvecCol)).as("sigs"))
       .select(col("qid"), posexplode(col("sigs")).as(Seq("t", "sig0")))
-      .select(col("qid"), col("t"),
-        explode(array(masks.map(m => col("sig0").bitwiseXOR(lit(m.toLong))): _*)).as("sig"))
+      .select(col("qid"), col("t"), lsh.probes(col("sig0")).as("sig"))
     // candidate ids first (a pair found in several tables/probes must score
     // once), then vectors join back for the exact re-rank
     val cand = c.join(broadcast(q), Seq("t", "sig"))

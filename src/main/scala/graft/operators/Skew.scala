@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Per-row salt in [0, saltFactor). The salt only spreads rows across
-    * partitions — it never reaches the output — so it does not need to be
-    * deterministic across retries; a partition-local counter is the cheapest
-    * well-spread source (no hashing of data columns at all). */
+  /** Per-row salt in [0, saltFactor), deterministic in the ROW CONTENT.
+    * The salt is a join key, so it MUST be reproducible across stage retries:
+    * a positional source (monotonically_increasing_id, partition id) changes
+    * when a lost map output is recomputed in a different row order, silently
+    * dropping or duplicating hot-key rows mid-join. Content-hashing costs a
+    * few ns/row and only ever runs on the detected-hot slice. */
   def withSalt(df: DataFrame, saltFactor: Int, saltCol: String = "__salt"): DataFrame =
     df.withColumn(saltCol,
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor.toLong)).cast("int"))
 
   def replicated(df: DataFrame, saltFactor: Int, saltCol: String = "__salt"): DataFrame =
     df.withColumn(saltCol, explode(sequence(lit(0), lit(saltFactor - 1))))
@@ -42,10 +44,13 @@ object Skew {
   /** Inner/left equi-join on `keys`, salting ONLY detected hot keys.
     * Semantically identical to `left.join(right, keys, how)`:
     *  - cold keys (the vast majority) join completely unsalted;
-    *  - hot left rows are spread over `saltFactor` sub-keys, hot right rows
-    *    replicated `saltFactor` times, joined on (keys..., salt).
+    *  - hot left rows are spread over `saltFactor` sub-keys (content-hash
+    *    salt — deterministic under retries), hot right rows replicated
+    *    `saltFactor` times, joined on (keys..., salt).
     * A left row always carries exactly one salt value, so inner/left
-    * multiplicities are preserved. */
+    * multiplicities are preserved. Exact-duplicate hot rows share a salt
+    * (content hash); their spread is then bounded by the duplicate count,
+    * which is the correct trade for retry-safety. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, how: String = "inner",
                  hotKeyThreshold: Long = 1000000L): DataFrame = {

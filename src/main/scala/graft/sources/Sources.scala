@@ -91,14 +91,20 @@ object Sources {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
-      .filter(s => s.isFile && s.getLen > 0 && !s.getPath.getName.startsWith("_"))
+      .filter { s =>
+        val n = s.getPath.getName
+        // Hadoop's hidden-file convention: skip both "_" (committer markers)
+        // and "." (checksum sidecars like .part-0.crc)
+        s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
       .map(_.getPath)
     val (seq, text) = files.partition { f =>
       val in = fs.open(f)
       try {
         val magic = new Array[Byte](3)
-        val n = in.read(magic)
-        n == 3 && magic(0) == 'S' && magic(1) == 'E' && magic(2) == 'Q'
+        in.readFully(0L, magic) // a short read must not misclassify (len > 0 checked)
+        magic(0) == 'S' && magic(1) == 'E' && magic(2) == 'Q'
+      } catch { case _: java.io.EOFException => false
       } finally in.close()
     }
     val parts =

@@ -23,6 +23,15 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set("AAA", "BBB", "CCC"))
   }
 
+  test("textWithParallelism controls the partition count (NLineInputFormat's purpose)") {
+    val dir = Files.createTempDirectory("graft_nl")
+    Files.write(dir.resolve("in.txt"),
+      (1 to 100).map(i => s"line$i").mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val df = Sources.textWithParallelism(spark, dir.toString, 7)
+    assert(df.rdd.getNumPartitions == 7)
+    assert(df.count() == 100)
+  }
+
   test("multipleInputs unions heterogeneous branches by name") {
     import spark.implicits._
     val a = Seq((1, "x")).toDF("id", "a_only")
