@@ -74,6 +74,15 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(back == recs.toSet)
   }
 
+  test("TypedBytesFiles dump/load round-trips a (key, value) frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbf").toString
+    val df = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("key", "value").repartition(3)
+    TypedBytesFiles.dump(df, dir)
+    val back = TypedBytesFiles.load(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == (1 to 100).map(i => (s"k$i", s"v$i")).toSet)
+  }
+
   test("Pipe surfaces nonzero exit codes") {
     val ds = Seq("x").toDS()
     val ex = intercept[Exception] {
