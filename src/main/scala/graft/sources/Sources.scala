@@ -121,4 +121,15 @@ object Sources {
            partitionColumn: String, lowerBound: Long, upperBound: Long,
            numPartitions: Int, props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
+
+  /** DataDrivenDBInputFormat's non-integer splitters (Text/Date/Boolean…):
+    * each split is an arbitrary WHERE predicate, one partition per predicate
+    * (.../lib/db/DataDrivenDBInputFormat.java getSplits — splits are
+    * "lower <= col AND col < upper" clauses the per-type splitters emit).
+    * The caller-supplied predicates MUST partition the table (disjoint,
+    * covering), exactly the splitters' contract. */
+  def jdbcPredicates(spark: SparkSession, url: String, table: String,
+                     predicates: Seq[String],
+                     props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, predicates.toArray, props)
 }

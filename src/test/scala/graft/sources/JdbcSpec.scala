@@ -27,4 +27,20 @@ class JdbcSpec extends SparkSpec {
     val perPart = back.rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(perPart.sum == 200 && perPart.forall(_ > 0))
   }
+
+  test("predicate-split jdbc source (DataDrivenDB text-splitter shape)") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, if (i % 3 == 0) "apple" else if (i % 3 == 1) "mango" else "zebra"))
+      .toDF("id", "word")
+    Sinks.jdbc(df, url, "words", props)
+    // Spark's JDBC writer maps StringType to Derby CLOB with case-sensitive
+    // (quoted) names; CLOB needs a VARCHAR cast to be comparable
+    val w = """CAST("word" AS VARCHAR(32))"""
+    val back = Sources.jdbcPredicates(spark, url, "words",
+      Seq(s"$w < 'm'", s"$w >= 'm' AND $w < 't'", s"$w >= 't'"), props)
+    assert(back.rdd.getNumPartitions == 3)
+    val perPart = back.rdd.mapPartitions(it => Iterator(it.size)).collect().toSeq
+    assert(perPart == Seq(20, 20, 20)) // disjoint covering stripes
+    assert(back.count() == 60)
+  }
 }

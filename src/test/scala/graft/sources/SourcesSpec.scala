@@ -81,6 +81,19 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set(("sk", "sv"), ("", "hello"), ("", "world")))
   }
 
+  test("Generators: random text/bytes are deterministic and partition-independent") {
+    val a = Generators.randomText(spark, 200, 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val b = Generators.randomText(spark, 200, 13) // different partitioning
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b && a.size == 200)
+    assert(a.forall { case (k, v) => v.startsWith(k) && v.split(" ").forall(_.matches("w\\d{4}")) })
+    val bytes = Generators.randomBytes(spark, 50, 3, keyLen = 10, valLen = 100)
+      .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq))
+    assert(bytes.length == 50 && bytes.map(_._1).distinct.length == 50)
+    assert(bytes.forall { case (k, v) => k.length == 10 && v.length == 100 })
+  }
+
   test("MapFiles: lookup pushes the key predicate into the parquet scan") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
