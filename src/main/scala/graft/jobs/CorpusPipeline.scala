@@ -51,4 +51,28 @@ object CorpusPipeline {
     graft.sources.Sinks.partitionedParquet(curated, outDir, Seq("predicted_lang"))
     spark.read.parquet(outDir)
   }
+
+  /** Continuous-ingest curation: the same quality gate + exact dedup +
+    * annotation over a STREAM of (doc_id, ingest_ts, text, lang) documents.
+    *
+    * Near-dup removal (a self-join) has no bounded-state streaming form — a
+    * production pipeline runs it as a periodic batch compaction over the
+    * curated output (exactly `curate` above); everything per-document runs
+    * here, continuously, with state bounded by the dedup watermark. Content
+    * dedup uses `dropDuplicatesWithinWatermark` on the text digest, so a
+    * re-ingested document inside the lateness horizon is dropped. */
+  def curateStream(docs: DataFrame, cfg: Config = Config(),
+                   lateness: String = "1 hour"): DataFrame = {
+    val stopwords = graft.Queries.Stopwords
+    val scored = docs.withColumn("q", qualityMetrics(col("text"), stopwords))
+      .filter(col("q.n_tokens") >= cfg.minTokens &&
+        col("q.stopword_ratio") <= cfg.maxStopwordRatio &&
+        col("q.uniq_ratio") >= cfg.minUniqRatio)
+      .withColumn("__digest", md5(col("text").cast("binary")))
+    graft.streaming.Streams.dedupStream(scored, Seq("__digest"),
+        tsCol = "ingest_ts", lateness = lateness)
+      .select(col("doc_id"), col("ingest_ts"), col("text"), col("lang"),
+        langId(col("text"), graft.Queries.LangProfiles).as("predicted_lang"),
+        col("q.n_tokens").as("n_tokens"))
+  }
 }

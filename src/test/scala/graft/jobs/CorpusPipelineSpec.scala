@@ -21,6 +21,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out == Seq(1L, 5L))
   }
 
+  test("curateStream gates quality and dedups content on a live micro-batch stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    final case class Doc(doc_id: Long, ingest_ts: java.sql.Timestamp, text: String, lang: String)
+    val good = "the quick brown fox jumps over a lazy dog"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val stream = mem.toDS().toDF("doc_id", "ingest_ts", "text", "lang")
+    val q = CorpusPipeline.curateStream(stream)
+      .writeStream.format("memory").queryName("curate_stream_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = new java.sql.Timestamp(86400000L + m * 60000L)
+      mem.addData(
+        (1L, ts(0), good, "en"),
+        (2L, ts(1), "tiny", "en"),       // fails the quality gate
+        (3L, ts(2), good, "en"))         // same content as 1 → deduped
+      q.processAllAvailable()
+      mem.addData((4L, ts(3), good + " again", "en"))
+      q.processAllAvailable()
+      val ids = spark.table("curate_stream_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.contains(4L) && ids.intersect(Set(1L, 3L)).size == 1 && !ids.contains(2L),
+        s"unexpected curated ids: $ids")
+    } finally q.stop()
+  }
+
   test("run() writes a partitioned curated corpus from testdata") {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     val back = CorpusPipeline.run(spark, sf, out)
