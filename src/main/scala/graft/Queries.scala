@@ -460,6 +460,39 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** Gopher-style per-document repetition signals (q51): for n in {1,2,3},
+    * the most-frequent n-gram's share and the duplicated-instance share —
+    * the repetition tier of quality filtering. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.repetitionSignals(t(spark, dir).documents, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "n")
+
+  /** C4-style corpus-frequency boilerplate profile (q52): per document, how
+    * many of its 3-gram units survive a "drop units present in more than 2
+    * distinct documents" rule. Runs the same explode → distinct → document-
+    * frequency count plan `removeFrequentUnits` filters with. */
+  def boilerplateRetention(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    CorpusQuality.unitRetentionStats(docs, "doc_id",
+        shinglesOfTokens(col("toks"), 3), maxDocFreq = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Per-language document-length distribution (q53): exact interpolated
+    * p50/p90/p99 of n_chars — the shard-sizing / length-filter calibration
+    * numbers a curation run reports. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
+      .orderBy("lang")
+
   /** Real image decode end-to-end (q49): synthesize a deterministic PNG per
     * document id in each task, then byte-parse the header AND fully decode
     * the pixels with the pure-JVM codec. width/height come from the header

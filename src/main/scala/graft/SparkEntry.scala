@@ -136,7 +136,10 @@ object SparkEntry {
     "q47_pentomino"       -> Queries.pentominoCount _,
     "q48_embed_neardup"   -> Queries.embeddingNearDupPairs _,
     "q49_image_meta"      -> Queries.imageMeta _,
-    "q50_sudoku"          -> Queries.sudokuSolve _
+    "q50_sudoku"          -> Queries.sudokuSolve _,
+    "q51_repetition"      -> Queries.repetitionSignals _,
+    "q52_boilerplate"     -> Queries.boilerplateRetention _,
+    "q53_len_percentiles" -> Queries.lengthPercentiles _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -400,6 +403,35 @@ object SparkEntry {
         |CAST(12 + doc_id % 8 AS INT) AS height,
         |CAST((16 + doc_id % 16) * (12 + doc_id % 8) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q51_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, unnest(CASE WHEN len(w) >= n
+        |    THEN [array_to_string(w[i:i+n-1], ' ') for i in range(1, len(w) - n + 2)]
+        |    ELSE [] END) AS g
+        |  FROM t, (SELECT unnest([1, 2, 3]) AS n) ns),
+        |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n, CAST(sum(c) AS BIGINT) AS n_grams,
+        |round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac,
+        |round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_frac
+        |FROM c GROUP BY doc_id, n ORDER BY doc_id, n""".stripMargin,
+    "q52_boilerplate" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+        |    ELSE [] END) AS u
+        |  FROM t),
+        |f AS (SELECT u, count(DISTINCT doc_id) AS df FROM g GROUP BY u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+        |CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |round(CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
+        |FROM g JOIN f USING (u) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q53_len_percentiles" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |round(quantile_cont(n_chars, 0.99), 6) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

@@ -94,6 +94,29 @@ object TextFunctions {
   private def typedLitStrings(ws: Seq[String]): Column =
     array(ws.map(lit): _*)
 
+  /** PII patterns for redaction/counting: email, E.164-ish / US phone,
+    * IPv4. Deliberately conservative (favor precision): curation pipelines
+    * re-run with domain-specific patterns; these are the always-on floor. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?\\d{1,3}[ .-]?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}"
+  val Ipv4Pattern: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Replace email/phone/IPv4 literals with typed placeholder tags — the
+    * scrubbing pass a corpus runs before anything is retained. Pure
+    * regexp_replace chain: codegen'd, no UDF. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val p = regexp_replace(e, PhonePattern, "<PHONE>")
+    regexp_replace(p, Ipv4Pattern, "<IP>")
+  }
+
+  /** Per-document PII hit counts as a struct (n_email, n_phone, n_ip) — the
+    * measurement/reporting side of `redactPii`. */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_email"),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long").as("n_phone"),
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ip"))
+
   /** Per-document quality metrics as a struct:
     * n_tokens, n_uniq, uniq_ratio, avg_token_len, stopword_ratio. */
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level quality / boilerplate operators for training-data curation —
+  * the signals and transforms large public pipelines apply between raw crawl
+  * and training shards (repetition gating as in the Gopher quality rules,
+  * corpus-frequency boilerplate removal as in C4's duplicate-line rule).
+  *
+  * Both are pure DataFrame compositions whose shuffles are on (doc, gram) /
+  * (unit) keys with map-side partial aggregation — the shapes that survive a
+  * 100 TB corpus: nothing here ever materializes per-document state on the
+  * driver or compares documents pairwise.
+  */
+object CorpusQuality {
+
+  /** Per-document repetition signals over word n-grams, one output row per
+    * (document, n): total n-gram instances, the most-frequent gram's share
+    * (`top_frac`), and the share of instances whose gram occurs ≥2 times in
+    * the document (`dup_frac`). High `top_frac`/`dup_frac` at small n flags
+    * degenerate/looping text — the repetition tier of quality filtering.
+    *
+    * Shape at scale: one explode per n (no cross-document state), a single
+    * (id, n, gram) count with map-side combine, then a per-(id, n) rollup.
+    * Documents with fewer than n tokens emit no row for that n.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    // Tokenize ONCE into a named column: shinglesOfTokens documents why a
+    // computed expression must not be passed into its transform lambda.
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val grams = ns.map { n =>
+      toks.select(col("id"), lit(n).as("n"),
+        explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("g"))
+    }.reduce(_ unionByName _)
+    val counts = grams.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+    counts.groupBy("id", "n").agg(
+      sum("c").as("n_grams"),
+      max("c").as("top"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+      .select(col("id"), col("n"),
+        col("n_grams").cast("long").as("n_grams"),
+        round(col("top").cast("double") / col("n_grams"), 6).as("top_frac"),
+        round(col("dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
+  }
+
+  /** Remove units (lines, sentences, shingles — whatever `unitsExpr` splits a
+    * document into) that occur in more than `maxDocFreq` DISTINCT documents —
+    * the corpus-frequency boilerplate rule (C4 drops lines repeated across
+    * the crawl; headers/footers/cookie banners die here). Returns the input
+    * frame plus `kept_units`: the surviving units in original order.
+    *
+    * Shape at scale: posexplode → distinct (doc, unit) → unit document-
+    * frequency count (map-side combined) → anti-join against the
+    * over-frequent set → per-doc ordered reassembly. Two shuffles on unit
+    * keys, one on doc ids; no driver-side state of any size.
+    */
+  def removeFrequentUnits(df: DataFrame, idCol: String, unitsExpr: Column,
+                          maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1)
+    val u = df.withColumn("__units", unitsExpr)
+    val exploded = u.select(col(idCol).as("__id"),
+      posexplode(col("__units")).as(Seq("__pos", "__u")))
+    val overFreq = exploded.select(col("__id"), col("__u")).distinct()
+      .groupBy("__u").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("__u")
+    val kept = exploded.join(overFreq, Seq("__u"), "left_anti")
+    val rebuilt = kept.groupBy("__id").agg(
+      transform(array_sort(collect_list(struct(col("__pos"), col("__u")))),
+        s => s.getField("__u")).as("kept_units"))
+    u.join(rebuilt, u.col(idCol) === rebuilt.col("__id"), "left")
+      .drop("__id", "__units")
+      .withColumn("kept_units",
+        coalesce(col("kept_units"), array().cast("array<string>")))
+  }
+
+  /** Per-document document-frequency profile of its units: how many of a
+    * document's units are corpus-common vs rare. The measurement companion
+    * to `removeFrequentUnits` (same explode/count plan, aggregated instead
+    * of filtered): n_units, n_kept (units with df ≤ maxDocFreq), kept_frac. */
+  def unitRetentionStats(df: DataFrame, idCol: String, unitsExpr: Column,
+                         maxDocFreq: Long): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"), explode(unitsExpr).as("u"))
+    val freq = exploded.select(col("id"), col("u")).distinct()
+      .groupBy("u").agg(count(lit(1)).as("df"))
+    exploded.join(freq, Seq("u"))
+      .groupBy("id").agg(
+        count(lit(1)).cast("long").as("n_units"),
+        sum(when(col("df") <= maxDocFreq, 1L).otherwise(0L)).cast("long").as("n_kept"))
+      .select(col("id"), col("n_units"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_units"), 6).as("kept_frac"))
+  }
+}

@@ -88,6 +88,12 @@ object Dedup {
     * Buckets larger than `maxBucket` are dropped (degenerate content — e.g.
     * empty docs — would otherwise produce a quadratic bucket; standard LSH
     * skew guard).
+    *
+    * Choose (bands, rows = numHashes/bands) so the banding s-curve's 50%%
+    * recall point (1/bands)^(1/rows) sits at or below `threshold` — e.g.
+    * 16x4 suits thresholds ≥ ~0.5, 32x2 reaches down to ~0.2. A threshold
+    * far below the midpoint is accepted but logs a warning: such pairs
+    * rarely ever become candidates.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 16,
@@ -99,10 +105,15 @@ object Dedup {
     // Parameter sanity: the (bands, rows) s-curve should put its steep section
     // near the declared threshold — 50% candidate recall at j ≈ (1/bands)^(1/r).
     // A threshold far below that point implies recall the banding cannot give.
+    // Warn (don't throw): mismatched callers get the low-recall behavior they
+    // asked for, with the fix spelled out in the log.
     val recall50 = math.pow(1.0 / bands, 1.0 / r)
-    require(threshold >= recall50 * 0.6,
-      f"threshold $threshold%.2f is far below the (bands=$bands, rows=$r) " +
-        f"s-curve midpoint $recall50%.2f — re-band or raise the threshold")
+    if (threshold < recall50 * 0.6)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"minhashCandidatePairs: threshold $threshold%.2f is far below the " +
+          f"(bands=$bands, rows=$r) s-curve midpoint $recall50%.2f — pairs near " +
+          f"the threshold will rarely become candidates; re-band (more bands, " +
+          f"fewer rows) or raise the threshold")
     // The signature table is referenced four times in this plan (both sides
     // of the bucket join, both signature joins); persist so the shingle
     // explosion + 64-way min aggregation runs once. ~520 B/doc — at 100 TB

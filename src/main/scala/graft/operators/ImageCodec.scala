@@ -36,14 +36,26 @@ object ImageCodec {
     else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       Some(("bmp", le32(b, 18), le32(b, 22)))
     else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
-      // JPEG: walk segments to the first SOFn frame header
+      // JPEG: walk segments to the first SOFn frame header. Legal streams may
+      // pad with 0xFF fill bytes before a marker, and the RST0-7/SOI/EOI/TEM
+      // markers are standalone (no 2-byte length field).
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 1 < b.length) {
         if (b(i) != 0xff.toByte) return None
+        while (i + 1 < b.length && b(i + 1) == 0xff.toByte) i += 1 // fill bytes
+        if (i + 1 >= b.length) return None
         val marker = b(i + 1) & 0xff
-        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 9 >= b.length) return None
           return Some(("jpeg", be16(b, i + 7), be16(b, i + 5)))
-        i += 2 + be16(b, i + 2)
+        } else if ((marker >= 0xd0 && marker <= 0xd8) || marker == 0x01) {
+          i += 2 // standalone marker
+        } else if (marker == 0xd9) {
+          return None // EOI before any frame header
+        } else {
+          if (i + 3 >= b.length) return None
+          i += 2 + be16(b, i + 2)
+        }
       }
       None
     } else None

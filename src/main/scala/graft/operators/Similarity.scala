@@ -125,6 +125,10 @@ object Similarity {
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
       it += 1
     }
+    // Lloyd iterations (the repeated scans the cache existed for) are done —
+    // release it now rather than leaking one cache entry per call. The
+    // returned plan re-reads the corpus from source exactly once.
+    c.unpersist(false)
 
     val bucketed = c.select(col("id"), col("vec"), col("cnorm"),
       assign(col("vec"), col("cnorm"), cents).as("cid"))

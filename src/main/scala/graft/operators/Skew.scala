@@ -56,8 +56,18 @@ object Skew {
                  hotKeyThreshold: Long = 1000000L): DataFrame = {
     require(how == "inner" || how == "left" || how == "left_outer",
       "salted join supports inner/left joins (right rows are replicated)")
-    val hot = broadcast(hotKeys(left, keys, hotKeyThreshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Detection runs EAGERLY here and the key set is collected: by
+    // construction at most |left| / hotKeyThreshold keys qualify, so the set
+    // is bounded-tiny (the same bound that justified broadcasting it). A
+    // driver-side list avoids the previous persist() of the detection
+    // subplan, which was referenced three times and leaked a cache entry per
+    // call (never unpersisted).
+    val spark = left.sparkSession
+    val hotRows = hotKeys(left, keys, hotKeyThreshold).collect()
+    if (hotRows.isEmpty) return left.join(right, keys, how)
+    val keySchema = org.apache.spark.sql.types.StructType(keys.map(k => left.schema(k)))
+    val hot = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), keySchema))
     val coldJoin = left.join(hot, keys, "left_anti")
       .join(right, keys, how)
     val hotJoin = withSalt(left.join(hot, keys, "left_semi"), saltFactor)

@@ -16,22 +16,37 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
   * with hadoop-streaming's `-io typedbytes` programs. */
 object TypedBytesFiles {
 
-  /** Dump a two-STRING-column frame as typed-bytes (key, value) files. */
+  /** Dump a two-STRING-column frame as typed-bytes (key, value) files.
+    *
+    * Overwrite semantics: the target directory is deleted first — a previous
+    * dump with more partitions would otherwise leave stale part-NNNNN.tb
+    * files that `load` silently reads back. Each task writes to a hidden
+    * `.part-*.tmp` name and renames into place on success, so a speculative
+    * or retried attempt can never leave a torn final file: the first rename
+    * wins, the loser deletes its temp. `load`'s `part-*.tb` glob (and
+    * binaryFiles' hidden-file filter) never matches the temp names. */
   def dump(df: DataFrame, path: String): Unit = {
     val cols = df.columns
     require(cols.length == 2, s"dump expects (key, value), got ${cols.toSeq}")
     val hconfSer = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val dfsRoot = target.getFileSystem(hconfSer.value)
+    if (dfsRoot.exists(target)) dfsRoot.delete(target, true)
+    dfsRoot.mkdirs(target)
     df.select(cols(0), cols(1)).rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.tb")
-        val fs = p.getFileSystem(hconfSer.value)
-        val out = new DataOutputStream(new BufferedOutputStream(fs.create(p, true)))
+        val fin = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.tb")
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".part-$pid%05d.tb.${java.util.UUID.randomUUID()}.tmp")
+        val fs = fin.getFileSystem(hconfSer.value)
+        val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
         try it.foreach { row =>
           write(out, TBString(row.getString(0)))
           write(out, TBString(row.getString(1)))
         } finally out.close()
+        if (!fs.rename(tmp, fin)) fs.delete(tmp, false) // lost the commit race
         Iterator.single(1)
       }
     }.count() // materialize the writes

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class CorpusQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionSignals: hand-computed fractions on a looping document") {
+    // "a a a b": 1-grams = [a,a,a,b] -> top a=3/4, dup 3/4
+    //            2-grams = [a a, a a, a b] -> top 2/3, dup 2/3
+    //            3-grams = [a a a, a a b] -> top 1/2, dup 0
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val out = CorpusQuality.repetitionSignals(df, "doc_id", "text")
+      .orderBy("n")
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(out == Seq(
+      (1, 4L, 0.75, 0.75),
+      (2, 3L, 0.666667, 0.666667),
+      (3, 2L, 0.5, 0.0)))
+  }
+
+  test("repetitionSignals: all-distinct text has top_frac 1/n_grams, dup_frac 0") {
+    val df = Seq((7L, "one two three four five")).toDF("doc_id", "text")
+    val out = CorpusQuality.repetitionSignals(df, "doc_id", "text", ns = Seq(1))
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq((5L, 0.2, 0.0)))
+  }
+
+  test("repetitionSignals emits no row for n beyond the document length") {
+    val df = Seq((1L, "only two")).toDF("doc_id", "text")
+    val ns = CorpusQuality.repetitionSignals(df, "doc_id", "text", ns = Seq(1, 2, 3))
+      .collect().map(_.getInt(1)).toSeq.sorted
+    assert(ns == Seq(1, 2)) // no 3-gram row: the doc has 2 tokens
+  }
+
+  test("removeFrequentUnits drops corpus-common lines, keeps order, keeps rare") {
+    // the cookie-banner line appears in all 3 docs (df=3 > maxDocFreq=2);
+    // repeats WITHIN one doc must not count toward document frequency
+    val df = Seq(
+      (1L, Seq("accept cookies", "real content one", "accept cookies", "more one")),
+      (2L, Seq("real content two", "accept cookies")),
+      (3L, Seq("accept cookies", "unique three"))).toDF("doc_id", "lines")
+    val out = CorpusQuality.removeFrequentUnits(df, "doc_id", col("lines"), maxDocFreq = 2)
+      .select("doc_id", "kept_units")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out(1L) == List("real content one", "more one")) // order preserved
+    assert(out(2L) == List("real content two"))
+    assert(out(3L) == List("unique three"))
+  }
+
+  test("removeFrequentUnits: a doc whose units are all boilerplate yields empty, not null") {
+    val df = Seq(
+      (1L, Seq("x")), (2L, Seq("x")), (3L, Seq("x")), (4L, Seq("x", "keep me"))
+    ).toDF("doc_id", "lines")
+    val out = CorpusQuality.removeFrequentUnits(df, "doc_id", col("lines"), maxDocFreq = 2)
+      .select("doc_id", "kept_units")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out(1L) == Nil && out(2L) == Nil && out(3L) == Nil)
+    assert(out(4L) == List("keep me"))
+  }
+
+  test("unitRetentionStats agrees with removeFrequentUnits' kept counts") {
+    val df = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "the cat sat somewhere else entirely today ok"),
+      (3L, "the cat sat in another document completely now"),
+      (4L, "nothing shared with the others at all here")).toDF("doc_id", "text")
+    val withToks = df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val units = TextFunctions.shinglesOfTokens(col("toks"), 3)
+    val stats = CorpusQuality.unitRetentionStats(withToks, "doc_id", units, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val kept = CorpusQuality.removeFrequentUnits(withToks, "doc_id", units, maxDocFreq = 2)
+      .select(col("doc_id"), size(col("kept_units")).cast("long").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == kept.keySet)
+    stats.foreach { case (id, (_, nKept)) => assert(nKept == kept(id), s"doc $id") }
+    // "the cat sat" is in 3 docs -> dropped for docs 1,2,3; doc 4 untouched
+    assert(stats(4L)._1 == stats(4L)._2)
+    assert(stats(1L)._2 < stats(1L)._1)
+  }
+}

@@ -33,6 +33,23 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.parseHeader(Array[Byte](0x89.toByte, 1, 2)).isEmpty)
   }
 
+  test("parseHeader JPEG walk survives fill bytes and standalone markers") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // SOI, TEM (standalone, no length), fill 0xFF, then SOF0 h=100 w=200
+    val sof = bytes(0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x64, 0x00, 0xc8, 0x03)
+    val j1 = bytes(0xff, 0xd8, 0xff, 0x01) ++ bytes(0xff) ++ sof
+    assert(ImageCodec.parseHeader(j1).contains(("jpeg", 200, 100)))
+    // RST markers (standalone) before the frame header
+    val j2 = bytes(0xff, 0xd8, 0xff, 0xd0, 0xff, 0xd7) ++ sof
+    assert(ImageCodec.parseHeader(j2).contains(("jpeg", 200, 100)))
+    // EOI before any SOF → no dimensions
+    val j3 = bytes(0xff, 0xd8, 0xff, 0xd9)
+    assert(ImageCodec.parseHeader(j3).isEmpty)
+    // truncated mid-segment → None, no exception
+    val j4 = bytes(0xff, 0xd8, 0xff, 0xe0, 0x00)
+    assert(ImageCodec.parseHeader(j4).isEmpty)
+  }
+
   test("decode round-trips synthPng pixels deterministically") {
     val a = ImageCodec.synthPng(42L, 20, 10)
     val b = ImageCodec.synthPng(42L, 20, 10)

@@ -118,6 +118,19 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.666667) < 1e-6)
   }
 
+  test("redactPii replaces email/phone/ip with typed tags; piiCounts counts them") {
+    val df = Seq(
+      "write to jane.doe+x@example.co.uk or call +1 (555) 123-4567 from 10.0.0.1",
+      "no pii in this sentence at all").toDF("text")
+    val red = df.select(TextFunctions.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(red(0) == "write to <EMAIL> or call <PHONE> from <IP>")
+    assert(red(1) == "no pii in this sentence at all")
+    val c = df.select(TextFunctions.piiCounts(col("text")).as("c")).select(col("c.*"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c(0) == ((1L, 1L, 1L)))
+    assert(c(1) == ((0L, 0L, 0L)))
+  }
+
   test("MonteCarlo: radical inverse + pi estimate accuracy") {
     import MonteCarlo._
     assert(radicalInverse(1, 2) == 0.5)
