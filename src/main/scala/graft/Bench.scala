@@ -71,15 +71,24 @@ object Bench {
     }
     futures.foreach(_.get())
     pool.shutdown()
-    // Second pass over suspiciously slow queries (host stall defense — see
-    // scaladoc): keep the better of the two measurements.
+    // Re-measure suspiciously slow queries (host stall defense — see
+    // scaladoc): up to REBENCH_MAX extra passes, keeping the best, stopping
+    // once a query measures under the threshold. (A stall window can cover
+    // two consecutive passes — one full-suite run measured a query at 55.9 s
+    // whose isolated rerun minutes later took 14.6 s.)
     val rebenchSec = sys.env.getOrElse("SPARK_GRAFT_REBENCH_SEC", "8").toDouble
-    if (rebenchSec > 0) selected.foreach { case (name, fn) =>
-      val first = results.getOrDefault(name, -1.0)
-      if (first > rebenchSec) {
+    val rebenchMax = sys.env.getOrElse("SPARK_GRAFT_REBENCH_MAX", "2").toInt
+    var pass = 0
+    var anySlow = true
+    while (rebenchSec > 0 && anySlow && pass < rebenchMax) {
+      val slow = selected.filter { case (n, _) => results.getOrDefault(n, -1.0) > rebenchSec }
+      anySlow = slow.nonEmpty
+      slow.foreach { case (name, fn) =>
+        val best = results.get(name)
         val again = timeOnce(name, fn)
-        if (again > 0 && again < first) results.put(name, again)
+        if (again > 0 && again < best) results.put(name, again)
       }
+      pass += 1
     }
 
     // TeraGen → TeraSort → TeraValidate chain (1M rows ≙ 100 MB teradata),

@@ -1,36 +1,59 @@
 package graft.jobs
 
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{CorpusQuality, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline — the composition the engine
   * exists for. One declarative chain, every stage from the operator library:
   *
-  *   read → quality score → filter → exact dedup → MinHash near-dup removal
+  *   read → PII scrub → quality score → repetition gate → filter
+  *        → exact dedup → MinHash near-dup removal
   *        → language-ID annotate → partitioned write
   *
-  * Scale shape: two content shuffles (exact-dedup digest groupBy, MinHash
-  * signature groupBy) + the near-dup candidate join (inverted-index via LSH
-  * bands, linear in candidates); the final write repartitions by the
-  * partition column so each output partition is written by one task.
+  * Scale shape: per-document stages (scrub, scoring, repetition) shuffle on
+  * (doc, gram) with map-side combine; dedup adds two content shuffles
+  * (exact-dedup digest groupBy, MinHash signature groupBy) + the near-dup
+  * candidate join (inverted-index via LSH bands, linear in candidates); the
+  * final write repartitions by the partition column so each output partition
+  * is written by one task.
   */
 object CorpusPipeline {
 
   final case class Config(minTokens: Long = 5, maxStopwordRatio: Double = 0.9,
-                          minUniqRatio: Double = 0.1, nearDupThreshold: Double = 0.9)
+                          minUniqRatio: Double = 0.1, nearDupThreshold: Double = 0.9,
+                          // repetition gate (Gopher-style): drop docs whose
+                          // most-frequent 2-gram covers more than this share.
+                          // 1.0 disables (a 2-token doc is trivially at 1.0).
+                          maxTop2gramFrac: Double = 1.0,
+                          scrubPii: Boolean = false)
 
   /** Returns the curated corpus (doc_id, text, lang, predicted_lang, n_tokens). */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val stopwords = graft.Queries.Stopwords
+    // 0. PII scrub (optional) — must run before any content digest so that
+    //    two docs differing only in redacted PII dedup together
+    val scrubbed =
+      if (cfg.scrubPii) docs.withColumn("text", redactPii(col("text"))) else docs
     // 1. quality gate — single codegen'd projection + filter
-    val scored = docs.withColumn("q", qualityMetrics(col("text"), stopwords))
+    val scored = scrubbed.withColumn("q", qualityMetrics(col("text"), stopwords))
       .filter(col("q.n_tokens") >= cfg.minTokens &&
         col("q.stopword_ratio") <= cfg.maxStopwordRatio &&
         col("q.uniq_ratio") >= cfg.minUniqRatio)
+    // 1b. repetition gate — anti-join against the over-repetitive doc set
+    //     (one (doc, gram) shuffle; skipped entirely when disabled)
+    val gated =
+      if (cfg.maxTop2gramFrac >= 1.0) scored
+      else {
+        val repetitive = CorpusQuality
+          .repetitionSignals(scored, "doc_id", "text", ns = Seq(2))
+          .filter(col("top_frac") > cfg.maxTop2gramFrac)
+          .select(col("id").as("doc_id"))
+        scored.join(repetitive, Seq("doc_id"), "left_anti")
+      }
     // 2. exact dedup (content digest, keep smallest doc_id)
-    val exact = Dedup.exactDedup(scored, Seq(col("text")), col("doc_id"))
+    val exact = Dedup.exactDedup(gated, Seq(col("text")), col("doc_id"))
     // 3. near-dup removal: of each candidate pair keep the smaller id
     //    (greedy; transitive clusters collapse over the id ordering)
     val dupIds = Dedup.minhashCandidatePairs(exact, "doc_id", "text",

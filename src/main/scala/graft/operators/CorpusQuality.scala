@@ -22,9 +22,12 @@ object CorpusQuality {
     * the document (`dup_frac`). High `top_frac`/`dup_frac` at small n flags
     * degenerate/looping text — the repetition tier of quality filtering.
     *
-    * Shape at scale: one explode per n (no cross-document state), a single
-    * (id, n, gram) count with map-side combine, then a per-(id, n) rollup.
-    * Documents with fewer than n tokens emit no row for that n.
+    * Shape at scale: ONE scan and one tokenize per document (all n-gram
+    * sizes are built in a single projection and exploded together — a
+    * union-of-explodes form was measured planning one scan + one regex
+    * tokenize per n), a single (id, n, gram) count with map-side combine,
+    * then a per-(id, n) rollup. Documents with fewer than n tokens emit no
+    * row for that n.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
                         ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
@@ -33,10 +36,13 @@ object CorpusQuality {
     // computed expression must not be passed into its transform lambda.
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
-    val grams = ns.map { n =>
-      toks.select(col("id"), lit(n).as("n"),
-        explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("g"))
-    }.reduce(_ unionByName _)
+    val gramArrays = ns.map { n =>
+      transform(TextFunctions.shinglesOfTokens(col("toks"), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }
+    val grams = toks
+      .select(col("id"), explode(flatten(array(gramArrays: _*))).as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.g").as("g"))
     val counts = grams.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
     counts.groupBy("id", "n").agg(
       sum("c").as("n_grams"),

@@ -41,6 +41,27 @@ object Skew {
       .filter(col("__n") > threshold)
       .select(keys.map(col): _*)
 
+  /** Sampling-based hot-key detection — the 100 TB form of `hotKeys`: scan a
+    * `fraction` Bernoulli sample instead of the full table, flagging keys
+    * whose sampled count exceeds `threshold * fraction * slack`. A key at the
+    * threshold has expected sampled count `threshold * fraction`; `slack` < 1
+    * biases toward OVER-detection (extra lukewarm keys merely get salted —
+    * correctness never depends on the set, only skew relief does). With the
+    * defaults, a genuinely hot key (≥ 2x threshold) at threshold 1e6 and
+    * fraction 1e-3 has sampled mean 2000 vs cutoff 500 — miss probability is
+    * Chernoff-negligible; the scan cost drops by 1/fraction. */
+  def hotKeysBySampling(left: DataFrame, keys: Seq[String], threshold: Long,
+                        fraction: Double = 0.001, slack: Double = 0.5,
+                        seed: Long = 42L): DataFrame = {
+    require(fraction > 0 && fraction <= 1.0 && slack > 0)
+    val cutoff = math.max(1L, (threshold * fraction * slack).toLong)
+    left.select(keys.map(col): _*).sample(withReplacement = false, fraction, seed)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cutoff)
+      .select(keys.map(col): _*)
+  }
+
   /** Inner/left equi-join on `keys`, salting ONLY detected hot keys.
     * Semantically identical to `left.join(right, keys, how)`:
     *  - cold keys (the vast majority) join completely unsalted;
@@ -53,7 +74,12 @@ object Skew {
     * which is the correct trade for retry-safety. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, how: String = "inner",
-                 hotKeyThreshold: Long = 1000000L): DataFrame = {
+                 hotKeyThreshold: Long = 1000000L,
+                 // detection strategy: exact count by default; pass
+                 // `hotKeysBySampling(_, _, _)` to pay 1/1000th of the
+                 // detection scan on very large left sides.
+                 detect: (DataFrame, Seq[String], Long) => DataFrame = hotKeys)
+                : DataFrame = {
     require(how == "inner" || how == "left" || how == "left_outer",
       "salted join supports inner/left joins (right rows are replicated)")
     // Detection runs EAGERLY here and the key set is collected: by
@@ -63,7 +89,7 @@ object Skew {
     // subplan, which was referenced three times and leaked a cache entry per
     // call (never unpersisted).
     val spark = left.sparkSession
-    val hotRows = hotKeys(left, keys, hotKeyThreshold).collect()
+    val hotRows = detect(left, keys, hotKeyThreshold).collect()
     if (hotRows.isEmpty) return left.join(right, keys, how)
     val keySchema = org.apache.spark.sql.types.StructType(keys.map(k => left.schema(k)))
     val hot = broadcast(spark.createDataFrame(

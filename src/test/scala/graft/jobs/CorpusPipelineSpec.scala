@@ -47,6 +47,25 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curate's PII scrub and repetition gate") {
+    import spark.implicits._
+    val looping = ("spam ham " * 30).trim                 // top 2-gram covers ~half
+    val clean = "the quick brown fox jumps over a lazy dog"
+    val docs = Seq(
+      (1L, looping, "en"),
+      (2L, clean, "en"),
+      (3L, s"$clean mail bob@example.com today", "en"),
+      (4L, s"$clean mail sue@example.org today", "en")) // after scrub: dup of 3
+      .toDF("doc_id", "text", "lang")
+    val cfg = CorpusPipeline.Config(minUniqRatio = 0.0, maxTop2gramFrac = 0.2,
+      scrubPii = true)
+    val out = CorpusPipeline.curate(docs, cfg).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids == Seq(2L, 3L)) // 1 repetition-gated; 4 dedups into 3 post-scrub
+    val texts = out.map(_.getAs[String]("text"))
+    assert(texts.exists(_.contains("<EMAIL>")) && !texts.exists(_.contains("@")))
+  }
+
   test("run() writes a partitioned curated corpus from testdata") {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     val back = CorpusPipeline.run(spark, sf, out)

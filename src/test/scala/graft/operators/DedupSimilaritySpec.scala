@@ -172,4 +172,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("k", "v", "name").collect().map(_.toSeq).toSet
     assert(mixed == plainInner)
   }
+
+  test("hotKeysBySampling finds the dominant key; saltedJoin with it stays exact") {
+    // key 0 is 100x hotter than the rest — a full-fraction sample (exactness
+    // baseline) and a 30% sample must both flag it and nothing lukewarm
+    val fact = ((1 to 20000).map(i => (0, i)) ++ (1 to 200).map(i => (i % 10 + 1, i)))
+      .toDF("k", "v")
+    val dim = (0 until 11).map(i => (i, s"d$i")).toDF("k", "name")
+    val full = Skew.hotKeysBySampling(fact, Seq("k"), threshold = 1000, fraction = 1.0)
+      .collect().map(_.getInt(0)).toSeq
+    assert(full == Seq(0))
+    val sampled = Skew.hotKeysBySampling(fact, Seq("k"), threshold = 1000, fraction = 0.3)
+      .collect().map(_.getInt(0)).toSeq
+    assert(sampled == Seq(0))
+    // join results are identical regardless of detection strategy
+    val plain = fact.join(dim, Seq("k")).collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), 8, hotKeyThreshold = 1000,
+        detect = Skew.hotKeysBySampling(_, _, _))
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
 }
