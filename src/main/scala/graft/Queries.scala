@@ -493,6 +493,24 @@ object Queries {
         round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
       .orderBy("lang")
 
+  /** Deterministic 80/10/10 train/val/test split (q54): membership is a pure
+    * function of the doc id's md5 — re-runnable and engine-independent. */
+  def hashSplitCounts(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.hashSplit(t(spark, dir).documents, col("doc_id").cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
+  /** Deterministic mixture resampling (q55): per-language keep fractions
+    * (all of zh, half of en, a quarter of the rest), membership by key md5. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.stratifiedHashSample(t(spark, dir).documents,
+        col("lang"), col("doc_id").cast("string"),
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("lang")
+
   /** Real image decode end-to-end (q49): synthesize a deterministic PNG per
     * document id in each task, then byte-parse the header AND fully decode
     * the pixels with the pure-JVM codec. width/height come from the header

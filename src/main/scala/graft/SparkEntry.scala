@@ -139,7 +139,9 @@ object SparkEntry {
     "q50_sudoku"          -> Queries.sudokuSolve _,
     "q51_repetition"      -> Queries.repetitionSignals _,
     "q52_boilerplate"     -> Queries.boilerplateRetention _,
-    "q53_len_percentiles" -> Queries.lengthPercentiles _
+    "q53_len_percentiles" -> Queries.lengthPercentiles _,
+    "q54_hash_split"      -> Queries.hashSplitCounts _,
+    "q55_mixture_sample"  -> Queries.mixtureSample _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -432,6 +434,22 @@ object SparkEntry {
         |round(quantile_cont(n_chars, 0.9), 6) AS p90,
         |round(quantile_cont(n_chars, 0.99), 6) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q54_hash_split" ->
+      """WITH s AS (SELECT lang,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents),
+        |a AS (SELECT lang, CASE WHEN u >= 0.9 THEN 'test'
+        |  WHEN u >= 0.8 THEN 'val' ELSE 'train' END AS split FROM s)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+        |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q55_mixture_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END) * 4294967296.0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

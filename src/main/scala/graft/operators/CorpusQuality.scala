@@ -85,6 +85,46 @@ object CorpusQuality {
         coalesce(col("kept_units"), array().cast("array<string>")))
   }
 
+  /** Deterministic train/val/test split assignment by content-independent
+    * hash: each row lands in the split whose cumulative weight interval
+    * contains `md5-bucket(key) / 2^32`. Idempotent and re-runnable — the
+    * same key ALWAYS lands in the same split, across runs, machines and
+    * engine versions (md5 is stable; nothing depends on partitioning or row
+    * order), which is what makes held-out sets trustworthy at 100 TB where
+    * "sample again" is not an option. Adds a `split` column. */
+  def hashSplit(df: DataFrame, key: Column,
+                weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    val total = weights.map(_._2).sum
+    val buckets = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    // u in [0, 1): 32-bit md5 word over 2^32
+    val u = TextFunctions.md5Hash32(key).cast("double") / lit(4294967296.0)
+    // Nest the whens so the OUTERMOST tests the highest interval start:
+    // forward foldLeft makes the last-processed (= last split) outermost.
+    val expr = weights.map(_._1).zip(buckets.dropRight(1))
+      .foldLeft(lit(weights.head._1): Column) {
+        case (acc, (name, lo)) => when(u >= lo, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic stratified sampling: keep a row of stratum s iff
+    * `md5-bucket(key) < fractions(s) * 2^32` — the mixture-resampling step
+    * that turns a curated pool into a target training mix (e.g. upweight
+    * low-resource languages by keeping 100% of them, 10% of the rest).
+    * Unlike `sample()`, membership is a pure function of the key: re-runs,
+    * retries and incremental appends select consistently. Strata absent
+    * from `fractions` use `defaultFraction`. */
+  def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1))
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (s, f)) => when(stratum === s, lit(f)).otherwise(acc)
+    }
+    df.filter(TextFunctions.md5Hash32(key).cast("double") < frac * lit(4294967296.0))
+  }
+
   /** Per-document document-frequency profile of its units: how many of a
     * document's units are corpus-common vs rare. The measurement companion
     * to `removeFrequentUnits` (same explode/count plan, aggregated instead

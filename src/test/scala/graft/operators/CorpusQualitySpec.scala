@@ -63,6 +63,42 @@ class CorpusQualitySpec extends SparkSpec {
     assert(out(4L) == List("keep me"))
   }
 
+  test("hashSplit is deterministic, exhaustive, and near the target proportions") {
+    val df = (1L to 4000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val split = CorpusQuality.hashSplit(df, col("id").cast("string"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 4000L)
+    assert(math.abs(counts("train") - 3200.0) < 200, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 400.0) < 100)
+    // pure function of the key: a second run assigns identically
+    val a = split.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = CorpusQuality.hashSplit(df, col("id").cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("stratifiedHashSample: fraction 1 keeps all, 0 keeps none, samples nest") {
+    val df = (1L to 2000L).map(i => (i, if (i % 4 == 0) "zh" else "en")).toDF("id", "lang")
+    def keep(fEn: Double): Set[Long] =
+      CorpusQuality.stratifiedHashSample(df, col("lang"), col("id").cast("string"),
+          Map("en" -> fEn, "zh" -> 1.0))
+        .collect().map(_.getLong(0)).toSet
+    val all = keep(1.0)
+    assert(all.size == 2000)
+    val none = CorpusQuality.stratifiedHashSample(df, col("lang"),
+        col("id").cast("string"), Map("zh" -> 1.0), defaultFraction = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(none.size == 500 && none.forall(_ % 4 == 0)) // only zh survives
+    // monotone nesting: the 25% en sample is a subset of the 50% one
+    val half = keep(0.5); val quarter = keep(0.25)
+    assert(quarter.subsetOf(half) && half.subsetOf(all))
+    assert(math.abs(half.count(_ % 4 != 0) - 750.0) < 120)
+  }
+
   test("unitRetentionStats agrees with removeFrequentUnits' kept counts") {
     val df = Seq(
       (1L, "the cat sat on the mat the cat sat again"),
