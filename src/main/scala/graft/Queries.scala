@@ -511,6 +511,23 @@ object Queries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("lang")
 
+  /** Bucketized range join (q56): for each customer's order-date window
+    * [first order, last order], how many orders (of anyone) fall inside it.
+    * Dates go through epoch days; bucket width 30 days ≈ typical window
+    * granularity. */
+  def rangeJoinWindows(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ at midnight (verified) — day flooring is
+    // exact, so epoch-day arithmetic matches the oracle's timestamp BETWEEN
+    val orders = t(spark, dir).orders
+    val points = orders.select(unix_date(to_date(col("o_orderdate"))).as("pt"))
+    val windows = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(unix_date(to_date(min(col("o_orderdate")))).as("lo"),
+        unix_date(to_date(max(col("o_orderdate")))).as("hi"))
+    Joins.rangeJoin(points, "pt", windows, "lo", "hi", bucketWidth = 30)
+      .groupBy("custkey").agg(count(lit(1)).as("n_in_window"))
+      .orderBy("custkey")
+  }
+
   /** Real image decode end-to-end (q49): synthesize a deterministic PNG per
     * document id in each task, then byte-parse the header AND fully decode
     * the pixels with the pure-JVM codec. width/height come from the header

@@ -141,7 +141,8 @@ object SparkEntry {
     "q52_boilerplate"     -> Queries.boilerplateRetention _,
     "q53_len_percentiles" -> Queries.lengthPercentiles _,
     "q54_hash_split"      -> Queries.hashSplitCounts _,
-    "q55_mixture_sample"  -> Queries.mixtureSample _
+    "q55_mixture_sample"  -> Queries.mixtureSample _,
+    "q56_range_join"      -> Queries.rangeJoinWindows _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -450,6 +451,12 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END) * 4294967296.0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q56_range_join" ->
+      """WITH w AS (SELECT o_custkey AS custkey, min(o_orderdate) AS lo, max(o_orderdate) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey, CAST(count(*) AS BIGINT) AS n_in_window
+        |FROM w JOIN orders o ON o.o_orderdate BETWEEN w.lo AND w.hi
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

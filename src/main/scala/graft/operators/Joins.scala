@@ -93,6 +93,35 @@ object Joins {
       col("__l.*") +: rightPayloadCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Point-in-interval range join: every left row whose numeric `pointCol`
+    * lies in a right row's [loCol, hiCol] (inclusive), with optional extra
+    * equi-`keys`. Another operator Spark lacks natively (its planner turns a
+    * BETWEEN join condition into BroadcastNestedLoopJoin — O(|L|x|R|) once
+    * the right side stops fitting in a broadcast).
+    *
+    * Spark-first scale form: quantize the domain into buckets of
+    * `bucketWidth`; each interval explodes into its covering buckets, each
+    * point maps to exactly ONE bucket, and the join becomes a hash equi-join
+    * on (keys..., bucket) + exact filter. A matching pair meets in exactly
+    * one bucket (the point's), so no dedup pass is needed. Cost is
+    * |L| + Σ(interval_length/bucketWidth) — pick `bucketWidth` near the
+    * typical interval length so intervals explode into O(1) buckets.
+    * Values must be long-castable and |value| < 2^53 (double-exact floor).
+    */
+  def rangeJoin(left: DataFrame, pointCol: String, right: DataFrame,
+                loCol: String, hiCol: String, bucketWidth: Long,
+                keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucket(c: Column): Column =
+      floor(c.cast("long") / lit(bucketWidth.toDouble)).cast("long")
+    val lb = left.withColumn("__b", bucket(col(pointCol)))
+    val rb = right.withColumn("__b",
+      explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
+    lb.join(rb, keys :+ "__b", "inner")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   /** Semi/anti exposure (absent as named ops in the reference — §2.4 note). */
   def semi(left: DataFrame, right: DataFrame, key: String): DataFrame =
     left.join(right, Seq(key), "left_semi")

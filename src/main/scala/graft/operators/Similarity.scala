@@ -164,15 +164,28 @@ object Similarity {
                          threshold: Double, numPlanes: Int, dim: Int,
                          probeRadius: Int = 1, numTables: Int = 8): DataFrame = {
     import graft.plans.VectorExpressions.vec_dot
-    val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius)
-    val base = corpus
-      .select(col(idCol).as("id"), lsh.sigs(col(vecCol)).as("sigs"))
-      .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
-    val probed = base.select(col("id"), col("t"), lsh.probes(col("sig")).as("sig"))
-    val cand = base.select(col("t"), col("sig"), col("id").as("id_a"))
-      .join(probed.select(col("t"), col("sig"), col("id").as("id_b")), Seq("t", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // (numTables=1, probeRadius >= numPlanes) probes EVERY bucket: the
+    // candidate set is all pairs by construction, so skip the probe-mask
+    // fan-out (2^numPlanes rows per id deduped back down) and declare the
+    // pairs directly — same result, none of the pre-distinct blowup. This is
+    // the oracle-checkable exhaustive configuration, not the scale path.
+    val cand =
+      if (numTables == 1 && probeRadius >= numPlanes) {
+        val ids = corpus.select(col(idCol).as("id"))
+        ids.select(col("id").as("id_a"))
+          .crossJoin(ids.select(col("id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+      } else {
+        val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius)
+        val base = corpus
+          .select(col(idCol).as("id"), lsh.sigs(col(vecCol)).as("sigs"))
+          .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+        val probed = base.select(col("id"), col("t"), lsh.probes(col("sig")).as("sig"))
+        base.select(col("t"), col("sig"), col("id").as("id_a"))
+          .join(probed.select(col("t"), col("sig"), col("id").as("id_b")), Seq("t", "sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+      }
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(vec_dot(col(vecCol), col(vecCol))).as("norm"))
     cand
@@ -236,19 +249,30 @@ object Similarity {
                     k: Int, numPlanes: Int, dim: Int,
                     probeRadius: Int = 1, numTables: Int = 8): DataFrame = {
     import graft.plans.VectorExpressions.vec_dot
-    val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius)
-    val c = corpus
-      .select(col(idCol).as("id"), lsh.sigs(col(vecCol)).as("sigs"))
-      .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
-    val q = queries
-      .select(col(qidCol).as("qid"), lsh.sigs(col(qvecCol)).as("sigs"))
-      .select(col("qid"), posexplode(col("sigs")).as(Seq("t", "sig0")))
-      .select(col("qid"), col("t"), lsh.probes(col("sig0")).as("sig"))
-    // candidate ids first (a pair found in several tables/probes must score
-    // once), then vectors join back for the exact re-rank
-    val cand = c.join(broadcast(q), Seq("t", "sig"))
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id")).distinct()
+    // Exhaustive configuration (see cosineNearDupPairs): every (query,
+    // corpus) pair is a candidate — declare that directly instead of
+    // enumerating 2^numPlanes probe masks per query and deduping.
+    val cand =
+      if (numTables == 1 && probeRadius >= numPlanes)
+        corpus.select(col(idCol).as("id"))
+          .crossJoin(broadcast(queries.select(col(qidCol).as("qid"))))
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"))
+      else {
+        val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius)
+        val c = corpus
+          .select(col(idCol).as("id"), lsh.sigs(col(vecCol)).as("sigs"))
+          .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+        val q = queries
+          .select(col(qidCol).as("qid"), lsh.sigs(col(qvecCol)).as("sigs"))
+          .select(col("qid"), posexplode(col("sigs")).as(Seq("t", "sig0")))
+          .select(col("qid"), col("t"), lsh.probes(col("sig0")).as("sig"))
+        // candidate ids first (a pair found in several tables/probes must
+        // score once), then vectors join back for the exact re-rank
+        c.join(broadcast(q), Seq("t", "sig"))
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id")).distinct()
+      }
     val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm"))
     val qv = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),

@@ -83,4 +83,28 @@ class JoinsAndSortsSpec extends SparkSpec {
       .sortBy { case (id, v) => (-v, id) }.take(5).map(_._1)
     assert(got == exp)
   }
+
+  test("rangeJoin matches naive between-join, incl. negatives and equi-keys") {
+    val points = Seq((1, -95L), (1, -10L), (1, 0L), (1, 7L), (2, 7L), (1, 211L), (2, 500L))
+      .toDF("g", "p")
+    val intervals = Seq((1, -100L, -90L), (1, -5L, 8L), (2, 5L, 9L), (1, 200L, 220L), (2, 490L, 480L))
+      .toDF("g", "lo", "hi") // last interval is empty (lo > hi) -> matches nothing
+    // sequence(bucket(lo), bucket(hi)) with lo > hi would step backwards; the
+    // operator must not blow up on it (filter removes any accidental pair)
+    val got = Joins.rangeJoin(points, "p", intervals.filter(col("lo") <= col("hi")),
+        "lo", "hi", bucketWidth = 7, keys = Seq("g"))
+      .select("g", "p", "lo", "hi").collect().map(_.toSeq).toSet
+    val naive = points.as("l").join(intervals.as("r"),
+        col("l.g") === col("r.g") && col("p") >= col("lo") && col("p") <= col("hi"))
+      .select(col("l.g"), col("p"), col("lo"), col("hi")).collect().map(_.toSeq).toSet
+    assert(got == naive && got.nonEmpty)
+    // without the equi-key, group 2's points can match group 1's intervals
+    val keyless = Joins.rangeJoin(points.select("p"), "p",
+        intervals.filter(col("lo") <= col("hi")).select("lo", "hi"), "lo", "hi", 100)
+      .collect().map(_.toSeq).toSet
+    val naiveKeyless = points.select("p").join(intervals.filter(col("lo") <= col("hi")),
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "lo", "hi").collect().map(_.toSeq).toSet
+    assert(keyless == naiveKeyless)
+  }
 }
