@@ -62,6 +62,17 @@ object Sources {
       .map { case (k, v) => (k.toString, v.toString) }.toDF("key", "value")
   }
 
+  /** SequenceFile of (BytesWritable, BytesWritable) — the AsBinary variant
+    * (.../lib/input/SequenceFileAsBinaryInputFormat.java): raw payload bytes,
+    * no text decode. BytesWritable's backing array is reused per record and
+    * may be oversized — copyBytes() materializes the valid slice. */
+  def sequenceFileBinary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.io.BytesWritable
+    spark.sparkContext.sequenceFile(path, classOf[BytesWritable], classOf[BytesWritable])
+      .map { case (k, v) => (k.copyBytes(), v.copyBytes()) }.toDF("key", "value")
+  }
+
   /** StreamXmlRecordReader (hadoop-streaming .../streaming/StreamXmlRecordReader.java):
     * records delimited by begin/end tag patterns. Spark-first: read with the
     * END tag as the record separator (the text datasource handles split

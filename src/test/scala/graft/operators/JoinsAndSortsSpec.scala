@@ -84,6 +84,23 @@ class JoinsAndSortsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("rangeJoin equals naive join on randomized instances (seeded fuzz)") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val w = 1L << rnd.nextInt(6) // bucket widths 1..32
+      val pts = Seq.fill(60)(rnd.nextLong() % 1000L).toDF("p")
+      val ivs = Seq.fill(25) {
+        val lo = rnd.nextLong() % 1000L
+        (lo, lo + rnd.nextInt(120))
+      }.toDF("lo", "hi")
+      val got = Joins.rangeJoin(pts, "p", ivs, "lo", "hi", w)
+        .collect().map(_.toSeq).toSet
+      val naive = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .collect().map(_.toSeq).toSet
+      assert(got == naive, s"trial $trial width $w")
+    }
+  }
+
   test("rangeJoin matches naive between-join, incl. negatives and equi-keys") {
     val points = Seq((1, -95L), (1, -10L), (1, 0L), (1, 7L), (2, 7L), (1, 211L), (2, 500L))
       .toDF("g", "p")

@@ -61,6 +61,21 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set(("k1", "v1"), ("k2", "v2")))
   }
 
+  test("sequenceFileBinary round-trips raw bytes incl. non-UTF8 payloads") {
+    import org.apache.hadoop.io.BytesWritable
+    val dir = Files.createTempDirectory("graft_seqbin").resolve("part").toString
+    val payloads = Seq(
+      Array[Byte](0, 1, 2, -1, -128, 127),
+      Array[Byte](),                      // empty value must stay empty
+      "plain".getBytes(StandardCharsets.UTF_8))
+    spark.sparkContext.parallelize(payloads.zipWithIndex, 1)
+      .map { case (v, i) => (new BytesWritable(Array(i.toByte)), new BytesWritable(v)) }
+      .saveAsSequenceFile(dir)
+    val got = Sources.sequenceFileBinary(spark, dir)
+      .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(got == payloads.zipWithIndex.map { case (v, i) => (Seq(i.toByte), v.toSeq) }.toMap)
+  }
+
   test("auto sniffs sequence-file magic vs text per file and unions them") {
     import org.apache.hadoop.io.Text
     val dir = Files.createTempDirectory("graft_auto")
