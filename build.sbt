@@ -15,6 +15,10 @@ run / fork := true
 // prefixes every child stdout line with "[info] ", which breaks consumers
 // that parse a JSON line from `sbt runMain` output (Bench/Verify drivers).
 outputStrategy := Some(StdoutOutput)
+// ... and keep sbt's own "[success] Total time" trailer off stdout so the
+// JSON line Bench prints is the LAST stdout line of the whole invocation.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

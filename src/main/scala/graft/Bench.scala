@@ -78,15 +78,24 @@ object Bench {
     // whose isolated rerun minutes later took 14.6 s.)
     val rebenchSec = sys.env.getOrElse("SPARK_GRAFT_REBENCH_SEC", "8").toDouble
     val rebenchMax = sys.env.getOrElse("SPARK_GRAFT_REBENCH_MAX", "2").toInt
+    // Global wall budget for re-measurement: if the host is slow for the
+    // WHOLE run (not a window), re-running everything 2x more would triple
+    // the wall-clock — stop re-running once the budget is spent and keep
+    // whatever measurements exist.
+    val rebenchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_REBENCH_BUDGET_SEC", "600").toDouble
+    val rebenchDeadline = System.nanoTime() + (rebenchBudgetSec * 1e9).toLong
     var pass = 0
     var anySlow = true
-    while (rebenchSec > 0 && anySlow && pass < rebenchMax) {
+    while (rebenchSec > 0 && anySlow && pass < rebenchMax &&
+           System.nanoTime() < rebenchDeadline) {
       val slow = selected.filter { case (n, _) => results.getOrDefault(n, -1.0) > rebenchSec }
       anySlow = slow.nonEmpty
       slow.foreach { case (name, fn) =>
-        val best = results.get(name)
-        val again = timeOnce(name, fn)
-        if (again > 0 && again < best) results.put(name, again)
+        if (System.nanoTime() < rebenchDeadline) {
+          val best = results.get(name)
+          val again = timeOnce(name, fn)
+          if (again > 0 && again < best) results.put(name, again)
+        }
       }
       pass += 1
     }
