@@ -511,18 +511,21 @@ object Queries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("lang")
 
-  /** Bucketized range join (q56): for each customer's order-date window
-    * [first order, last order], how many orders (of anyone) fall inside it.
-    * Dates go through epoch days; bucket width 30 days ≈ typical window
-    * granularity. */
+  /** Bucketized range join (q56): for each customer's launch window
+    * [first order, first order + 29 days], how many orders (of anyone) fall
+    * inside it. Windows are interval-selective (≤30 days each, so ≤2 buckets
+    * at width 30) — the shape `rangeJoin` is designed for. A [min,max]-wide
+    * window variant would be intrinsically quadratic (every point in nearly
+    * every window) regardless of join algorithm. Dates go through epoch
+    * days; bucket width 30 days = the window length. */
   def rangeJoinWindows(spark: SparkSession, dir: String): DataFrame = {
     // o_orderdate is TIMESTAMP_NTZ at midnight (verified) — day flooring is
     // exact, so epoch-day arithmetic matches the oracle's timestamp BETWEEN
     val orders = t(spark, dir).orders
     val points = orders.select(unix_date(to_date(col("o_orderdate"))).as("pt"))
     val windows = orders.groupBy(col("o_custkey").as("custkey"))
-      .agg(unix_date(to_date(min(col("o_orderdate")))).as("lo"),
-        unix_date(to_date(max(col("o_orderdate")))).as("hi"))
+      .agg(unix_date(to_date(min(col("o_orderdate")))).as("lo"))
+      .withColumn("hi", col("lo") + lit(29L))
     Joins.rangeJoin(points, "pt", windows, "lo", "hi", bucketWidth = 30)
       .groupBy("custkey").agg(count(lit(1)).as("n_in_window"))
       .orderBy("custkey")

@@ -452,7 +452,8 @@ object SparkEntry {
         |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END) * 4294967296.0
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q56_range_join" ->
-      """WITH w AS (SELECT o_custkey AS custkey, min(o_orderdate) AS lo, max(o_orderdate) AS hi
+      """WITH w AS (SELECT o_custkey AS custkey, min(o_orderdate) AS lo,
+        |    min(o_orderdate) + INTERVAL 29 DAY AS hi
         |  FROM orders GROUP BY 1)
         |SELECT custkey, CAST(count(*) AS BIGINT) AS n_in_window
         |FROM w JOIN orders o ON o.o_orderdate BETWEEN w.lo AND w.hi
