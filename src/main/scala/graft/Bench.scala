@@ -130,6 +130,19 @@ object Bench {
       results.put("teragen", tGen)
       results.put("terasort_validate", tSort)
     }
+    // TestDFSIO-equivalent throughput legs (BASELINE.md's remaining metric
+    // family): seconds to write / read SPARK_GRAFT_DFSIO_MB MiB of 1 KiB
+    // records; mb/sec = MB / seconds.
+    if (only.isEmpty) {
+      val mb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
+      var (tW, tR) = graft.bench.DfsioBench.run(spark, mb)
+      if (rebenchSec > 0 && (tW > rebenchSec || tR > rebenchSec)) {
+        val (w2, r2) = graft.bench.DfsioBench.run(spark, mb)
+        tW = math.min(tW, w2); tR = math.min(tR, r2)
+      }
+      results.put(s"dfsio_write_${mb}mb", tW)
+      results.put(s"dfsio_read_${mb}mb", tR)
+    }
     if (only.isEmpty) {
       def mrbenchOnce(): Seq[(String, Double)] = {
         val (avg, _, _) = graft.bench.TeraBench.microJobLoop(spark, runs = 5, inputLines = 100000)

@@ -347,14 +347,15 @@ object Queries {
   def sudokuSolve(spark: SparkSession, dir: String): DataFrame =
     Sudoku.solvePuzzles(spark, 10).orderBy("puzzle_id")
 
-  private val scratchCleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private val scratchCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Process-unique scratch dir (no cross-process q35 collisions), deleted on
     * JVM exit (no per-run temp-dir leak). */
   private def scratchDir(spark: SparkSession, tag: String): String = {
     val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${spark.sparkContext.applicationId}").toString
-    if (scratchCleanupRegistered.putIfAbsent(out, true) == null)
+    if (scratchCleanupRegistered.add(out))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         val root = java.nio.file.Paths.get(out)
         if (java.nio.file.Files.exists(root)) {
@@ -554,5 +555,35 @@ object Queries {
       Encoders.scalaInt, Encoders.scalaLong))
       .toDF("media_id", "format", "width", "height", "n_pixels")
       .orderBy("media_id")
+  }
+
+  /** Batch sessionization (q57): 30-minute-gap sessions over the events
+    * stream, one row per (user, session) with event count, start time, and
+    * value sum. event_id breaks timestamp ties so session numbering is
+    * deterministic on both sides of the oracle. */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
+    Sessions.sessionize(t(spark, dir).events, Seq("user_id"), "ts",
+        gapSec = 1800, tieBreak = Seq("event_id"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+
+  /** Bloom-gated incremental dedup (q58): docs 7-9 mod 10 are "today's
+    * batch", docs 0-6 the accumulated reference corpus; keep batch docs whose
+    * content digest is novel, aggregated per language. The bloom prefilter is
+    * only a shuffle reducer — the declared result is the exact anti-join, so
+    * the plain NOT EXISTS oracle applies. */
+  def novelDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val ref = docs.filter(col("doc_id") % 10 < 7)
+    val batch = docs.filter(col("doc_id") % 10 >= 7)
+    Dedup.novelAgainst(batch, ref,
+        md5(to_binary(col("text"), lit("utf-8"))), expectedItems = 1 << 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_novel"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("lang")
   }
 }

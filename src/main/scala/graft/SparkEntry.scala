@@ -142,7 +142,9 @@ object SparkEntry {
     "q53_len_percentiles" -> Queries.lengthPercentiles _,
     "q54_hash_split"      -> Queries.hashSplitCounts _,
     "q55_mixture_sample"  -> Queries.mixtureSample _,
-    "q56_range_join"      -> Queries.rangeJoinWindows _
+    "q56_range_join"      -> Queries.rangeJoinWindows _,
+    "q57_sessionize"      -> Queries.sessionizeEvents _,
+    "q58_novel_docs"      -> Queries.novelDocs _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -458,6 +460,35 @@ object SparkEntry {
         |SELECT custkey, CAST(count(*) AS BIGINT) AS n_in_window
         |FROM w JOIN orders o ON o.o_orderdate BETWEEN w.lo AND w.hi
         |GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "q57_sessionize" ->
+      // date_diff('second',…) mirrors Spark's floor-to-second timestamp cast:
+      // both count whole-second boundaries, so a 1800.9 s gap is 1800 on each
+      // side and stays in-session.
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM x
+        |)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  round(sum(value), 6) AS sum_value
+        |FROM y GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q58_novel_docs" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_novel,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents b
+        |WHERE b.doc_id % 10 >= 7 AND NOT EXISTS (
+        |  SELECT 1 FROM documents r
+        |  WHERE r.doc_id % 10 < 7 AND md5(r.text) = md5(b.text))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

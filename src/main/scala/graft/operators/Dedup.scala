@@ -241,4 +241,31 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Incremental dedup: rows of `batch` whose `key` does not appear in
+    * `reference` — the "today's crawl vs the accumulated corpus" step of a
+    * continuously ingested training pipeline.
+    *
+    * A Bloom filter over the reference keys (built distributed by
+    * `stat.bloomFilter`'s aggregate — only the filter bits reach the driver)
+    * is broadcast to prefilter the batch: rows the filter rejects are
+    * DEFINITELY novel and never shuffle; only the ~`fpp` false-positive slice
+    * plus the true duplicates reach an exact `left_anti` join. The result is
+    * therefore EXACT — the bloom is a shuffle reducer, never a correctness
+    * gate. At 100 TB the anti-join input shrinks from |batch| to
+    * |dups| + fpp·|batch| rows; the filter itself costs ~1.2 GiB per 10⁹
+    * reference keys at fpp 0.01, so size `expectedItems` to the real corpus
+    * and keep fpp ≥ 1e-3 (or shard the reference and union) to stay within
+    * executor broadcast budgets. */
+  def novelAgainst(batch: DataFrame, reference: DataFrame, key: Column,
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val refKeys = reference.select(key.cast("string").as("__k"))
+    val bf = refKeys.stat.bloomFilter("__k", expectedItems, fpp)
+    val mightContain = udf((s: String) => s != null && bf.mightContainString(s))
+    val keyed = batch.withColumn("__k", key.cast("string"))
+    val sureNovel = keyed.filter(!mightContain(col("__k")))
+    val suspects = keyed.filter(mightContain(col("__k")))
+      .join(refKeys.distinct(), Seq("__k"), "left_anti")
+    sureNovel.unionByName(suspects).drop("__k")
+  }
 }
