@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinRuleSpec extends SparkSpec {
+
+  private def withRule[A](width: Long)(body: => A): A = {
+    val rule = RangeJoinRewrite()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinRewrite]) :+ rule
+    spark.conf.set(rule.WidthKey, width.toString)
+    try body
+    finally {
+      spark.conf.set(rule.WidthKey, "0")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinRewrite])
+    }
+  }
+
+  private def points = spark.range(0, 2000)
+    .select(col("id").as("pid"), (col("id") * 7 % 500).as("p"))
+  private def ivals = spark.range(0, 300)
+    .select(col("id").as("iid"), (col("id") * 13 % 480).as("lo"))
+    .withColumn("hi", col("lo") + (col("iid") % 25))
+
+  test("rewrites BETWEEN inner join to a bucketized equi join, same result") {
+    val expected = points.join(ivals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    withRule(16) {
+      val joined = points.join(ivals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+      assert(physical.contains("Generate explode"), physical)
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("does not touch joins that already have an equi conjunct") {
+    withRule(16) {
+      val joined = points.withColumn("k", col("pid") % 3)
+        .join(ivals.withColumn("k", col("iid") % 3),
+          Seq("k")).filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Generate explode"), physical)
+    }
+  }
+
+  test("preserves row multiplicity (duplicate points and overlapping intervals)") {
+    import spark.implicits._
+    val p = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("pid", "p")
+    val iv = Seq((100L, 0L, 20L), (200L, 5L, 15L), (300L, 10L, 10L)).toDF("iid", "lo", "hi")
+    val expected = p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy().count().head().getLong(0)
+    withRule(7) {
+      val got = p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy().count().head().getLong(0)
+      // pid 1 and 2 sit at p=10, inside all three intervals; pid 3 matches none
+      assert(got == expected && got == 6L)
+    }
+  }
+}
