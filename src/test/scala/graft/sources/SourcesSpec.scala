@@ -121,6 +121,22 @@ class SourcesSpec extends SparkSpec {
       s"key predicate not pushed into the scan:\n$plan")
   }
 
+  test("compressed text (gzip) reads transparently, same rows as plain text") {
+    // LineRecordReader's codec path (CORE/mapreduce/lib/input/LineRecordReader.java:55,
+    // CompressedSplitLineReader.java:111) — Spark inherits the same Hadoop
+    // codec factory, so .gz text must be a drop-in (one non-splittable
+    // partition per gzip file, the reference's semantics too).
+    val dir = Files.createTempDirectory("graft_gz")
+    val lines = (1 to 500).map(i => s"line-$i")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("a.txt.gz")))
+    gz.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8)); gz.close()
+    val got = spark.read.textFile(dir.toString).collect().sorted
+    assert(got.toSeq == lines.sorted)
+    // gzip is not splittable: the file must land in exactly one partition
+    assert(spark.read.textFile(dir.toString).rdd.getNumPartitions == 1)
+  }
+
   test("partitionAndSortLines co-locates by partition fields and sorts by the full spec") {
     import spark.implicits._
     val lines = Seq("u1 b 2", "u2 a 5", "u1 a 9", "u1 c 1", "u2 b 3")
