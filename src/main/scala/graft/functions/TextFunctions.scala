@@ -98,7 +98,17 @@ object TextFunctions {
     * IPv4. Deliberately conservative (favor precision): curation pipelines
     * re-run with domain-specific patterns; these are the always-on floor. */
   val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePattern: String = "\\+?\\d{1,3}[ .-]?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}"
+  /** A bare digit run is NOT a phone (epoch-millis timestamps and order ids
+    * are 10-14 digits — rewriting them would silently corrupt the corpus):
+    * a match needs an explicit phone marker — leading `+`, a parenthesized
+    * area code, or separators between all groups — and must not be embedded
+    * in a longer digit run (digit-boundary lookarounds). */
+  val PhonePattern: String =
+    "(?<!\\d)(?:" +
+      "\\+\\d{1,3}[ .-]?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}" + // +E.164-ish
+      "|\\(\\d{3}\\)[ .-]?\\d{3}[ .-]?\\d{4}" +                   // (415) 555 1234
+      "|\\d{3}[ .-]\\d{3}[ .-]\\d{4}" +                           // 415-555-1234
+      ")(?!\\d)"
   val Ipv4Pattern: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
   /** Replace email/phone/IPv4 literals with typed placeholder tags — the

@@ -115,7 +115,12 @@ object Joins {
     def bucket(c: Column): Column =
       floor(c.cast("long") / lit(bucketWidth.toDouble)).cast("long")
     val lb = left.withColumn("__b", bucket(col(pointCol)))
-    val rb = right.withColumn("__b",
+    // Inverted intervals (lo > hi) can never match a point, but Spark's
+    // `sequence` steps BACKWARD when start > stop — one dirty row with a
+    // large inverted span (say a sentinel hi=0) explodes into a huge
+    // descending bucket array. Drop such rows (and null bounds — BETWEEN
+    // never matches on null) before exploding.
+    val rb = right.filter(col(loCol) <= col(hiCol)).withColumn("__b",
       explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
     lb.join(rb, keys :+ "__b", "inner")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Optimizer rewrite for point-in-interval joins — the whole-operator form of
   * `operators/Joins.rangeJoin` (see its scaladoc for the algorithm and the
@@ -48,7 +48,14 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       Literal(width.toDouble))), LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = SQLConf.get.getConfString(WidthKey, "0").toLong
+    // Defensive parse: a non-numeric conf value must not throw inside the
+    // optimizer (that would fail EVERY query in the session) — warn and
+    // treat as disabled.
+    val raw = SQLConf.get.getConfString(WidthKey, "0")
+    val width = scala.util.Try(raw.trim.toLong).getOrElse {
+      logWarning(s"ignoring non-numeric $WidthKey='$raw' (range-join rewrite disabled)")
+      0L
+    }
     if (width <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
@@ -59,6 +66,7 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
           e.deterministic && e.references.nonEmpty && e.references.subsetOf(right.outputSet)
         val hasEqui = conjuncts.exists {
           case EqualTo(a, b) => (leftOnly(a) && rightOnly(b)) || (leftOnly(b) && rightOnly(a))
+          case EqualNullSafe(a, b) => (leftOnly(a) && rightOnly(b)) || (leftOnly(b) && rightOnly(a))
           case _ => false
         }
         // (pt, bound) pairs, pt on the left: lowers from pt >= lo, uppers from
@@ -83,9 +91,21 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
             val rb = AttributeReference("__graft_rb", LongType, nullable = false)()
             // Sequence is TimeZoneAwareExpression: without an explicit zone it
             // stays unresolved and fails the optimizer's plan validation.
+            val seq = Sequence(bucket(lo, width), bucket(hi, width), None,
+              Some(SQLConf.get.sessionLocalTimeZone))
+            // Inverted intervals (lo > hi — e.g. a sentinel hi=0 on dirty
+            // data) can never match, but Sequence steps BACKWARD when
+            // start > stop, exploding one bad row into a huge descending
+            // array. Guard: emit an empty bucket list instead (null bounds
+            // also land here — BETWEEN never matches on null). This rule
+            // rewrites arbitrary user BETWEEN joins, so it must never turn a
+            // query that plain BNLJ would run into an array-size blowup.
+            val guarded = If(
+              LessThanOrEqual(Cast(lo, LongType), Cast(hi, LongType)),
+              seq,
+              Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
             val gen = Generate(
-              Explode(Sequence(bucket(lo, width), bucket(hi, width), None,
-                Some(SQLConf.get.sessionLocalTimeZone))),
+              Explode(guarded),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(rb), child = right)
             val newJoin = Join(newLeft, gen, Inner,

@@ -104,11 +104,14 @@ class JoinsAndSortsSpec extends SparkSpec {
   test("rangeJoin matches naive between-join, incl. negatives and equi-keys") {
     val points = Seq((1, -95L), (1, -10L), (1, 0L), (1, 7L), (2, 7L), (1, 211L), (2, 500L))
       .toDF("g", "p")
-    val intervals = Seq((1, -100L, -90L), (1, -5L, 8L), (2, 5L, 9L), (1, 200L, 220L), (2, 490L, 480L))
-      .toDF("g", "lo", "hi") // last interval is empty (lo > hi) -> matches nothing
-    // sequence(bucket(lo), bucket(hi)) with lo > hi would step backwards; the
-    // operator must not blow up on it (filter removes any accidental pair)
-    val got = Joins.rangeJoin(points, "p", intervals.filter(col("lo") <= col("hi")),
+    // Dirty rows go straight into the operator: one mildly inverted interval
+    // and one sentinel-style inversion (lo=1e12, hi=0) whose naive sequence()
+    // would be a ~1e11-element descending array. rangeJoin must guard these
+    // itself — no pre-filtering here.
+    val intervals = Seq((1, -100L, -90L), (1, -5L, 8L), (2, 5L, 9L), (1, 200L, 220L),
+        (2, 490L, 480L), (1, 1000000000000L, 0L))
+      .toDF("g", "lo", "hi")
+    val got = Joins.rangeJoin(points, "p", intervals,
         "lo", "hi", bucketWidth = 7, keys = Seq("g"))
       .select("g", "p", "lo", "hi").collect().map(_.toSeq).toSet
     val naive = points.as("l").join(intervals.as("r"),
@@ -117,11 +120,20 @@ class JoinsAndSortsSpec extends SparkSpec {
     assert(got == naive && got.nonEmpty)
     // without the equi-key, group 2's points can match group 1's intervals
     val keyless = Joins.rangeJoin(points.select("p"), "p",
-        intervals.filter(col("lo") <= col("hi")).select("lo", "hi"), "lo", "hi", 100)
+        intervals.select("lo", "hi"), "lo", "hi", 100)
       .collect().map(_.toSeq).toSet
-    val naiveKeyless = points.select("p").join(intervals.filter(col("lo") <= col("hi")),
+    val naiveKeyless = points.select("p").join(intervals,
         col("p") >= col("lo") && col("p") <= col("hi"))
       .select("p", "lo", "hi").collect().map(_.toSeq).toSet
     assert(keyless == naiveKeyless)
+  }
+
+  test("rangeJoin survives null bounds (BETWEEN never matches on null)") {
+    val points = Seq(5L, 50L).toDF("p")
+    val intervals = Seq((Some(0L), Some(10L)), (None, Some(100L)), (Some(0L), None))
+      .toDF("lo", "hi")
+    val got = Joins.rangeJoin(points, "p", intervals, "lo", "hi", 8)
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(5L, 0L, 10L)))
   }
 }

@@ -131,6 +131,21 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(c(1) == ((0L, 0L, 0L)))
   }
 
+  test("redactPii does not rewrite bare digit runs (epoch millis, order ids)") {
+    val keep = Seq(
+      "created_at=1723456789012 order 4155551234 id 12345678901234", // 13/10/14 digits
+      "pi to 10 places 3.1415926535")
+    val scrub = Seq(
+      ("call 415-555-1234 now", "call <PHONE> now"),
+      ("call (415) 555-1234 now", "call <PHONE> now"),
+      ("call +14155551234 now", "call <PHONE> now"),
+      ("call +1 (555) 123-4567 now", "call <PHONE> now"))
+    val red = (keep ++ scrub.map(_._1)).toDF("text")
+      .select(TextFunctions.redactPii(col("text"))).collect().map(_.getString(0))
+    keep.zipWithIndex.foreach { case (s, i) => assert(red(i) == s, s"corrupted: ${red(i)}") }
+    scrub.zipWithIndex.foreach { case ((_, exp), i) => assert(red(keep.size + i) == exp) }
+  }
+
   test("MonteCarlo: radical inverse + pi estimate accuracy") {
     import MonteCarlo._
     assert(radicalInverse(1, 2) == 0.5)

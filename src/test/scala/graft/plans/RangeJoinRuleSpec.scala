@@ -51,6 +51,52 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("inverted intervals do not explode (guarded to an empty bucket list)") {
+    import spark.implicits._
+    val p = Seq((1L, 10L), (2L, 3L)).toDF("pid", "p")
+    // the sentinel row's naive sequence(bucket(1e12), bucket(0)) would be a
+    // ~1.4e11-element descending array — the rewrite must not build it
+    val iv = Seq((100L, 0L, 20L), (200L, 1000000000000L, 0L)).toDF("iid", "lo", "hi")
+    val expected = p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule(7) {
+      val joined = p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("Generate explode"), physical)
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected && got == Set((1L, 100L), (2L, 100L)))
+    }
+  }
+
+  test("non-numeric width conf disables the rewrite instead of failing the query") {
+    val rule = RangeJoinRewrite()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinRewrite]) :+ rule
+    spark.conf.set(rule.WidthKey, "not-a-number")
+    try {
+      val joined = points.join(ivals, col("p") >= col("lo") && col("p") <= col("hi"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Generate explode"), physical)
+      assert(joined.limit(5).count() == 5) // executes fine, rule just off
+    } finally {
+      spark.conf.set(rule.WidthKey, "0")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinRewrite])
+    }
+  }
+
+  test("null-safe equi conjunct counts as an equi join (no redundant rewrite)") {
+    withRule(16) {
+      val l = points.withColumn("k", col("pid") % 3).alias("l")
+      val r = ivals.withColumn("k", col("iid") % 3).alias("r")
+      val joined = l.join(r,
+        col("l.k") <=> col("r.k") && col("p") >= col("lo") && col("p") <= col("hi"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Generate explode"), physical)
+    }
+  }
+
   test("preserves row multiplicity (duplicate points and overlapping intervals)") {
     import spark.implicits._
     val p = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("pid", "p")
