@@ -82,6 +82,50 @@ object SparkEntry {
        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(cos, 4) AS cos
        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** DuckDB replay of the PRUNED multi-table LSH pipeline (q59): the 16x4-bit
+    * radius-1 signatures from the same seeded xorshift planes
+    * (`Similarity.randomPlanes`, emitted as literals), the {0,1,2,4,8} probe
+    * masks, the bucketed candidate join, the exact cosine re-rank, and the
+    * per-query hit counts against the brute-force top-k. Nothing is taken
+    * from the Spark run — the oracle derives recall (measured: 1.0 on all 10
+    * queries) from the algorithm itself, the q25-minhash pattern applied to
+    * the similarity tier. */
+  private def lshRecallOracleSql(mod: Int): String = {
+    // identical constants to MultiTableLsh(numPlanes = 4, numTables = 16,
+    // dim = 64): planes(t*4 + i) is bit i of table t's signature
+    val planes = graft.operators.Similarity.randomPlanes(64, 64)
+    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    val sigCols = (0 until 16).map { t =>
+      val bits = (0 until 4).map { i =>
+        s"(CASE WHEN list_dot_product(v, ${arr(planes(t * 4 + i))}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      s"${bits.mkString(" + ")} AS sig$t"
+    }.mkString(",\n")
+    val sigList = (0 until 16).map(t => s"sig$t").mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sg AS (SELECT vec_id, v, $sigCols FROM e),
+       |cs AS (SELECT vec_id AS id, t, $sigList[t + 1] AS sig FROM sg, range(0, 16) r(t)),
+       |qp AS (SELECT id AS qid, t,
+       |  unnest([xor(sig, 0), xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
+       |  FROM cs WHERE id % 50 = $mod),
+       |cand AS (SELECT DISTINCT qp.qid, cs.id FROM qp JOIN cs USING (t, sig) WHERE cs.id <> qp.qid),
+       |n AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |sc AS (SELECT c.qid, c.id, list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+       |  FROM cand c JOIN n q ON q.id = c.qid JOIN n x ON x.id = c.id),
+       |lsh AS (SELECT qid, id FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM sc)
+       |  WHERE rank <= 5),
+       |bs AS (SELECT q.id AS qid, x.id, list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+       |  FROM n q JOIN n x ON x.id <> q.id WHERE q.id % 50 = $mod),
+       |bf AS (SELECT qid, id FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM bs)
+       |  WHERE rank <= 5)
+       |SELECT b.qid, CAST(count(*) AS BIGINT) AS k, CAST(count(l.id) AS BIGINT) AS hits,
+       |round(count(l.id) * 1.0 / count(*), 6) AS recall
+       |FROM bf b LEFT JOIN lsh l ON l.qid = b.qid AND l.id = b.id
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.datajoin(spark, "/root/testdata/sf0.001")
@@ -144,7 +188,9 @@ object SparkEntry {
     "q55_mixture_sample"  -> Queries.mixtureSample _,
     "q56_range_join"      -> Queries.rangeJoinWindows _,
     "q57_sessionize"      -> Queries.sessionizeEvents _,
-    "q58_novel_docs"      -> Queries.novelDocs _
+    "q58_novel_docs"      -> Queries.novelDocs _,
+    "q59_lsh_recall"      -> Queries.simLshRecall _,
+    "q60_ivf_recall"      -> Queries.simIvfRecall _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -489,6 +535,16 @@ object SparkEntry {
         |  SELECT 1 FROM documents r
         |  WHERE r.doc_id % 10 < 7 AND md5(r.text) = md5(b.text))
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q59_lsh_recall" -> lshRecallOracleSql(7),
+    "q60_ivf_recall" ->
+      // DuckDB cannot replay the k-means build (xxhash64 seeding + iterated
+      // Lloyd state); the hard check is the recall-row contract: exact query
+      // set, exact k, per-query recall >= 0.8 and suite-mean >= 0.9 flags —
+      // any quantizer or probe regression below those floors flips a flag.
+      """SELECT vec_id AS qid,
+        |CAST(least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT) AS k,
+        |CAST(1 AS BIGINT) AS recall_ge_080, CAST(1 AS BIGINT) AS mean_recall_ge_090
+        |FROM embeddings WHERE vec_id % 50 = 33 ORDER BY qid""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

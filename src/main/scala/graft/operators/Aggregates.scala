@@ -41,12 +41,24 @@ object Aggregates {
   final case class AggSpec(func: String, column: Column, alias: String)
   def spec(func: String, column: Column, alias: String): AggSpec = AggSpec(func, column, alias)
 
-  /** One groupBy().agg() from a list of named aggregator specs. */
-  def aggregate(df: DataFrame, groupCols: Seq[Column], specs: Seq[AggSpec]): DataFrame = {
+  /** One groupBy().agg() from a list of named aggregator specs.
+    *
+    * `plugins` are caller-supplied aggregators merged OVER the built-in
+    * registry (a plugin may also shadow a built-in name) — the Spark form of
+    * the reference's user-defined descriptors, which are loaded by class name
+    * from job config (.../lib/aggregate/UserDefinedValueAggregatorDescriptor
+    * .java:41) and resolved through the same name→aggregator lookup as the
+    * built-ins. A plugin is an ordinary `Column => Column` returning an
+    * aggregate expression, so it stays inside Catalyst's partial/final
+    * HashAggregate split (map-side combined) like every built-in. */
+  def aggregate(df: DataFrame, groupCols: Seq[Column], specs: Seq[AggSpec],
+                plugins: Map[String, Column => Column] = Map.empty): DataFrame = {
     require(specs.nonEmpty, "need at least one aggregation spec")
+    val resolved = registry ++ plugins
     val exprs = specs.map { s =>
-      val fn = registry.getOrElse(s.func,
-        throw new IllegalArgumentException(s"unknown aggregator: ${s.func}"))
+      val fn = resolved.getOrElse(s.func,
+        throw new IllegalArgumentException(
+          s"unknown aggregator: ${s.func} (known: ${resolved.keys.toSeq.sorted.mkString(", ")})"))
       fn(s.column).as(s.alias)
     }
     df.groupBy(groupCols: _*).agg(exprs.head, exprs.tail: _*)

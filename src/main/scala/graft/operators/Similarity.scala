@@ -196,6 +196,22 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Per-query recall of an ANN result against a ground-truth top-k: for each
+    * qid, k = |truth rows|, hits = |ann ∩ truth| on (qid, id), recall =
+    * hits/k. Both inputs are (qid, id[, ...]) top-k tables; the join is on the
+    * (small) per-query result sets, so this costs nothing next to the searches
+    * themselves. This is how the pruned LSH/IVF configurations get a hard
+    * driver-checked signal (q59/q60): the searches are fully seeded, so the
+    * recall table is deterministic. */
+  def topKRecall(truth: DataFrame, ann: DataFrame): DataFrame =
+    truth.select(col("qid"), col("id"))
+      .join(ann.select(col("qid"), col("id")).withColumn("hit", lit(1)),
+        Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(col("qid"), col("k"), col("hits"),
+        round(col("hits").cast("double") / col("k"), 6).as("recall"))
+
   /** Deterministic pseudo-random hyperplanes (xorshift64, fixed seed). */
   def randomPlanes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
     var state = 2463534242555777L

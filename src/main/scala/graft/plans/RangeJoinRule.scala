@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Optimizer rewrite for point-in-interval joins — the whole-operator form of
   * `operators/Joins.rangeJoin` (see its scaladoc for the algorithm and the
@@ -24,10 +24,19 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType,
   * the typical interval length (0 = off, the default — a width far from the
   * data's interval scale degrades the explode factor). Applies to INNER joins
   * whose condition has a lower and an upper bound on the same left-side
-  * integral expression against right-side integral bounds, and no existing
-  * equi conjunct (with one, Catalyst already plans a hash/merge join and the
-  * range conjuncts ride along as filters). The rewrite introduces an equi
-  * conjunct, so it never re-matches its own output.
+  * expression against right-side bounds, and no existing equi conjunct (with
+  * one, Catalyst already plans a hash/merge join and the range conjuncts ride
+  * along as filters). The rewrite introduces an equi conjunct, so it never
+  * re-matches its own output.
+  *
+  * Supported point/bound types: the integral family, DateType, and
+  * TimestampType — point and bounds must come from the SAME family (the
+  * analyzer's comparison coercion normally guarantees this). Dates and
+  * timestamps are reinterpreted via `unix_date` / `unix_micros` (pure
+  * physical-value reads, no timezone arithmetic), so `bucketWidth` is in the
+  * column's physical unit: 1s for integrals, DAYS for dates, MICROSECONDS
+  * for timestamps (e.g. 30 for month-ish date windows,
+  * 86400000000L * 30 for the same over timestamps).
   *
   * Register via `GraftExtensions` (`spark.sql.extensions`) or
   * `spark.experimental.extraOptimizations`.
@@ -36,15 +45,29 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthKey = "spark.graft.rangeJoin.bucketWidth"
 
-  private def isIntegral(e: Expression): Boolean = e.dataType match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
+  // Type family of a candidate point/bound: 'i' integral, 'd' date,
+  // 't' timestamp; point and both bounds must agree (mixing days with micros
+  // would bucket in different units).
+  private def family(e: Expression): Option[Char] = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => Some('i')
+    case DateType => Some('d')
+    case TimestampType => Some('t')
+    case _ => None
   }
 
-  // floor(cast(e as long) / width) — identical to Joins.rangeJoin.bucket,
+  // The physical value as a long: integrals cast, dates as epoch days
+  // (unix_date), timestamps as epoch micros (unix_micros) — reinterpretations,
+  // not timezone arithmetic, so bucketing is deterministic across sessions.
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case DateType => Cast(UnixDate(e), LongType)
+    case TimestampType => UnixMicros(e)
+    case _ => Cast(e, LongType)
+  }
+
+  // floor(toLong(e) / width) — identical to Joins.rangeJoin.bucket,
   // |value| < 2^53 exact under double division.
   private def bucket(e: Expression, width: Long): Expression =
-    Cast(Floor(Divide(Cast(Cast(e, LongType), DoubleType),
+    Cast(Floor(Divide(Cast(toLong(e), DoubleType),
       Literal(width.toDouble))), LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -82,7 +105,9 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
         val pair = (for {
           (pt, lo) <- lowers
           (pt2, hi) <- uppers
-          if pt.semanticEquals(pt2) && Seq(pt, lo, hi).forall(isIntegral)
+          fam <- family(pt).toSeq
+          if pt.semanticEquals(pt2) &&
+            family(lo).contains(fam) && family(hi).contains(fam)
         } yield (pt, lo, hi)).headOption
         pair match {
           case Some((pt, lo, hi)) if !hasEqui =>
@@ -101,7 +126,7 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
             // rewrites arbitrary user BETWEEN joins, so it must never turn a
             // query that plain BNLJ would run into an array-size blowup.
             val guarded = If(
-              LessThanOrEqual(Cast(lo, LongType), Cast(hi, LongType)),
+              LessThanOrEqual(toLong(lo), toLong(hi)),
               seq,
               Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
             val gen = Generate(

@@ -129,6 +129,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"multi-table LSH recall $recall%.3f < 0.9")
   }
 
+  test("topKRecall: exact per-query hit counts against a known truth/ann pair") {
+    // truth: q1 -> {1,2,3}, q2 -> {4,5}; ann finds {1,3} for q1, {4,5,9} for
+    // q2 (9 is a false positive — must not count); q2's recall is exact 1.0
+    val truth = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("qid", "id")
+    val ann = Seq((1L, 1L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 9L)).toDF("qid", "id")
+    val rows = Similarity.topKRecall(truth, ann).orderBy("qid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 3L, 2L, 0.666667), (2L, 2L, 2L, 1.0)))
+  }
+
   test("cosineNearDupPairs: exhaustive config is exact; pruned config is a high-recall subset") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def pairs(d: org.apache.spark.sql.DataFrame) =

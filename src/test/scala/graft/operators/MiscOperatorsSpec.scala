@@ -27,6 +27,25 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(out == Map("x" -> (6L, 5L, 2L), "y" -> (2L, 2L, 1L)))
   }
 
+  test("Aggregates DSL resolves user plugins, which may shadow built-ins") {
+    val df = Seq(("x", 1), ("x", 5), ("y", 2)).toDF("g", "v")
+    import Aggregates._
+    val plugins = Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      "SumOfSquares" -> (c => sum((c * c).cast("long"))),
+      // shadows the built-in: plugin wins, as a user override should
+      "LongValueSum" -> (c => sum(c.cast("long")) * 10))
+    val out = aggregate(df, Seq(col("g")), Seq(
+      spec("SumOfSquares", col("v"), "sq"),
+      spec("LongValueSum", col("v"), "s10"),
+      spec("LongValueMax", col("v"), "mx")), plugins)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map("x" -> (26L, 60L, 5L), "y" -> (4L, 20L, 2L)))
+    val err = intercept[IllegalArgumentException] {
+      aggregate(df, Seq(col("g")), Seq(spec("NoSuchAgg", col("v"), "z")), plugins)
+    }
+    assert(err.getMessage.contains("NoSuchAgg") && err.getMessage.contains("SumOfSquares"))
+  }
+
   test("ValueHistogram reports stats of per-value counts") {
     val df = Seq(("g", "a"), ("g", "a"), ("g", "a"), ("g", "b")).toDF("k", "v")
     val r = Aggregates.valueHistogram(df, col("k"), col("v")).collect().head

@@ -70,8 +70,37 @@ class SessionsNoveltySpec extends SparkSpec {
       Ordering.Option(Ordering.String)))
   }
 
-  test("DfsioBench round-trips and validates byte counts") {
-    val (w, r) = graft.bench.DfsioBench.run(spark, totalMb = 4)
-    assert(w > 0 && r > 0)
+  test("DfsioBench runs all six legs against a Hadoop-path scratch base, validating bytes") {
+    // point the scratch base at an explicit Hadoop file: URI — the cluster
+    // configuration shape (on a real deployment this is hdfs://... / s3a://...)
+    val base = java.nio.file.Files.createTempDirectory("graft_scratch_base")
+    spark.conf.set("spark.graft.scratchDir", "file:" + base)
+    try {
+      val legs = graft.bench.DfsioBench.run(spark, totalMb = 4).toMap
+      assert(legs.keySet == Set("write", "read", "append", "random_read",
+        "backward_read", "skip_read"))
+      assert(legs.values.forall(_ > 0))
+      // the run cleans up after itself under the configured base
+      val left = java.nio.file.Files.list(base).count()
+      assert(left == 0, s"dfsio left $left entries under the scratch base")
+    } finally {
+      spark.conf.unset("spark.graft.scratchDir")
+      java.nio.file.Files.deleteIfExists(base)
+    }
+  }
+
+  test("Scratch.dir resolves, creates, and qualifies under the configured base") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scratch_base2")
+    spark.conf.set("spark.graft.scratchDir", "file:" + base)
+    try {
+      val d = graft.sources.Scratch.dir(spark, "sub/leaf")
+      assert(d.startsWith("file:"), s"not a qualified Hadoop URI: $d")
+      assert(new java.io.File(base.toFile, "sub/leaf").isDirectory)
+      graft.sources.Scratch.delete(spark.sparkContext.hadoopConfiguration, d)
+      assert(!new java.io.File(base.toFile, "sub/leaf").exists)
+    } finally {
+      spark.conf.unset("spark.graft.scratchDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
   }
 }

@@ -69,6 +69,57 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("date-typed BETWEEN joins rewrite to the bucketized plan with unchanged results") {
+    import spark.implicits._
+    // 400 daily points against 60 date windows of 5-32 days each
+    val p = spark.range(0, 400)
+      .select(col("id").as("pid"), date_add(lit("2024-01-01").cast("date"),
+        (col("id") * 7 % 365).cast("int")).as("d"))
+    val iv = spark.range(0, 60)
+      .select(col("id").as("iid"), date_add(lit("2024-01-01").cast("date"),
+        (col("id") * 11 % 350).cast("int")).as("lo"))
+      .withColumn("hi", date_add(col("lo"), (col("iid") % 28 + 5).cast("int")))
+    val cond = col("d") >= col("lo") && col("d") <= col("hi")
+    val expected = p.join(iv, cond).select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    withRule(30) { // width in DAYS for date columns
+      val joined = p.join(iv, cond)
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+      assert(physical.contains("Generate explode"), physical)
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("timestamp-typed BETWEEN joins rewrite with micro-second bucket widths") {
+    // hourly points against 30 windows of up to ~2 days
+    val p = spark.range(0, 500)
+      .select(col("id").as("pid"),
+        (lit("2024-03-01 00:00:00").cast("timestamp") +
+          make_dt_interval(lit(0), (col("id") * 3 % 700).cast("int"))).as("ts"))
+    val iv = spark.range(0, 30)
+      .select(col("id").as("iid"),
+        (lit("2024-03-01 00:00:00").cast("timestamp") +
+          make_dt_interval(lit(0), (col("id") * 19 % 650).cast("int"))).as("lo"))
+      .withColumn("hi", col("lo") + make_dt_interval(lit(0), (col("iid") % 48 + 1).cast("int")))
+    val cond = col("ts") >= col("lo") && col("ts") <= col("hi")
+    val expected = p.join(iv, cond).select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    withRule(86400000000L) { // 1 day in MICROSECONDS
+      val joined = p.join(iv, cond)
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+      assert(physical.contains("Generate explode"), physical)
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    }
+  }
+
   test("non-numeric width conf disables the rewrite instead of failing the query") {
     val rule = RangeJoinRewrite()
     spark.experimental.extraOptimizations =
