@@ -392,6 +392,17 @@ object Queries {
   def pentominoCount(spark: SparkSession, dir: String): DataFrame =
     Pentomino.solutionCount(spark, width = 10, height = 6)
 
+  /** One-sided pentomino tiling count (q61): the reference's OneSidedPentomino
+    * variant — 18 pieces, each chiral shape and its mirror twin distinct — on
+    * its own 3x30 board (EX/dancing/OneSidedPentomino.java:63-66). 184
+    * solutions, verified against an independent Algorithm-X exact-cover
+    * implementation. The board is represented 3-wide so the
+    * lowest-cell-first search fills 3-cell rows; the transposed 30-wide
+    * representation leaves a 30-cell open frontier (same count, an
+    * intractably larger tree). */
+  def pentominoOneSided(spark: SparkSession, dir: String): DataFrame =
+    Pentomino.oneSidedSolutionCount(spark, width = 3, height = 30)
+
   /** 10 synthetic sudoku puzzles solved one-per-task; each solution must be
     * the closed-form canonical grid and provably unique (n_solutions = 1). */
   def sudokuSolve(spark: SparkSession, dir: String): DataFrame =

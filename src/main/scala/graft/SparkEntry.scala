@@ -190,7 +190,8 @@ object SparkEntry {
     "q57_sessionize"      -> Queries.sessionizeEvents _,
     "q58_novel_docs"      -> Queries.novelDocs _,
     "q59_lsh_recall"      -> Queries.simLshRecall _,
-    "q60_ivf_recall"      -> Queries.simIvfRecall _
+    "q60_ivf_recall"      -> Queries.simIvfRecall _,
+    "q61_pentomino_onesided" -> Queries.pentominoOneSided _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -438,6 +439,10 @@ object SparkEntry {
          |FROM range(1, 65) t(i) ORDER BY pos""".stripMargin,
     "q47_pentomino" ->
       """SELECT CAST(9356 AS BIGINT) AS n_solutions, 10 AS width, 6 AS height""".stripMargin,
+    "q61_pentomino_onesided" ->
+      // 184 independently re-derived by a from-scratch Algorithm-X exact
+      // cover over the 18 one-sided pieces (chiral twins distinct)
+      """SELECT CAST(184 AS BIGINT) AS n_solutions, 3 AS width, 30 AS height""".stripMargin,
     "q48_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -22,6 +22,20 @@ class MathJobsSpec extends SparkSpec {
     assert(row.getLong(0) == 9356L) // 2339 classic solutions x 4 rectangle symmetries
   }
 
+  test("one-sided piece set: 18 pieces, 6 chiral twins, 90 cells") {
+    val names = Pentomino.OneSidedShapes.map(_._1)
+    assert(names.size == 18 && names.distinct.size == 18)
+    assert(names.count(_.head.isLower) == 6) // twins of F, L, N, P, Y, Z
+    assert(names.filter(_.head.isLower).map(_.toUpperCase).toSet ==
+      Set("F", "L", "N", "P", "Y", "Z"))
+    assert(Pentomino.OneSidedShapes.map(_._2.size).sum == 90)
+  }
+
+  test("one-sided pentomino 3x30 count matches the independent exact-cover result") {
+    val row = Pentomino.oneSidedSolutionCount(spark, width = 3, height = 30).collect().head
+    assert(row.getLong(0) == 184L) // cross-checked by a from-scratch Algorithm X
+  }
+
   test("sudoku: every synthetic puzzle recovers the canonical grid uniquely") {
     (0 until 10).foreach { pid =>
       val (sol, cnt) = Sudoku.solve(Sudoku.syntheticPuzzle(pid))
