@@ -53,6 +53,62 @@ object Sinks {
       derive(df).write.mode(SaveMode.Overwrite).parquet(path)
     }
 
+  /** Old-API MultipleTextOutputFormat with ARBITRARY per-record file naming
+    * (CORE/mapred/lib/MultipleOutputFormat.java:90,144
+    * `generateFileNameForKeyValue`): the output file of each record is any
+    * derived expression of the record — not just the `name=value/` directory
+    * scheme `partitionBy` offers (e.g. `reports/2024/us.txt` from a date and
+    * a region column).
+    *
+    * Plan shape: one shuffle on the file-name column co-locates each file's
+    * records (and sorts within partitions, so a task streams file-by-file),
+    * then each task writes its files through the Hadoop FileSystem API — so
+    * the sink works against HDFS/object stores on a real cluster. Several
+    * small files may share a task; one file never spans tasks. Parallelism =
+    * min(distinct names, numWriteTasks); per-file write is streaming, so
+    * file size is unbounded.
+    *
+    * @param fileName column evaluating to the file's RELATIVE path under
+    *                 `baseDir` (no leading '/', no ".." segments)
+    * @param line     column with the record's text line
+    */
+  def keyedTextFiles(df: DataFrame, fileName: org.apache.spark.sql.Column,
+                     line: org.apache.spark.sql.Column, baseDir: String,
+                     numWriteTasks: Int = 32): Unit = {
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+    val bc = spark.sparkContext.broadcast(confEntries)
+    df.select(fileName.cast("string").as("__file"), line.cast("string").as("__line"))
+      .repartition(numWriteTasks, col("__file"))
+      .sortWithinPartitions("__file")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          bc.value.foreach { case (k, v) => conf.set(k, v) }
+          val base = new org.apache.hadoop.fs.Path(baseDir)
+          val fs = base.getFileSystem(conf)
+          var current: String = null
+          var out: java.io.BufferedWriter = null
+          def close(): Unit = if (out != null) { out.close(); out = null }
+          try rows.foreach { r =>
+            val name = r.getString(0)
+            require(name != null && !name.startsWith("/") &&
+              !name.split('/').contains(".."), s"unsafe output file name: $name")
+            if (name != current) {
+              close()
+              current = name
+              out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                fs.create(new org.apache.hadoop.fs.Path(base, name), true),
+                java.nio.charset.StandardCharsets.UTF_8))
+            }
+            out.write(r.getString(1)); out.write('\n')
+          } finally close()
+        }
+      }
+  }
+
   /** Discard sink (NullOutputFormat) — runs the plan, writes nothing. */
   def noop(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).format("noop").save()

@@ -167,4 +167,31 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("tag=")) == 2)
   }
+
+  test("keyedTextFiles: arbitrary per-record file naming (old-API MultipleOutputFormat)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat_ws, col, lit}
+    val df = Seq(
+      ("2024", "us", "a"), ("2024", "us", "b"), ("2024", "de", "c"),
+      ("2025", "us", "d"), ("2025", "de", "e"), ("2025", "de", "f")
+    ).toDF("year", "region", "payload")
+    val out = Files.createTempDirectory("graft_keyed").toString
+    // file name derived from TWO columns with nested dirs — beyond partitionBy
+    Sinks.keyedTextFiles(df,
+      concat_ws("/", col("year"), concat_ws(".", col("region"), lit("txt"))),
+      col("payload"), out)
+    def slurp(rel: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(s"$out/$rel")
+      try src.getLines().toList finally src.close()
+    }
+    assert(slurp("2024/us.txt").sorted == Seq("a", "b"))
+    assert(slurp("2024/de.txt") == Seq("c"))
+    assert(slurp("2025/us.txt") == Seq("d"))
+    assert(slurp("2025/de.txt").sorted == Seq("e", "f"))
+    val err = intercept[org.apache.spark.SparkException] {
+      Sinks.keyedTextFiles(df, lit("../escape.txt"), col("payload"), out)
+    }
+    assert(err.getMessage.contains("unsafe") ||
+      Option(err.getCause).exists(_.getMessage.contains("unsafe")))
+  }
 }
