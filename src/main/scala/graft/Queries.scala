@@ -368,6 +368,20 @@ object Queries {
       .orderBy("qid")
   }
 
+  /** Benchmark decontamination report (q62): bigram-shingle overlap of every
+    * held corpus document (doc_id % 10 >= 3) against the doc_id % 10 < 3
+    * slice standing in for an eval suite — the leakage filter a training
+    * pipeline runs before a corpus ships. Fully replayed by the DuckDB
+    * oracle (string shingles, no hashing involved). */
+  def decontaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    CorpusQuality.decontamination(
+        docs.filter(col("doc_id") % 10 >= 3), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 < 3), "text", n = 2, threshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

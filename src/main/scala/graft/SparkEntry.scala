@@ -191,7 +191,8 @@ object SparkEntry {
     "q58_novel_docs"      -> Queries.novelDocs _,
     "q59_lsh_recall"      -> Queries.simLshRecall _,
     "q60_ivf_recall"      -> Queries.simIvfRecall _,
-    "q61_pentomino_onesided" -> Queries.pentominoOneSided _
+    "q61_pentomino_onesided" -> Queries.pentominoOneSided _,
+    "q62_decontamination" -> Queries.decontaminationReport _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -550,6 +551,22 @@ object SparkEntry {
         |CAST(least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT) AS k,
         |CAST(1 AS BIGINT) AS recall_ge_080, CAST(1 AS BIGINT) AS mean_recall_ge_090
         |FROM embeddings WHERE vec_id % 50 = 33 ORDER BY qid""".stripMargin,
+    "q62_decontamination" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 2
+        |    THEN [w[i] || ' ' || w[i + 1] for i in range(1, len(w))]
+        |    ELSE [] END)) AS sh FROM t),
+        |b AS (SELECT DISTINCT sh FROM g WHERE doc_id % 10 < 3),
+        |c AS (SELECT doc_id, sh FROM g WHERE doc_id % 10 >= 3),
+        |j AS (SELECT c.doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        |  FROM c LEFT JOIN b ON c.sh = b.sh GROUP BY c.doc_id)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |CAST(n_overlap AS BIGINT) AS n_overlap,
+        |round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac,
+        |CAST(CASE WHEN CAST(n_overlap AS DOUBLE) / n_shingles >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

@@ -141,4 +141,39 @@ object CorpusQuality {
       .select(col("id"), col("n_units"), col("n_kept"),
         round(col("n_kept").cast("double") / col("n_units"), 6).as("kept_frac"))
   }
+
+  /** Benchmark decontamination: per corpus document, the fraction of its
+    * DISTINCT word n-gram shingles that also occur in a benchmark/eval
+    * corpus — the leakage filter training pipelines run before a corpus may
+    * ship (a doc overlapping an eval set inflates downstream scores). Output:
+    * (id, n_shingles, n_overlap, overlap_frac, contaminated = frac >=
+    * threshold as 0/1). Documents with fewer than n tokens have no shingles
+    * and emit no row.
+    *
+    * Shape at scale: the benchmark side is distinct-ed and broadcast (eval
+    * suites are MBs against a 100 TB corpus; swap the broadcast for a
+    * Bloom-filter prefilter via `Dedup.novelAgainst`'s machinery if a
+    * benchmark ever outgrows it), so the corpus is ONE scan + map-side
+    * hash-join + one (id) aggregation — no shuffle of corpus shingles. */
+  def decontamination(corpus: DataFrame, idCol: String, textCol: String,
+                      benchmark: DataFrame, btextCol: String,
+                      n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val bsh = benchmark
+      .select(TextFunctions.tokens(col(btextCol)).as("toks"))
+      .select(explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val csh = corpus
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shinglesOfTokens(col("toks"), n))).as("sh"))
+    csh.join(broadcast(bsh), Seq("sh"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+      .select(col("id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("overlap_frac"),
+        (col("n_overlap").cast("double") / col("n_shingles") >= threshold)
+          .cast("long").as("contaminated"))
+  }
 }

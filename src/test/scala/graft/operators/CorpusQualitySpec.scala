@@ -118,4 +118,19 @@ class CorpusQualitySpec extends SparkSpec {
     assert(stats(4L)._1 == stats(4L)._2)
     assert(stats(1L)._2 < stats(1L)._1)
   }
+
+  test("decontamination flags docs overlapping the benchmark, by exact shingle counts") {
+    // benchmark: "a b c d" -> bigrams {a b, b c, c d}
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c x"),   // bigrams {a b, b c, c x}: 2/3 overlap -> contaminated
+      (2L, "x y z a"),   // {x y, y z, z a}: 0/3
+      (3L, "c d"),       // {c d}: 1/1 -> contaminated
+      (4L, "solo")       // no bigrams -> no row
+    ).toDF("doc_id", "text")
+    val got = CorpusQuality.decontamination(corpus, "doc_id", "text", bench, "text",
+        n = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(got == Map(1L -> (3L, 2L, 1L), 2L -> (3L, 0L, 0L), 3L -> (1L, 1L, 1L)))
+  }
 }
