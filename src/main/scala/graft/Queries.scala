@@ -382,6 +382,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Int8-quantized similarity quality (q63): brute-force cosine top-k over
+    * symmetric-int8-quantized embeddings, scored as per-query recall against
+    * the full-precision top-k (query set % 50 == 41, disjoint from the other
+    * ANN queries). Quantization + ranking are exact integer arithmetic (see
+    * `Similarity.quantizeInt8`), so the DuckDB oracle replays BOTH sides and
+    * checks exact hit counts — the memory-reduction path gets the same hard
+    * driver signal as the pruning paths (q59/q60). */
+  def simQuantizedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val qemb = emb.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qv"))
+    val queries = emb.filter(col("vec_id") % 50 === 41)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qqueries = qemb.filter(col("vec_id") % 50 === 41)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val quant = Similarity.cosineTopK(qemb, "vec_id", "qv", qqueries, "qid", "qvec",
+      k = 5, dim = 64)
+    val full = Similarity.cosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, dim = 64)
+    Similarity.topKRecall(full, quant).orderBy("qid")
+  }
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

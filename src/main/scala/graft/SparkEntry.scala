@@ -192,7 +192,8 @@ object SparkEntry {
     "q59_lsh_recall"      -> Queries.simLshRecall _,
     "q60_ivf_recall"      -> Queries.simIvfRecall _,
     "q61_pentomino_onesided" -> Queries.pentominoOneSided _,
-    "q62_decontamination" -> Queries.decontaminationReport _
+    "q62_decontamination" -> Queries.decontaminationReport _,
+    "q63_quantized_recall" -> Queries.simQuantizedRecall _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -542,6 +543,30 @@ object SparkEntry {
         |  WHERE r.doc_id % 10 < 7 AND md5(r.text) = md5(b.text))
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q59_lsh_recall" -> lshRecallOracleSql(7),
+    "q63_quantized_recall" ->
+      // full replay: int8 quantization (floor(x / (max|x|/127)) — exact
+      // integer dots, engine-independent; see Similarity.quantizeInt8),
+      // quantized AND full-precision top-5, per-query hit counts
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+        |qz AS (SELECT vec_id, CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+        |  ELSE list_transform(v, x -> floor(x / sc)) END AS qv FROM s),
+        |nq AS (SELECT vec_id AS id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+        |sq AS (SELECT q.id AS qid, x.id, list_dot_product(q.qv, x.qv) / (q.nrm * x.nrm) AS cos
+        |  FROM nq q JOIN nq x ON x.id <> q.id WHERE q.id % 50 = 41),
+        |qt AS (SELECT qid, id FROM (SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM sq)
+        |  WHERE rank <= 5),
+        |nf AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |sf AS (SELECT q.id AS qid, x.id, list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+        |  FROM nf q JOIN nf x ON x.id <> q.id WHERE q.id % 50 = 41),
+        |ft AS (SELECT qid, id FROM (SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM sf)
+        |  WHERE rank <= 5)
+        |SELECT f.qid, CAST(count(*) AS BIGINT) AS k, CAST(count(l.id) AS BIGINT) AS hits,
+        |round(count(l.id) * 1.0 / count(*), 6) AS recall
+        |FROM ft f LEFT JOIN qt l ON l.qid = f.qid AND l.id = f.id
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin,
     "q60_ivf_recall" ->
       // DuckDB cannot replay the k-means build (xxhash64 seeding + iterated
       // Lloyd state); the hard check is the recall-row contract: exact query

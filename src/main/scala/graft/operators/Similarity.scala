@@ -212,6 +212,29 @@ object Similarity {
       .select(col("qid"), col("k"), col("hits"),
         round(col("hits").cast("double") / col("k"), 6).as("recall"))
 
+  /** Symmetric int8 quantization of a float-vector column: per-vector
+    * scale = max|x|/127, elements floor(x/scale) ∈ [-128, 127]. The
+    * 100 TB footprint lever: a 64-dim float corpus drops 4x (embedding
+    * columns dominate ANN storage and shuffle width).
+    *
+    * Determinism by construction: `floor` (not round — half-way rounding
+    * modes differ subtly across engines) over double division of exactly-
+    * representable inputs, so any engine replays bit-identically. The output
+    * stays `array<float>`: the values are small integers, floats carry
+    * integers exactly below 2^24, so quantized dot products through the
+    * native `VectorDot` codegen are EXACT integer arithmetic
+    * (|dot| <= dim x 127^2 ≈ 2^20 for dim 64) — quantized rankings are
+    * reproducible everywhere, unlike float-sum rankings.
+    *
+    * The per-element `scale` subexpression is O(dim) — fine for embedding
+    * dims (64 here: ~4k cheap ops/vector); project it into a column first if
+    * a huge dim ever makes it the bottleneck. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x))).cast("double") / lit(127.0d)
+    when(scale === 0.0d, transform(vec, _ => lit(0.0f)))
+      .otherwise(transform(vec, x => floor(x.cast("double") / scale).cast("float")))
+  }
+
   /** Deterministic pseudo-random hyperplanes (xorshift64, fixed seed). */
   def randomPlanes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
     var state = 2463534242555777L

@@ -139,6 +139,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 3L, 2L, 0.666667), (2L, 2L, 2L, 1.0)))
   }
 
+  test("quantizeInt8: exact scale/floor values, zero-vector guard, integer range") {
+    val df = Seq(
+      (1L, Array(12.7f, -6.35f, 0.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val got = df.select(col("id"), Similarity.quantizeInt8(col("vec")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // scale = 12.7/127 = 0.1; floor semantics: -6.35/0.1 = -63.5 -> -64
+    assert(got(1L) == Seq(127.0f, -64.0f, 0.0f, 10.0f))
+    assert(got(2L) == Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    // real embeddings stay in int8 range
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bounds = emb.select(Similarity.quantizeInt8(col("embedding")).as("q"))
+      .select(array_min(col("q")).as("lo"), array_max(col("q")).as("hi"))
+      .agg(min(col("lo")), max(col("hi"))).collect().head
+    assert(bounds.getFloat(0) >= -128.0f && bounds.getFloat(1) <= 127.0f)
+  }
+
   test("cosineNearDupPairs: exhaustive config is exact; pruned config is a high-recall subset") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def pairs(d: org.apache.spark.sql.DataFrame) =
