@@ -137,6 +137,29 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.textFile(dir.toString).rdd.getNumPartitions == 1)
   }
 
+  test("write-side codecs (bzip2/lz4/snappy/gzip/deflate text, zstd parquet) round-trip") {
+    // the reference's codec family (IO/compress/*Codec.java) through the same
+    // Hadoop codec factory Spark loads; each write must read back identically.
+    // zstd is exercised through parquet (this Spark build's text datasource
+    // whitelists bzip2/deflate/snappy/lz4/gzip only).
+    import spark.implicits._
+    val lines = (1 to 300).map(i => s"row-$i").toDF("value")
+    Seq("bzip2", "lz4", "snappy", "gzip", "deflate").foreach { codec =>
+      val out = Files.createTempDirectory(s"graft_codec_$codec").toString + "/data"
+      lines.write.option("compression", codec).text(out)
+      val files = new java.io.File(out).listFiles().map(_.getName)
+      assert(files.exists(f => f.startsWith("part-") && !f.endsWith(".txt")),
+        s"$codec: ${files.toSeq}") // extension shows the codec actually applied
+      val back = spark.read.textFile(out).collect().sorted
+      assert(back.toSeq == (1 to 300).map(i => s"row-$i").sorted, s"codec $codec")
+    }
+    val out = Files.createTempDirectory("graft_codec_zstd").toString + "/data"
+    lines.write.option("compression", "zstd").parquet(out)
+    assert(new java.io.File(out).listFiles().exists(_.getName.contains(".zstd.")))
+    assert(spark.read.parquet(out).as[String].collect().sorted.toSeq ==
+      (1 to 300).map(i => s"row-$i").sorted)
+  }
+
   test("partitionAndSortLines co-locates by partition fields and sorts by the full spec") {
     import spark.implicits._
     val lines = Seq("u1 b 2", "u2 a 5", "u1 a 9", "u1 c 1", "u2 b 3")
