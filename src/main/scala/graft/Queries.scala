@@ -341,11 +341,16 @@ object Queries {
   /** Pruned-configuration IVF ANN (q60): nprobe=12 of nlist=16, scored as
     * per-query recall against the in-Spark brute-force top-k (query set
     * % 50 == 33, disjoint from q31/q32/q42/q59). The coarse quantizer is
-    * seeded (xxhash64 seed pick + deterministic Lloyd steps), so the recall
-    * table is deterministic; DuckDB cannot replay the k-means build, so the
-    * oracle checks the recall rows — exact qid/k counts, per-query
-    * recall >= 0.8 and suite-mean recall >= 0.9 as 0/1 flags (measured:
-    * min 0.8, mean 0.96). nprobe is 12 rather than the classic 1-4 because
+    * seeded (xxhash64 seed pick + Lloyd steps), so the recall table is
+    * deterministic up to last-ulp centroid variation (`avg()` partial-merge
+    * order isn't bit-pinned across shuffle fetch orders); DuckDB cannot
+    * replay the k-means build, so the oracle checks the recall rows — exact
+    * qid/k counts, per-query recall >= 0.6 and suite-mean recall >= 0.9 as
+    * 0/1 flags. Measured: min 0.8, mean 0.96 — the per-query floor sits a
+    * full hit below the measured minimum so a near-tie list assignment
+    * flipping one hit can never flap the gate, and the mean flag keeps the
+    * >= 0.9 claim doing the real work. nprobe is 12 rather than the classic
+    * 1-4 because
     * the synthetic embeddings are near-random — a true neighbor's list
     * membership is barely correlated with the query's (nprobe=4 measures
     * mean recall 0.62 here); on genuinely clustered real embeddings the
@@ -362,7 +367,7 @@ object Queries {
     val all = Window.partitionBy() // 10 recall rows — single-partition window is free
     Similarity.topKRecall(bf, ivf)
       .select(col("qid"), col("k"),
-        (col("recall") >= 0.8).cast("long").as("recall_ge_080"),
+        (col("recall") >= 0.6).cast("long").as("recall_ge_060"),
         ((sum(col("hits")).over(all).cast("double") / sum(col("k")).over(all)) >= 0.9)
           .cast("long").as("mean_recall_ge_090"))
       .orderBy("qid")

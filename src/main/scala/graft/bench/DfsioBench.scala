@@ -1,6 +1,5 @@
 package graft.bench
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -65,23 +64,18 @@ object DfsioBench {
       val appendSec = (System.nanoTime() - t) / 1e9
       require(readBytes() == (rows + appendRows) * Rec, "dfsio append mismatch")
 
-      // Positioned-read legs: ship the Hadoop conf as entries (Configuration
-      // itself is not serializable) so executor-side FileSystem resolution
-      // honors the driver's fs settings on a real cluster.
+      // Positioned-read legs: conf shipped via Scratch.confEntries so
+      // executor-side FileSystem resolution honors the driver's fs settings.
       val fs0 = new Path(data).getFileSystem(sc.hadoopConfiguration)
       val files = fs0.globStatus(new Path(data, "part-*"))
         .map(s => (s.getPath.toString, s.getLen)).toSeq
       require(files.nonEmpty && files.forall(_._2 % Rec == 0), "non-record-aligned part file")
-      import scala.jdk.CollectionConverters._
-      val confEntries = sc.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toArray
-      val bc = sc.broadcast(confEntries)
+      val bc = sc.broadcast(graft.sources.Scratch.confEntries(sc.hadoopConfiguration))
 
       def seekLeg(mode: String): (Double, Long) = {
         val t0 = System.nanoTime()
         val total = sc.parallelize(files, files.length).map { case (pathStr, len) =>
-          val conf = new Configuration(false)
-          bc.value.foreach { case (k, v) => conf.set(k, v) }
+          val conf = graft.sources.Scratch.confFrom(bc.value)
           val p = new Path(pathStr)
           val in = p.getFileSystem(conf).open(p)
           val buf = new Array[Byte](Rec)

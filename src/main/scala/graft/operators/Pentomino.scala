@@ -115,7 +115,14 @@ object Pentomino {
 
   /** Two-word-board variant for boards of 65..128 cells (the 90-cell
     * one-sided boards don't fit one Long). Same lowest-empty-cell-first
-    * search; placements carry (piece, loWord, hiWord) masks. */
+    * search; placements carry (piece, loWord, hiWord) masks.
+    *
+    * Deliberately a separate copy of the one-Long solver rather than its
+    * generalization: the single-word path is the hot one (q47's 6x10 search
+    * visits ~100x the nodes of the 3-wide one-sided board) and collapsing it
+    * onto two-word ops taxes every node of the deeper search; the inner loop
+    * is ~10 lines, and both counts are pinned by independent oracles
+    * (9356, 184), so divergence is caught. */
   private def placements2(shapes: Seq[Seq[(Int, Int)]], width: Int, height: Int,
                           oneSided: Boolean): Array[Array[(Int, Long, Long)]] = {
     val byCell = Array.fill(width * height)(List.empty[(Int, Long, Long)])

@@ -36,4 +36,20 @@ object Scratch {
     val p = new Path(uri)
     p.getFileSystem(conf).delete(p, true)
   }
+
+  /** Hadoop `Configuration` is not serializable; executor-side FileSystem
+    * work (DfsioBench's positioned reads, Sinks.keyedTextFiles) ships the
+    * conf as a broadcastable entry array and rebuilds it per task, so the
+    * driver's fs settings (credentials, endpoints) are honored on a real
+    * cluster. ONE implementation — keep the two users in sync by sharing it. */
+  def confEntries(conf: Configuration): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+  }
+
+  def confFrom(entries: Array[(String, String)]): Configuration = {
+    val conf = new Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
 }

@@ -68,43 +68,92 @@ object Sinks {
     * min(distinct names, numWriteTasks); per-file write is streaming, so
     * file size is unbounded.
     *
+    * Safety: data-derived names are validated structurally (relative, no
+    * `..`, no URI scheme) AND the resolved path is required to stay under
+    * `baseDir`. Each file is written to a task-attempt temp name and renamed
+    * into place only after it is complete, so a retried or speculative task
+    * attempt can never interleave bytes with another attempt — the
+    * last-committed attempt wins with a whole file (rename is the same
+    * task-commit primitive FileOutputCommitter v2 relies on). With
+    * `overwrite` (default, matching the sibling sinks' SaveMode.Overwrite)
+    * the base dir is cleared first so stale files from a previous run can't
+    * mix generations.
+    *
     * @param fileName column evaluating to the file's RELATIVE path under
-    *                 `baseDir` (no leading '/', no ".." segments)
-    * @param line     column with the record's text line
+    *                 `baseDir`
+    * @param line     column with the record's text line (null is rejected
+    *                 with the offending file named, like ANSI mode would)
     */
   def keyedTextFiles(df: DataFrame, fileName: org.apache.spark.sql.Column,
                      line: org.apache.spark.sql.Column, baseDir: String,
-                     numWriteTasks: Int = 32): Unit = {
+                     numWriteTasks: Int = 32, overwrite: Boolean = true): Unit = {
     val spark = df.sparkSession
-    import scala.jdk.CollectionConverters._
-    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toArray
-    val bc = spark.sparkContext.broadcast(confEntries)
+    val driverConf = spark.sparkContext.hadoopConfiguration
+    if (overwrite) Scratch.delete(driverConf, baseDir)
+    val bc = spark.sparkContext.broadcast(Scratch.confEntries(driverConf))
     df.select(fileName.cast("string").as("__file"), line.cast("string").as("__line"))
       .repartition(numWriteTasks, col("__file"))
       .sortWithinPartitions("__file")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.hasNext) {
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          bc.value.foreach { case (k, v) => conf.set(k, v) }
+          val conf = Scratch.confFrom(bc.value)
           val base = new org.apache.hadoop.fs.Path(baseDir)
           val fs = base.getFileSystem(conf)
+          val qualifiedBase = fs.makeQualified(base).toString
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
+            .getOrElse("driver")
+          def resolve(name: String): org.apache.hadoop.fs.Path = {
+            // structural checks plus a resolved-prefix check: Path(parent,
+            // child) passes a scheme-qualified child ("file:/etc/x",
+            // "hdfs://other/x") through UNRESOLVED, so prefix-verify the
+            // qualified result too
+            require(name != null && name.nonEmpty && !name.startsWith("/") &&
+              !name.contains(":") && !name.split('/').contains(".."),
+              s"unsafe output file name: $name")
+            val p = fs.makeQualified(new org.apache.hadoop.fs.Path(base, name))
+            require(p.toString.startsWith(qualifiedBase + "/"),
+              s"output file name escapes base dir: $name")
+            p
+          }
           var current: String = null
+          var currentFinal: org.apache.hadoop.fs.Path = null
+          var currentTemp: org.apache.hadoop.fs.Path = null
           var out: java.io.BufferedWriter = null
-          def close(): Unit = if (out != null) { out.close(); out = null }
-          try rows.foreach { r =>
-            val name = r.getString(0)
-            require(name != null && !name.startsWith("/") &&
-              !name.split('/').contains(".."), s"unsafe output file name: $name")
-            if (name != current) {
-              close()
-              current = name
-              out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-                fs.create(new org.apache.hadoop.fs.Path(base, name), true),
-                java.nio.charset.StandardCharsets.UTF_8))
+          // complete the in-flight file: close the temp, then rename it over
+          // the final name (delete-then-rename; rename-over is not portable)
+          def commit(): Unit = if (out != null) {
+            out.close(); out = null
+            fs.delete(currentFinal, false)
+            require(fs.rename(currentTemp, currentFinal),
+              s"rename failed: $currentTemp -> $currentFinal")
+          }
+          try {
+            rows.foreach { r =>
+              val name = r.getString(0)
+              if (name != current) {
+                commit()
+                current = name
+                currentFinal = resolve(name)
+                currentTemp = new org.apache.hadoop.fs.Path(currentFinal.getParent,
+                  s".${currentFinal.getName}.inprogress-$attempt")
+                out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                  fs.create(currentTemp, true),
+                  java.nio.charset.StandardCharsets.UTF_8))
+              }
+              val text = r.getString(1)
+              require(text != null, s"null line for output file $name")
+              out.write(text); out.write('\n')
             }
-            out.write(r.getString(1)); out.write('\n')
-          } finally close()
+            commit() // the task's last file
+          } finally {
+            // reached with out != null only when an exception skipped a
+            // commit — drop the partial temp, keep committed files intact
+            if (out != null) {
+              try { out.close(); fs.delete(currentTemp, false) }
+              catch { case _: Exception => () }
+            }
+          }
         }
       }
   }

@@ -211,10 +211,31 @@ class SourcesSpec extends SparkSpec {
     assert(slurp("2024/de.txt") == Seq("c"))
     assert(slurp("2025/us.txt") == Seq("d"))
     assert(slurp("2025/de.txt").sorted == Seq("e", "f"))
-    val err = intercept[org.apache.spark.SparkException] {
-      Sinks.keyedTextFiles(df, lit("../escape.txt"), col("payload"), out)
+    // overwrite semantics: a re-run whose keys changed must not leave stale
+    // files from the previous generation behind
+    Sinks.keyedTextFiles(df.filter(col("year") === "2025"),
+      concat_ws("/", col("year"), concat_ws(".", col("region"), lit("txt"))),
+      col("payload"), out)
+    assert(!new java.io.File(s"$out/2024").exists, "stale 2024 generation survived")
+    assert(slurp("2025/us.txt") == Seq("d"))
+    // path escapes: both the ../ form and the scheme-qualified form (which
+    // Hadoop's Path(parent, child) would pass through unresolved) must die
+    Seq("../escape.txt", "file:/tmp/graft_keyed_evil.txt").foreach { evil =>
+      val err = intercept[org.apache.spark.SparkException] {
+        Sinks.keyedTextFiles(df, lit(evil), col("payload"), out)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+      assert(msgs(err).exists(m => m != null && m.contains("unsafe")), evil)
     }
-    assert(err.getMessage.contains("unsafe") ||
-      Option(err.getCause).exists(_.getMessage.contains("unsafe")))
+    assert(!new java.io.File("/tmp/graft_keyed_evil.txt").exists)
+    // null payloads fail with the offending file named, not a bare NPE
+    val nullErr = intercept[org.apache.spark.SparkException] {
+      Sinks.keyedTextFiles(Seq(("a.txt", null: String)).toDF("f", "p"),
+        col("f"), col("p"), out)
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs2(e.getCause))
+    assert(msgs2(nullErr).exists(m => m != null && m.contains("null line")))
   }
 }
