@@ -408,6 +408,17 @@ object Queries {
     Similarity.topKRecall(full, quant).orderBy("qid")
   }
 
+  /** Per-document top rare terms (q64): rarity-weighted term importance over
+    * the documents table — the keyword-extraction tier of text analysis.
+    * score = tf x (N/df) with the exact arithmetic shape mirrored in the
+    * oracle SQL (see CorpusQuality.topTermsByRarity for why raw idf). */
+  def topRareTerms(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.topTermsByRarity(t(spark, dir).documents, "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

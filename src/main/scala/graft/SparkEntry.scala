@@ -193,7 +193,8 @@ object SparkEntry {
     "q60_ivf_recall"      -> Queries.simIvfRecall _,
     "q61_pentomino_onesided" -> Queries.pentominoOneSided _,
     "q62_decontamination" -> Queries.decontaminationReport _,
-    "q63_quantized_recall" -> Queries.simQuantizedRecall _
+    "q63_quantized_recall" -> Queries.simQuantizedRecall _,
+    "q64_top_rare_terms"  -> Queries.topRareTerms _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -594,6 +595,21 @@ object SparkEntry {
         |round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac,
         |CAST(CASE WHEN CAST(n_overlap AS DOUBLE) / n_shingles >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM j ORDER BY doc_id""".stripMargin,
+    "q64_top_rare_terms" ->
+      // score arithmetic written EXACTLY as the Spark side computes it
+      // (tf * (N / df), two IEEE ops) so the rank cut replays bit-identically
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf,
+        |  CAST(tf AS DOUBLE) * (n.n / CAST(df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfq USING (term), n),
+        |r AS (SELECT doc_id, term, tf, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

@@ -142,6 +142,37 @@ object CorpusQuality {
         round(col("n_kept").cast("double") / col("n_units"), 6).as("kept_frac"))
   }
 
+  /** Rarity-weighted top terms per document — the tf-idf family's term-
+    * importance signal (keyword extraction, topic tagging, index weighting).
+    * score(term, doc) = tf x (N / df), the raw-idf variant: one IEEE
+    * multiply and one divide, so rankings replay bit-identically in any
+    * engine — classical log-idf differs in the last ulp between libm
+    * implementations, which would make cross-engine verification of the
+    * top-k cut impossible. (log is monotone in N/df, so for fixed tf the
+    * term ordering is the same; only the mixing of tf against idf shifts.)
+    * Ties break by term. Output: (id, rank, term, tf, score).
+    *
+    * Shape at scale: one (id, term) count with map-side combine, a term-df
+    * aggregation of THAT result (tiny — one row per distinct (doc, term)),
+    * join back on term, per-doc top-k window. N is a single count. */
+  def topTermsByRarity(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val tf = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .select(col("id"), col("term"), col("tf"),
+        (col("tf").cast("double") * (lit(nDocs.toDouble) / col("df").cast("double")))
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("score"))
+  }
+
   /** Benchmark decontamination: per corpus document, the fraction of its
     * DISTINCT word n-gram shingles that also occur in a benchmark/eval
     * corpus — the leakage filter training pipelines run before a corpus may

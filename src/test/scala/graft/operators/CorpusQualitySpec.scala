@@ -119,6 +119,26 @@ class CorpusQualitySpec extends SparkSpec {
     assert(stats(1L)._2 < stats(1L)._1)
   }
 
+  test("topTermsByRarity ranks by tf x N/df with term tie-break") {
+    // N=3 docs. "rare" appears only in doc 1 (df=1), "mid" in docs 1,2 (df=2),
+    // "common" in all (df=3).
+    val docs = Seq(
+      (1L, "common mid rare rare"),
+      (2L, "common mid common"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val got = CorpusQuality.topTermsByRarity(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: rare tf=2 df=1 -> 6.0; mid tf=1 df=2 -> 1.5; common tf=1 df=3 -> 1.0
+    assert(got((1L, 1)) == ("rare", 2L, 6.0))
+    assert(got((1L, 2)) == ("mid", 1L, 1.5))
+    // doc 2: common tf=2 df=3 -> 2.0 beats mid tf=1 df=2 -> 1.5
+    assert(got((2L, 1)) == ("common", 2L, 2.0))
+    assert(got((2L, 2)) == ("mid", 1L, 1.5))
+    // doc 3 has only one distinct term -> a single row
+    assert(got((3L, 1)) == ("common", 3L, 3.0))
+    assert(!got.contains((3L, 2)))
+  }
+
   test("decontamination flags docs overlapping the benchmark, by exact shingle counts") {
     // benchmark: "a b c d" -> bigrams {a b, b c, c d}
     val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
