@@ -111,7 +111,10 @@ object DfsioBench {
         mode match {
           case "random"   => nRec / 4 * Rec
           case "backward" => nRec * Rec
-          case "skip"     => ((len - Rec) / (4L * Rec) + 1) * Rec
+          // an empty part file (possible when parallelism > rows at tiny
+          // SPARK_GRAFT_DFSIO_MB) reads 0 records — the closed form below
+          // would claim 1
+          case "skip"     => if (len == 0) 0 else ((len - Rec) / (4L * Rec) + 1) * Rec
         }
       }.sum
       val legs = Seq("random", "backward", "skip").map { m =>

@@ -154,19 +154,25 @@ object CorpusQuality {
     *
     * Shape at scale: one (id, term) count with map-side combine, a term-df
     * aggregation of THAT result (tiny — one row per distinct (doc, term)),
-    * join back on term, per-doc top-k window. N is a single count. */
+    * join back on term, per-doc top-k window. N (the distinct-document
+    * count) is a broadcast single-row aggregate INSIDE the plan — the
+    * operator is lazy like every other one here (no Spark job at call time)
+    * and the id column is scanned once, not twice. */
   def topTermsByRarity(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.select(col(idCol)).distinct().count()
+    val nDocs = df.agg(countDistinct(col(idCol)).cast("double").as("__n_docs"))
     val tf = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
       .select(col("id"), col("term"), col("tf"),
-        (col("tf").cast("double") * (lit(nDocs.toDouble) / col("df").cast("double")))
+        // same two IEEE ops as before (tf * (N / df)) — the oracle replays
+        // the rank cut bit-identically; only N's provenance changed
+        (col("tf").cast("double") * (col("__n_docs") / col("df").cast("double")))
           .as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -99,6 +99,9 @@ object Sinks {
           val conf = Scratch.confFrom(bc.value)
           val base = new org.apache.hadoop.fs.Path(baseDir)
           val fs = base.getFileSystem(conf)
+          // FileContext gives rename-with-OVERWRITE: one atomic replace, no
+          // delete window (see commit() below)
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
           val qualifiedBase = fs.makeQualified(base).toString
           val attempt = Option(org.apache.spark.TaskContext.get())
             .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
@@ -120,17 +123,25 @@ object Sinks {
           var currentFinal: org.apache.hadoop.fs.Path = null
           var currentTemp: org.apache.hadoop.fs.Path = null
           var out: java.io.BufferedWriter = null
-          // complete the in-flight file: close the temp, then rename it over
-          // the final name (delete-then-rename; rename-over is not portable)
+          // complete the in-flight file: close the temp, then ATOMICALLY
+          // replace the final name via FileContext rename(OVERWRITE). The
+          // earlier delete(final)+rename(temp) form had a window where a
+          // killed speculative attempt could remove another attempt's
+          // already-committed file and never replace it; a single overwrite
+          // rename leaves either the old whole file or the new whole file.
           def commit(): Unit = if (out != null) {
             out.close(); out = null
-            fs.delete(currentFinal, false)
-            require(fs.rename(currentTemp, currentFinal),
-              s"rename failed: $currentTemp -> $currentFinal")
+            fc.rename(currentTemp, currentFinal,
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
           }
           try {
             rows.foreach { r =>
               val name = r.getString(0)
+              // check null on EVERY row: nulls sort first, so a null name at
+              // partition start would satisfy `name != current` == false
+              // (null == null) and die with a bare NPE at out.write instead
+              // of this named error
+              require(name != null, "unsafe output file name: null")
               if (name != current) {
                 commit()
                 current = name

@@ -139,6 +139,25 @@ class CorpusQualitySpec extends SparkSpec {
     assert(!got.contains((3L, 2)))
   }
 
+  test("topTermsByRarity is lazy: constructing the plan runs no Spark job") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+      val plan = CorpusQuality.topTermsByRarity(docs, "doc_id", "text")
+      // the listener bus is async — give a queued JobStart time to surface
+      Thread.sleep(500)
+      assert(jobs.get() == 0, "plan construction triggered a Spark job")
+      assert(plan.collect().nonEmpty) // sanity: the listener does see real jobs
+      Thread.sleep(500)
+      assert(jobs.get() > 0, "listener never observed any job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("decontamination flags docs overlapping the benchmark, by exact shingle counts") {
     // benchmark: "a b c d" -> bigrams {a b, b c, c d}
     val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")

@@ -237,5 +237,13 @@ class SourcesSpec extends SparkSpec {
     def msgs2(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs2(e.getCause))
     assert(msgs2(nullErr).exists(m => m != null && m.contains("null line")))
+    // null file NAMES die with the named error too: nulls sort first within a
+    // partition, so a null name at partition start used to pass `name !=
+    // current` (null == null) and NPE at out.write instead
+    val nullName = intercept[org.apache.spark.SparkException] {
+      Sinks.keyedTextFiles(Seq((null: String, "x"), ("a.txt", "y")).toDF("f", "p"),
+        col("f"), col("p"), out)
+    }
+    assert(msgs2(nullName).exists(m => m != null && m.contains("unsafe output file name")))
   }
 }
