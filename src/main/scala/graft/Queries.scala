@@ -419,6 +419,26 @@ object Queries {
         round(col("score"), 6).as("score"))
       .orderBy("doc_id", "rank")
 
+  /** q65 configuration, shared with the oracle-SQL generator so both sides
+    * interpolate the SAME thresholds. Values chosen so every configurable
+    * stage BINDS on the test corpus (token counts span 10-99 with p10 ≈ 21;
+    * uniq ratios start at 0.277; stopword ratios reach 0.222): minTokens is
+    * an integer compare (no float boundary), the ratio gates compare the
+    * same round(_, 6) values q29 hash-proves both engines agree on. */
+  val CurationCfg: jobs.CorpusPipeline.Config = jobs.CorpusPipeline.Config(
+    minTokens = 20, maxStopwordRatio = 0.2, minUniqRatio = 0.3,
+    tokenHash = md5Hash32)
+
+  /** End-to-end curation pipeline report (q65): the full composed product —
+    * quality gate → exact dedup → MinHash near-dup removal → language-ID —
+    * run over `documents`, reported as per-language stage survivor counts.
+    * The MD5 token hash makes the MinHash stage (and so the whole
+    * composition) replayable by the DuckDB oracle: the oracle is a CTE chain
+    * of the q29/q23/q25/q28 stage oracles. */
+  def curationReport(spark: SparkSession, dir: String): DataFrame =
+    jobs.CorpusPipeline.curationReport(t(spark, dir).documents, CurationCfg)
+      .orderBy("lang")
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

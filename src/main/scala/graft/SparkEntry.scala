@@ -15,12 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** DuckDB replay of `Dedup.minhashSignatures` + LSH banding + agreement
-    * estimate, generated from the same `permParams(64)` constants. Band
-    * membership is tested as exact equality of the 4-row signature slice —
-    * the Spark side buckets on xxhash64(slice), identical up to 64-bit hash
-    * collisions (negligible); the maxBucket skew cap never binds at oracle
-    * scale (needs >1000 near-identical docs in one bucket). */
-  private def minhashOracleSql: String = {
+    * estimate, generated from the same `permParams(64)` constants: CTE chain
+    * `toksrc/shm/hm/msig/mpairs` over a caller-provided CTE `msrc(id, text)`.
+    * Band membership is tested as exact equality of the 4-row signature
+    * slice — the Spark side buckets on xxhash64(slice), identical up to
+    * 64-bit hash collisions (negligible); the maxBucket skew cap never binds
+    * at oracle scale (needs >1000 near-identical docs in one bucket).
+    * Shared by q25 (pairs over raw documents) and q65 (near-dup stage of the
+    * composed curation pipeline). */
+  private def minhashPairCtes: String = {
     val (as, bs) = graft.operators.Dedup.permParams(64)
     val p = 4294967311L
     val mins = (0 until 64).map(i => s"min((${as(i)}*h + ${bs(i)}) % $p) AS m$i").mkString(", ")
@@ -28,22 +31,78 @@ object SparkEntry {
     val bandEq = (0 until 16).map { b =>
       (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}").mkString("(", " AND ", ")")
     }.mkString(" OR ")
-    s"""WITH toksrc AS (
-       |  SELECT doc_id AS id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-       |  FROM documents),
-       |sh AS (
+    s"""toksrc AS (
+       |  SELECT id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM msrc),
+       |shm AS (
        |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
        |    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
        |    ELSE [] END)) AS s
        |  FROM toksrc),
-       |h AS (SELECT id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
-       |sig AS (SELECT id, $mins FROM h GROUP BY id),
-       |pairs AS (
+       |hm AS (SELECT id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM shm),
+       |msig AS (SELECT id, $mins FROM hm GROUP BY id),
+       |mpairs AS (
        |  SELECT a.id AS id_a, b.id AS id_b, ($agree) AS agree
-       |  FROM sig a JOIN sig b ON a.id < b.id
-       |  WHERE ($bandEq))
+       |  FROM msig a JOIN msig b ON a.id < b.id
+       |  WHERE ($bandEq))""".stripMargin
+  }
+
+  private def minhashOracleSql: String =
+    s"""WITH msrc AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairCtes}
        |SELECT id_a, id_b, agree / 64.0 AS est_jaccard
-       |FROM pairs WHERE agree >= 32 ORDER BY id_a, id_b""".stripMargin
+       |FROM mpairs WHERE agree >= 32 ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB replay of the ENTIRE composed curation pipeline (q65): the
+    * quality gate (q29 arithmetic, rounded ratios), exact dedup (min doc_id
+    * per md5(text), q23), MinHash near-dup removal over the deduped set
+    * (q25 machinery via `minhashPairCtes`, agree/64 >= threshold, drop the
+    * larger id), language-ID on the survivors (q28 argmax chain), then the
+    * per-language stage counts the Spark side reports. */
+  private def curationOracleSql: String = {
+    val cfg = graft.Queries.CurationCfg
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang, text, w FROM t
+       |  WHERE len(w) >= ${cfg.minTokens}
+       |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= ${cfg.maxStopwordRatio}
+       |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= ${cfg.minUniqRatio}),
+       |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+       |qe AS (SELECT q.* FROM q JOIN e USING (doc_id)),
+       |msrc AS (SELECT doc_id AS id, text FROM qe),
+       |${minhashPairCtes},
+       |dup AS (SELECT DISTINCT id_b AS doc_id FROM mpairs
+       |  WHERE agree / 64.0 >= ${cfg.nearDupThreshold}),
+       |surv AS (SELECT qe.*, list_distinct(w) AS dw FROM qe
+       |  WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = qe.doc_id)),
+       |sco AS (SELECT doc_id, lang, w,
+       |  len(list_intersect(dw, ['the','a','of','and'])) AS s_en,
+       |  len(list_intersect(dw, ['der','und','die'])) AS s_de,
+       |  len(list_intersect(dw, ['le','et','la'])) AS s_fr,
+       |  len(list_intersect(dw, ['el','y','la'])) AS s_es,
+       |  len(list_intersect(dw, ['de','shi'])) AS s_zh FROM surv),
+       |fin AS (SELECT doc_id, lang, w, CASE
+       |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+       |  WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       |  WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted_lang FROM sco),
+       |s_in AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_input FROM documents GROUP BY lang),
+       |s_q AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality FROM q GROUP BY lang),
+       |s_e AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM qe GROUP BY lang),
+       |s_f AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_final,
+       |    CAST(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_match,
+       |    CAST(sum(len(w)) AS BIGINT) AS sum_tokens
+       |  FROM fin GROUP BY lang)
+       |SELECT s_in.lang, n_input,
+       |  COALESCE(n_quality, CAST(0 AS BIGINT)) AS n_quality,
+       |  COALESCE(n_exact, CAST(0 AS BIGINT)) AS n_exact,
+       |  COALESCE(n_final, CAST(0 AS BIGINT)) AS n_final,
+       |  COALESCE(n_pred_match, CAST(0 AS BIGINT)) AS n_pred_match,
+       |  COALESCE(sum_tokens, CAST(0 AS BIGINT)) AS sum_tokens
+       |FROM s_in LEFT JOIN s_q USING (lang) LEFT JOIN s_e USING (lang)
+       |LEFT JOIN s_f USING (lang)
+       |ORDER BY lang""".stripMargin
   }
 
   /** Shared CTE chain replaying `Dedup.simhash(..., Md5Words)`: token counts,
@@ -194,7 +253,8 @@ object SparkEntry {
     "q61_pentomino_onesided" -> Queries.pentominoOneSided _,
     "q62_decontamination" -> Queries.decontaminationReport _,
     "q63_quantized_recall" -> Queries.simQuantizedRecall _,
-    "q64_top_rare_terms"  -> Queries.topRareTerms _
+    "q64_top_rare_terms"  -> Queries.topRareTerms _,
+    "q65_curation_report" -> Queries.curationReport _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -610,6 +670,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM s)
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q65_curation_report" -> curationOracleSql,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

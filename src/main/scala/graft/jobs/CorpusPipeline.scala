@@ -27,10 +27,16 @@ object CorpusPipeline {
                           // most-frequent 2-gram covers more than this share.
                           // 1.0 disables (a 2-token doc is trivially at 1.0).
                           maxTop2gramFrac: Double = 1.0,
-                          scrubPii: Boolean = false)
+                          scrubPii: Boolean = false,
+                          // token hash for the MinHash sketch: xxhash64 (fast
+                          // default) or TextFunctions.md5Hash32 when the run
+                          // must be replayable by an ANSI-SQL oracle (q65)
+                          tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                            graft.functions.TextFunctions.tokenHash32)
 
-  /** Returns the curated corpus (doc_id, text, lang, predicted_lang, n_tokens). */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** Stages 0-1b: PII scrub → quality score+filter → repetition gate.
+    * Output keeps every input column plus the `q` metrics struct. */
+  private def qualityGated(docs: DataFrame, cfg: Config): DataFrame = {
     val stopwords = graft.Queries.Stopwords
     // 0. PII scrub (optional) — must run before any content digest so that
     //    two docs differing only in redacted PII dedup together
@@ -43,27 +49,72 @@ object CorpusPipeline {
         col("q.uniq_ratio") >= cfg.minUniqRatio)
     // 1b. repetition gate — anti-join against the over-repetitive doc set
     //     (one (doc, gram) shuffle; skipped entirely when disabled)
-    val gated =
-      if (cfg.maxTop2gramFrac >= 1.0) scored
-      else {
-        val repetitive = CorpusQuality
-          .repetitionSignals(scored, "doc_id", "text", ns = Seq(2))
-          .filter(col("top_frac") > cfg.maxTop2gramFrac)
-          .select(col("id").as("doc_id"))
-        scored.join(repetitive, Seq("doc_id"), "left_anti")
-      }
+    if (cfg.maxTop2gramFrac >= 1.0) scored
+    else {
+      val repetitive = CorpusQuality
+        .repetitionSignals(scored, "doc_id", "text", ns = Seq(2))
+        .filter(col("top_frac") > cfg.maxTop2gramFrac)
+        .select(col("id").as("doc_id"))
+      scored.join(repetitive, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Stage 3: near-dup removal — of each MinHash candidate pair keep the
+    * smaller id (greedy; transitive clusters collapse over the id order). */
+  private def nearDupRemoved(exact: DataFrame, cfg: Config): DataFrame = {
+    val dupIds = Dedup.minhashCandidatePairs(exact, "doc_id", "text",
+        threshold = cfg.nearDupThreshold, tokenHash = cfg.tokenHash)
+      .select(col("id_b").as("doc_id")).distinct()
+    exact.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Returns the curated corpus (doc_id, text, lang, predicted_lang, n_tokens). */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val gated = qualityGated(docs, cfg)
     // 2. exact dedup (content digest, keep smallest doc_id)
     val exact = Dedup.exactDedup(gated, Seq(col("text")), col("doc_id"))
-    // 3. near-dup removal: of each candidate pair keep the smaller id
-    //    (greedy; transitive clusters collapse over the id ordering)
-    val dupIds = Dedup.minhashCandidatePairs(exact, "doc_id", "text",
-        threshold = cfg.nearDupThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
-    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    val deduped = nearDupRemoved(exact, cfg)
     // 4. annotate
     deduped.select(col("doc_id"), col("text"), col("lang"),
       langId(col("text"), graft.Queries.LangProfiles).as("predicted_lang"),
       col("q.n_tokens").as("n_tokens"))
+  }
+
+  /** Per-language stage accounting of a full `curate` run — the report a
+    * curation job ships with its output: documents entering, surviving the
+    * quality gate, surviving exact dedup, surviving near-dup removal, how
+    * many survivors' predicted language agrees with the labeled one, and the
+    * survivors' token volume. One row per input language.
+    *
+    * Scale shape: each stage count is a per-language aggregate (5 rows) of
+    * the stage frame; `gated`/`exact` are persisted so the upstream stages
+    * compute once, not once per downstream count (the MinHash signature
+    * cache inside `minhashCandidatePairs` handles the sketch the same way).
+    * Nothing beyond the per-language count rows ever concentrates. */
+  def curationReport(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val gated = qualityGated(docs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Dedup.exactDedup(gated, Seq(col("text")), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fin = nearDupRemoved(exact, cfg)
+      .withColumn("predicted_lang", langId(col("text"), graft.Queries.LangProfiles))
+    def byLang(df: DataFrame, name: String) =
+      df.groupBy("lang").agg(count(lit(1)).cast("long").as(name))
+    val finAgg = fin.groupBy("lang").agg(
+      count(lit(1)).cast("long").as("n_final"),
+      sum(when(col("predicted_lang") === col("lang"), 1L).otherwise(0L))
+        .cast("long").as("n_pred_match"),
+      sum(col("q.n_tokens")).cast("long").as("sum_tokens"))
+    byLang(docs, "n_input")
+      .join(byLang(gated, "n_quality"), Seq("lang"), "left")
+      .join(byLang(exact, "n_exact"), Seq("lang"), "left")
+      .join(finAgg, Seq("lang"), "left")
+      .select(col("lang"), col("n_input"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("n_pred_match"), lit(0L)).as("n_pred_match"),
+        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
   }
 
   /** Curate + write partitioned by annotated language. */

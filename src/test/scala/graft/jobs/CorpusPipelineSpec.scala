@@ -66,6 +66,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(texts.exists(_.contains("<EMAIL>")) && !texts.exists(_.contains("@")))
   }
 
+  test("curationReport stage counts are consistent with curate itself") {
+    import spark.implicits._
+    val near1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near2 = (near1.split(" ").dropRight(1) :+ "wX").mkString(" ")
+    val docs = Seq(
+      (1L, near1, "en"),
+      (2L, near1, "en"),            // exact dup of 1
+      (3L, near2, "en"),            // near-dup of 1
+      (4L, "tiny", "en"),           // fails the quality gate
+      (5L, "the quick brown fox jumps over a lazy dog", "de"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = CorpusPipeline.Config(nearDupThreshold = 0.5)
+    val rep = CorpusPipeline.curationReport(docs, cfg)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_input"), r.getAs[Long]("n_quality"),
+         r.getAs[Long]("n_exact"), r.getAs[Long]("n_final"))).toMap
+    // en: 4 in, 3 pass quality (4 is tiny), 2 after exact (2 dups into 1),
+    // 1 after near-dup (3 folds into 1); de: untouched at every stage
+    assert(rep("en") == (4L, 3L, 2L, 1L))
+    assert(rep("de") == (1L, 1L, 1L, 1L))
+    // the final column agrees with what curate actually returns per language
+    val curated = CorpusPipeline.curate(docs, cfg)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.view.mapValues(_._4).toMap.filter(_._2 > 0) == curated)
+  }
+
   test("run() writes a partitioned curated corpus from testdata") {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     val back = CorpusPipeline.run(spark, sf, out)
