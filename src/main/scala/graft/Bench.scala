@@ -130,7 +130,10 @@ object Bench {
     // measured during a host slow window; local norm is ~6 s).
     if (only.isEmpty) guarded(Seq("teragen", "terasort_validate")) {
       import graft.bench.TeraBench._
-      val rows = sys.env.getOrElse("SPARK_GRAFT_TERA_ROWS", "1000000").toLong
+      // 10M rows = 1 GB of teradata: enough to exercise real shuffle
+      // spill/merge (1M = 100 MB finished in 0.4 s and measured overhead,
+      // not sorting)
+      val rows = sys.env.getOrElse("SPARK_GRAFT_TERA_ROWS", "10000000").toLong
       def teraOnce(): (Double, Double) = {
         var t = System.nanoTime()
         // gensort-bit-compatible records (GenSortParity); checksum protocol =
@@ -183,6 +186,53 @@ object Bench {
             io.foreach { case (k, v) => results.put(k, math.min(v, again(k))) }
           } catch { case e: Throwable =>
             System.err.println(s"[bench] dfsio re-bench failed (keeping first pass): ${e.getMessage}")
+          }
+        }
+      }
+    }
+    // DistCp-equivalent leg: copy a generated tree of SPARK_GRAFT_DISTCP_MB
+    // MiB with per-file checksum validation (graft.tools.DistCopy) — the
+    // operational-tool throughput number next to the DFSIO family.
+    if (only.isEmpty) {
+      val mb = sys.env.getOrElse("SPARK_GRAFT_DISTCP_MB", "256").toInt
+      val name = s"distcp_${mb}mb"
+      guarded(Seq(name)) {
+        import org.apache.spark.sql.functions._
+        val dir = graft.sources.Scratch.dir(spark,
+          s"graft_distcp_${spark.sparkContext.applicationId}")
+        val srcDir = s"$dir/src"
+        try {
+          // untimed setup: the same 1 KiB-record dataset shape DFSIO uses,
+          // written as a multi-file tree (one file per write task)
+          val rows = mb.toLong * 1024L
+          val filler = "x" * (1024 - 19 - 1)
+          spark.range(rows)
+            .select(concat(lpad(col("id").cast("string"), 19, "0"), lit(filler)).as("value"))
+            .write.mode("overwrite").text(srcDir)
+          def distcpOnce(i: Int): Double = {
+            val dstDir = s"$dir/dst$i"
+            val t0 = System.nanoTime()
+            val actions = graft.tools.DistCopy.copy(spark, srcDir, dstDir)
+              .groupBy("action").agg(count(lit(1)).as("n")).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val sec = (System.nanoTime() - t0) / 1e9
+            require(actions.keySet == Set("copy") && actions("copy") > 0,
+              s"distcp unexpected actions: $actions")
+            graft.sources.Scratch.delete(spark.sparkContext.hadoopConfiguration, dstDir)
+            sec
+          }
+          val v = distcpOnce(0)
+          firstPass.put(name, v); results.put(name, v)
+          if (rebenchSec > 0 && v > rebenchSec) {
+            try results.put(name, math.min(v, distcpOnce(1)))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] distcp re-bench failed (keeping first pass): ${e.getMessage}")
+            }
+          }
+        } finally {
+          try graft.sources.Scratch.delete(spark.sparkContext.hadoopConfiguration, dir)
+          catch { case e: Exception =>
+            System.err.println(s"[bench] distcp cleanup failed: ${e.getMessage}")
           }
         }
       }

@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the engine's Hadoop Archives (har) equivalent
+  * (reference: hadoop-tools/hadoop-archives/src/main/java/org/apache/hadoop/
+  * tools/HadoopArchives.java:1). A million 10 KB files cost a NameNode (or
+  * an object-store listing) far more than their bytes; har packs them into
+  * few large part files plus an index mapping each original file to
+  * (part, offset, length), preserving random access.
+  *
+  * Shape: the listing is driver-side metadata; files are bin-packed
+  * first-fit-decreasing into bins of ~`targetPartBytes`; ONE task writes
+  * each part file by streaming its bin's files through the FileSystem API
+  * (bytes never touch the driver); the index is written as parquet next to
+  * the parts. `readEntry` serves point lookups with one positioned read —
+  * the access pattern the har index exists for.
+  */
+object Compact {
+
+  /** Index row: original relative path → its bytes inside a part file. */
+  final case class IndexEntry(rel: String, part: Int, offset: Long, length: Long)
+
+  private def partName(i: Int): String = f"part-$i%05d"
+
+  /** Pack every file under `srcDir` into part files under `dstDir` and
+    * write/return the index. Source files are left in place (callers delete
+    * after validating, like har). */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              targetPartBytes: Long = 256L << 20): DataFrame = {
+    require(targetPartBytes > 0)
+    val sc = spark.sparkContext
+    val conf = sc.hadoopConfiguration
+    val srcFs = new Path(srcDir).getFileSystem(conf)
+    val qsrc = srcFs.makeQualified(new Path(srcDir))
+    val dstFs = new Path(dstDir).getFileSystem(conf)
+    dstFs.mkdirs(new Path(dstDir))
+    val qdst = dstFs.makeQualified(new Path(dstDir))
+
+    // listing (metadata only) → deterministic first-fit-decreasing packing:
+    // sort by (size desc, path) so the same tree always packs identically
+    val listing = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val it = srcFs.listFiles(qsrc, true)
+      while (it.hasNext) {
+        val s = it.next()
+        out += ((qsrc.toUri.relativize(s.getPath.toUri).toString, s.getLen))
+      }
+      out.sortBy { case (rel, len) => (-len, rel) }.toSeq
+    }
+    val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]()
+    listing.foreach { case (rel, len) =>
+      bins.indexWhere(_._2 + len <= targetPartBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer((rel, len)), len))
+        case i  => bins(i)._1 += ((rel, len)); bins(i) = (bins(i)._1, bins(i)._2 + len)
+      }
+    }
+    val planned: Seq[(Int, Seq[(String, Long)])] =
+      bins.toSeq.zipWithIndex.map { case ((files, _), i) => (i, files.toSeq) }
+
+    val bc = sc.broadcast(graft.sources.Scratch.confEntries(conf))
+    val (qsrcStr, qdstStr) = (qsrc.toString, qdst.toString)
+    val entries = sc.parallelize(planned, math.max(1, planned.size))
+      .flatMap { case (part, files) =>
+        val conf = graft.sources.Scratch.confFrom(bc.value)
+        val pp = new Path(s"$qdstStr/${partName(part)}")
+        val dfs = pp.getFileSystem(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
+          .getOrElse("driver")
+        val tmp = new Path(pp.getParent, s".${pp.getName}.compact-$attempt")
+        val out = dfs.create(tmp, true)
+        val buf = new Array[Byte](1 << 16)
+        var offset = 0L
+        val index = try {
+          files.map { case (rel, _) =>
+            val sp = new Path(s"$qsrcStr/$rel")
+            val in = sp.getFileSystem(conf).open(sp)
+            var copied = 0L
+            try {
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0) { out.write(buf, 0, n); copied += n }
+                n = in.read(buf)
+              }
+            } finally in.close()
+            val e = IndexEntry(rel, part, offset, copied)
+            offset += copied
+            e
+          }
+        } finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
+        fc.rename(tmp, pp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        index
+      }
+    val index = spark.createDataFrame(entries)
+    index.coalesce(1).write.mode("overwrite").parquet(s"$qdstStr/_index")
+    spark.read.parquet(s"$qdstStr/_index")
+  }
+
+  /** Point lookup: the original bytes of `rel` from a compacted directory —
+    * one index filter (parquet predicate pushdown on `rel`) + one positioned
+    * read of the part file. */
+  def readEntry(spark: SparkSession, dstDir: String, rel: String): Array[Byte] = {
+    val rows = spark.read.parquet(s"$dstDir/_index")
+      .filter(col("rel") === rel).collect()
+    require(rows.length == 1, s"$rel: ${rows.length} index entries")
+    val r = rows(0)
+    val (part, offset, length) =
+      (r.getAs[Int]("part"), r.getAs[Long]("offset"), r.getAs[Long]("length"))
+    val pp = new Path(s"$dstDir/${partName(part)}")
+    val in = pp.getFileSystem(spark.sparkContext.hadoopConfiguration).open(pp)
+    try {
+      require(length <= Int.MaxValue, s"$rel too large for a single buffer")
+      val buf = new Array[Byte](length.toInt)
+      in.seek(offset)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.tools
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+class ToolsSpec extends SparkSpec {
+
+  private def write(root: String, rel: String, content: Array[Byte]): Unit = {
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content)
+  }
+
+  private def slurp(root: String, rel: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(root, rel))
+
+  private def tree(root: String): Map[String, Long] = {
+    val r = Paths.get(root)
+    val walk = java.nio.file.Files.walk(r)
+    try {
+      import scala.jdk.CollectionConverters._
+      // ignore Hadoop's local ChecksumFileSystem .crc sidecars on the
+      // destination — an artifact of LocalFS, not part of the copied tree
+      walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => r.relativize(p).toString -> Files.size(p)).toMap
+    } finally walk.close()
+  }
+
+  test("DistCopy copies a nested tree byte-identically and validates checksums") {
+    val src = Files.createTempDirectory("graft_dcp_src").toString
+    val dst = Files.createTempDirectory("graft_dcp_dst").toString + "/out"
+    val rnd = new scala.util.Random(42)
+    val files = Seq("a.txt", "sub/b.bin", "sub/deep/c.dat", "empty.txt", "big.bin")
+    write(src, "a.txt", "hello distcp".getBytes(UTF_8))
+    write(src, "sub/b.bin", Array.fill(4096)(rnd.nextInt().toByte))
+    write(src, "sub/deep/c.dat", Array.fill(100)(rnd.nextInt().toByte))
+    write(src, "empty.txt", Array.emptyByteArray)
+    write(src, "big.bin", Array.fill(1 << 20)(rnd.nextInt().toByte))
+
+    val rep1 = DistCopy.copy(spark, src, dst)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rep1.keySet == files.toSet)
+    assert(rep1.values.forall(_ == "copy"))
+    assert(tree(dst) == tree(src))
+    files.foreach(f => assert(slurp(dst, f).sameElements(slurp(src, f)), f))
+
+    // -update re-run on an unchanged tree: everything skips
+    val rep2 = DistCopy.copy(spark, src, dst, update = true)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rep2.values.forall(_ == "skip"), rep2)
+
+    // change one file IN PLACE (same length, different bytes), add one file:
+    // update+checksum must re-copy exactly those two
+    write(src, "a.txt", "HELLO DISTCP".getBytes(UTF_8))
+    write(src, "new.txt", "fresh".getBytes(UTF_8))
+    val rep3 = DistCopy.copy(spark, src, dst, update = true)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rep3.filter(_._2 == "copy").keySet == Set("a.txt", "new.txt"), rep3)
+    assert(slurp(dst, "a.txt").sameElements("HELLO DISTCP".getBytes(UTF_8)))
+
+    // checksum=false (-skipcrccheck): a same-length content change is NOT
+    // detected — the documented trade
+    write(src, "a.txt", "hello DISTCP".getBytes(UTF_8))
+    val rep4 = DistCopy.copy(spark, src, dst, update = true, checksum = false)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rep4("a.txt") == "skip")
+  }
+
+  test("Compact bin-packs 1000 small files and serves point lookups") {
+    val src = Files.createTempDirectory("graft_har_src").toString
+    val dst = Files.createTempDirectory("graft_har_dst").toString + "/packed"
+    val contents = (0 until 1000).map { i =>
+      val rel = f"d${i % 7}/f$i%04d.txt"
+      val body = (s"file $i " * (1 + i % 40)).getBytes(UTF_8)
+      write(src, rel, body)
+      rel -> body
+    }.toMap
+
+    val index = Compact.compact(spark, src, dst, targetPartBytes = 64L << 10)
+    val rows = index.collect()
+    assert(rows.length == 1000)
+    assert(rows.map(_.getAs[Long]("length")).sum == contents.values.map(_.length.toLong).sum)
+    // many fewer part files than inputs, each within the target size bound
+    // (one oversized input per bin is allowed, but none exists here)
+    val parts = new java.io.File(dst).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.length < 100, s"${parts.length} parts")
+    assert(parts.forall(_.length() <= (64L << 10)))
+
+    // point lookups reconstruct the original bytes exactly
+    val sample = Seq(0, 1, 499, 998, 999).map(i => f"d${i % 7}/f$i%04d.txt")
+    sample.foreach { rel =>
+      assert(Compact.readEntry(spark, dst, rel).sameElements(contents(rel)), rel)
+    }
+    // full reconstruction through the index: every file's slice matches
+    val byPart = rows.groupBy(_.getAs[Int]("part"))
+    byPart.foreach { case (part, es) =>
+      val bytes = Files.readAllBytes(Paths.get(dst, f"part-$part%05d"))
+      es.foreach { e =>
+        val (rel, off, len) =
+          (e.getAs[String]("rel"), e.getAs[Long]("offset"), e.getAs[Long]("length"))
+        assert(bytes.slice(off.toInt, (off + len).toInt).sameElements(contents(rel)), rel)
+      }
+    }
+  }
+}
