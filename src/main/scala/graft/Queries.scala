@@ -340,37 +340,25 @@ object Queries {
 
   /** Pruned-configuration IVF ANN (q60): nprobe=12 of nlist=16, scored as
     * per-query recall against the in-Spark brute-force top-k (query set
-    * % 50 == 33, disjoint from q31/q32/q42/q59). The coarse quantizer is
-    * seeded (xxhash64 seed pick + Lloyd steps), so the recall table is
-    * deterministic up to last-ulp centroid variation (`avg()` partial-merge
-    * order isn't bit-pinned across shuffle fetch orders); DuckDB cannot
-    * replay the k-means build, so the oracle checks the recall rows — exact
-    * qid/k counts, per-query recall >= 0.6 and suite-mean recall >= 0.9 as
-    * 0/1 flags. Measured: min 0.8, mean 0.96 — the per-query floor sits a
-    * full hit below the measured minimum so a near-tie list assignment
-    * flipping one hit can never flap the gate, and the mean flag keeps the
-    * >= 0.9 claim doing the real work. nprobe is 12 rather than the classic
-    * 1-4 because
-    * the synthetic embeddings are near-random — a true neighbor's list
-    * membership is barely correlated with the query's (nprobe=4 measures
-    * mean recall 0.62 here); on genuinely clustered real embeddings the
-    * same code prunes far harder at the same recall. */
+    * % 50 == 33, disjoint from q31/q32/q42/q59). The build is
+    * `ivfTopKExact`: md5-seeded, exact-integer Lloyd over int8-quantized
+    * vectors — bit-deterministic in ANY engine, so the DuckDB oracle
+    * replays the WHOLE pipeline (seeds → 2 Lloyd iterations → inverted
+    * lists → 12-probe → full-precision re-rank) and checks the recall ROWS
+    * exactly, like q59 does for LSH. nprobe is 12 rather than the classic
+    * 1-4 because the synthetic embeddings are near-random — a true
+    * neighbor's list membership is barely correlated with the query's; on
+    * genuinely clustered real embeddings the same code prunes far harder at
+    * the same recall. */
   def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = t(spark, dir).embeddings
     val queries = emb.filter(col("vec_id") % 50 === 33)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+    val ivf = Similarity.ivfTopKExact(emb, "vec_id", "embedding", queries, "qid", "qvec",
       k = 5, nlist = 16, nprobe = 12)
     val bf = Similarity.cosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
       k = 5, dim = 64)
-    val all = Window.partitionBy() // 10 recall rows — single-partition window is free
-    Similarity.topKRecall(bf, ivf)
-      .select(col("qid"), col("k"),
-        (col("recall") >= 0.6).cast("long").as("recall_ge_060"),
-        ((sum(col("hits")).over(all).cast("double") / sum(col("k")).over(all)) >= 0.9)
-          .cast("long").as("mean_recall_ge_090"))
-      .orderBy("qid")
+    Similarity.topKRecall(bf, ivf).orderBy("qid")
   }
 
   /** Benchmark decontamination report (q62): bigram-shingle overlap of every

@@ -185,6 +185,67 @@ object SparkEntry {
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
   }
 
+  /** DuckDB replay of the ENTIRE exact-integer IVF pipeline (q60,
+    * `Similarity.ivfTopKExact`): int8 quantization (the q63 CTEs), md5-order
+    * seed pick, `iters` unrolled Lloyd iterations with integer sum-vector
+    * centroids (never divided — cosine is scale-invariant), final list
+    * assignment, `nprobe`-list probing (tie order mirrors Spark's
+    * array_sort(struct) descending slice), full-precision re-rank, and the
+    * per-query hit counts against the brute-force top-k. Nothing is taken
+    * from the Spark run — recall derives from the algorithm itself, closing
+    * the one weaker oracle VERDICT r5 flagged. */
+  private def ivfExactRecallOracleSql(mod: Int, nlist: Int, nprobe: Int,
+                                      iters: Int, k: Int, dim: Int): String = {
+    // assignment of every quantized row to its best list, given centroid
+    // table `cents(cid, s)`: argmax of dot/||S||, lowest cid on ties
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT z.vec_id, z.qv, c.cid,
+         |    row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |      list_dot_product(z.qv, c.s) / sqrt(list_dot_product(c.s, c.s)) DESC, c.cid ASC) AS rn
+         |  FROM qz z CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val lloyd = (0 until iters).map { t =>
+      s"""${assignCte(s"a$t", s"c$t")},
+         |m$t AS (SELECT cid, i, sum(CAST(qv[i] AS BIGINT)) AS sx
+         |  FROM a$t, range(1, ${dim + 1}) r(i) GROUP BY cid, i),
+         |cs$t AS (SELECT cid, list(CAST(sx AS DOUBLE) ORDER BY i) AS s FROM m$t GROUP BY cid),
+         |c${t + 1} AS (SELECT p.cid, COALESCE(n.s, p.s) AS s
+         |  FROM c$t p LEFT JOIN cs$t n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scl FROM e),
+       |qz AS (SELECT vec_id, CASE WHEN scl = 0 THEN list_transform(v, x -> 0.0)
+       |  ELSE list_transform(v, x -> floor(x / scl)) END AS qv FROM sc0),
+       |c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, qv AS s FROM (
+       |  SELECT vec_id, qv, row_number() OVER (ORDER BY
+       |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS rn
+       |  FROM qz) WHERE rn <= $nlist),
+       |$lloyd,
+       |${assignCte("af", s"c$iters")},
+       |qq AS (SELECT vec_id AS qid, qv FROM qz WHERE vec_id % 50 = $mod),
+       |pr AS (SELECT qid, cid FROM (
+       |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+       |    list_dot_product(q.qv, c.s) / sqrt(list_dot_product(c.s, c.s)) DESC, c.cid DESC) AS rn
+       |  FROM qq q CROSS JOIN c$iters c) WHERE rn <= $nprobe),
+       |n AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cand AS (SELECT p.qid, a.vec_id AS id FROM pr p JOIN af a USING (cid)
+       |  WHERE a.vec_id <> p.qid),
+       |si AS (SELECT c.qid, c.id, list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+       |  FROM cand c JOIN n q ON q.id = c.qid JOIN n x ON x.id = c.id),
+       |ivf AS (SELECT qid, id FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM si)
+       |  WHERE rank <= $k),
+       |bs AS (SELECT q.id AS qid, x.id, list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+       |  FROM n q JOIN n x ON x.id <> q.id WHERE q.id % 50 = $mod),
+       |bf AS (SELECT qid, id FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM bs)
+       |  WHERE rank <= $k)
+       |SELECT b.qid, CAST(count(*) AS BIGINT) AS k, CAST(count(l.id) AS BIGINT) AS hits,
+       |round(count(l.id) * 1.0 / count(*), 6) AS recall
+       |FROM bf b LEFT JOIN ivf l ON l.qid = b.qid AND l.id = b.id
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.datajoin(spark, "/root/testdata/sf0.001")
@@ -629,16 +690,8 @@ object SparkEntry {
         |FROM ft f LEFT JOIN qt l ON l.qid = f.qid AND l.id = f.id
         |GROUP BY f.qid ORDER BY f.qid""".stripMargin,
     "q60_ivf_recall" ->
-      // DuckDB cannot replay the k-means build (xxhash64 seeding + iterated
-      // Lloyd state); the hard check is the recall-row contract: exact query
-      // set, exact k, per-query recall >= 0.6 and suite-mean >= 0.9 flags —
-      // any quantizer or probe regression below those floors flips a flag.
-      // (Per-query floor is one hit under the measured min 0.8: avg()-built
-      // centroids aren't bit-pinned, so a boundary flag would flap.)
-      """SELECT vec_id AS qid,
-        |CAST(least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT) AS k,
-        |CAST(1 AS BIGINT) AS recall_ge_060, CAST(1 AS BIGINT) AS mean_recall_ge_090
-        |FROM embeddings WHERE vec_id % 50 = 33 ORDER BY qid""".stripMargin,
+      ivfExactRecallOracleSql(mod = 33, nlist = 16, nprobe = 12, iters = 2,
+        k = 5, dim = 64),
     "q62_decontamination" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
         |  FROM documents),

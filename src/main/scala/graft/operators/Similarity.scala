@@ -150,6 +150,89 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF top-k with a BIT-DETERMINISTIC, cross-engine-replayable build —
+    * the q60 path. Same structure as `ivfTopK` (coarse quantizer → inverted
+    * lists → nprobe lists per query → exact re-rank), but every build step
+    * is exact arithmetic, so an independent engine (the DuckDB oracle)
+    * replays the ENTIRE k-means + probe + re-rank and gets the same rows:
+    *
+    *  - the corpus is int8-quantized (`quantizeInt8`: floor-based, exact);
+    *  - seeds are the `nlist` rows with smallest (md5-hash32(id), id) — a
+    *    pure, engine-independent function of the ids (xxhash64 seeding, as
+    *    `ivfTopK` uses, has no ANSI-SQL replay);
+    *  - Lloyd "means" are kept as UNNORMALIZED integer sum-vectors + the
+    *    implicit count: cosine is scale-invariant, so argmax against S/n
+    *    equals argmax against S — no division ever happens, and every dot
+    *    against a centroid is exact integer arithmetic carried in doubles
+    *    (exact while dim · (127 · cluster)² < 2^53 ⇒ clusters ≲ 4M rows at
+    *    dim 64 — grow nlist with the corpus, which IVF wants anyway);
+    *  - empty clusters keep their previous sum-vector;
+    *  - assignment ties break to the lowest list id, probe-order ties to
+    *    the highest (the array_sort(struct) order) — both mirrored by the
+    *    oracle's ORDER BY;
+    *  - the final candidate re-rank is FULL-precision cosine over the
+    *    original vectors (replayable bit-for-bit: `VectorDot` accumulates
+    *    in array order, as list_dot_product does).
+    */
+  def ivfTopKExact(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    import graft.plans.VectorExpressions.vec_dot
+    val md5id = graft.functions.TextFunctions.md5Hash32(col("id").cast("string"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      quantizeInt8(col(vecCol)).as("qv"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // exact double literals (components are integers)
+    def centLit(s: Array[Double]): Column = array(s.map(lit): _*)
+    def centNorm(s: Array[Double]): Double = math.sqrt(s.map(x => x * x).sum)
+
+    // nearest-sum-vector list id: argmax of dot/||S|| (the row's own norm is
+    // constant across lists — omitted), first (lowest) list id on ties
+    def assign(qvC: Column, cents: Seq[Array[Double]]): Column = {
+      val scores = cents.map(s => vec_dot(qvC, centLit(s)) / centNorm(s))
+      val arr = array(scores: _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+
+    var cents: Seq[Array[Double]] = c.orderBy(md5id, col("id")).limit(nlist)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    var it = 0
+    while (it < iters) {
+      val sums = c.select(assign(col("qv"), cents).as("cid"),
+          posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum(col("x").cast("long")).as("sx"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+          s => s.getField("sx").cast("double")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map(i => sums.getOrElse(i, cents(i)))
+      it += 1
+    }
+    c.unpersist(false)
+
+    val bucketed = c.select(col("id"), col("vec"), col("cnorm"),
+      assign(col("qv"), cents).as("cid"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      quantizeInt8(col(qvecCol)).as("qqv"),
+      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm"))
+    val qScores = cents.zipWithIndex.map { case (s, i) =>
+      struct((vec_dot(col("qqv"), centLit(s)) / centNorm(s)).as("s"), lit(i).as("cid"))
+    }
+    val probes = q.select(col("qid"), col("qvec"), col("qnorm"),
+      explode(slice(reverse(array_sort(array(qScores: _*))), 1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("qnorm"), col("p.cid").as("cid"))
+    val scored = bucketed.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (vec_dot(col("qvec"), col("vec")) / (col("qnorm") * col("cnorm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     * cosine >= threshold, candidates from the same multi-table hyperplane
     * bucketing as `lshCosineTopK` — a pair is considered if any table places

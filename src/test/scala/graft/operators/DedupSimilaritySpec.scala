@@ -96,6 +96,27 @@ class DedupSimilaritySpec extends SparkSpec {
         .select("qid", "id"))))
   }
 
+  test("ivfTopKExact: exhaustive probing equals brute force; build is run-to-run identical") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 80L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("id", "vec")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qq = df.filter(col("id") <= 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val brute = pairs(Similarity.cosineTopK(df, "id", "vec", qq, "qid", "qvec", 5, dim = 16)
+      .select("qid", "id"))
+    val full = pairs(Similarity.ivfTopKExact(df, "id", "vec", qq, "qid", "qvec", 5,
+      nlist = 4, nprobe = 4).select("qid", "id"))
+    assert(full == brute)
+    // determinism: the pruned configuration returns identical RANKED rows on
+    // repeated builds (exact-integer Lloyd — no avg() merge-order wobble)
+    def ranked() = Similarity.ivfTopKExact(df, "id", "vec", qq, "qid", "qvec", 5,
+      nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val r1 = ranked()
+    assert(r1.nonEmpty && r1 == ranked())
+  }
+
   test("lshCosineTopK returns a subset of brute-force results per query") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
