@@ -264,6 +264,41 @@ object Bench {
       }
     }
 
+    // Gridmix-lite (the reference's hadoop-gridmix intent): a deterministic
+    // stride-sample of the query suite submitted to a small concurrent pool —
+    // the contended-cluster latency signal a sequential suite misses.
+    // gridmix_p50/p95 are latency ORDER STATISTICS over the mixed jobs, not
+    // extra sequential work — excluded from the additive totals below.
+    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_GRIDMIX", "1") == "1")
+      guarded(Seq("gridmix_p50", "gridmix_p95")) {
+        val pools = sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_POOLS", "3").toInt
+        val jobs = sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_JOBS", "24").toInt
+        // stride-7 walk covers the whole suite (gcd(7, |suite|) small) rather
+        // than only the alphabetical head
+        val mix = (0 until jobs).map(i => selected((i * 7) % selected.size))
+        val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+        val gpool = Executors.newFixedThreadPool(pools)
+        val gfs = mix.map { case (name, fn) =>
+          gpool.submit(new Runnable {
+            def run(): Unit = {
+              val v = timeOnce(s"gridmix:$name", fn)
+              if (v > 0) lat.add(v)
+            }
+          })
+        }
+        gfs.foreach(_.get())
+        gpool.shutdown()
+        val xs = {
+          import scala.jdk.CollectionConverters._
+          lat.asScala.map(_.doubleValue()).toSeq.sorted
+        }
+        require(xs.size == jobs, s"gridmix: ${jobs - xs.size} of $jobs jobs failed")
+        def pct(p: Double): Double = xs(math.min(xs.size - 1,
+          math.max(0, math.ceil(p * xs.size).toInt - 1)))
+        firstPass.put("gridmix_p50", pct(0.50)); results.put("gridmix_p50", pct(0.50))
+        firstPass.put("gridmix_p95", pct(0.95)); results.put("gridmix_p95", pct(0.95))
+      }
+
     // Per-query scaling probe: time each query once at sf0.01 and report the
     // main-dir/sf0.01 ratio. ~10x data should cost ~10x at worst for linear
     // operators; a ratio far above ~15 is a latent quadratic. Diagnostic
@@ -290,6 +325,45 @@ object Bench {
       }
     }
 
+    // Scaling-regression tracking: compare this run's ratios against the
+    // persisted prior-round ratios; a query whose ratio more than DOUBLES is
+    // a plan regression the absolute numbers can hide (the ratio is computed
+    // within one run, so host slow windows largely cancel). Regressions are
+    // reported AND counted into "failed" so a regressed round can't look
+    // clean. Guards against noise: only queries currently >= 1 s at the main
+    // scale and with ratio > 3 can flag.
+    val scalingRegressions = scala.collection.mutable.ArrayBuffer[String]()
+    if (!scaling.isEmpty) {
+      val basePath = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASELINE", "scaling_baseline.json")
+      val prev: Map[String, Double] =
+        try {
+          val p = java.nio.file.Paths.get(basePath)
+          if (java.nio.file.Files.exists(p)) {
+            val txt = java.nio.file.Files.readString(p)
+            "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          } else Map.empty
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] scaling baseline read failed: ${e.getMessage}")
+          Map.empty
+        }
+      scaling.forEach { (name, ratio) =>
+        prev.get(name).foreach { p =>
+          if (ratio > 2 * p && ratio > 3 && results.getOrDefault(name, 0.0) >= 1.0)
+            scalingRegressions += name
+        }
+      }
+      try {
+        import scala.jdk.CollectionConverters._
+        val line = scaling.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(basePath), line + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaling baseline write failed: ${e.getMessage}")
+      }
+    }
+
     val wall = (System.nanoTime() - t0) / 1e9
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     import scala.jdk.CollectionConverters._
@@ -300,16 +374,21 @@ object Bench {
     val qs = jmap(entries.filter(_._2 > 0))
     val firsts = firstPass.asScala.toSeq.filter(_._2 > 0).sortBy(_._1)
     // mrbench_*_min/max are order statistics over the SAME runs mrbench_*_avg
-    // summarizes — summing them would triple-count the micro-job loops.
+    // summarizes — summing them would triple-count the micro-job loops; the
+    // gridmix percentiles are latency statistics, not sequential work.
     def additive(name: String): Boolean =
-      !(name.startsWith("mrbench") && (name.endsWith("_min") || name.endsWith("_max")))
+      !(name.startsWith("mrbench") && (name.endsWith("_min") || name.endsWith("_max"))) &&
+        !name.startsWith("gridmix")
     val total = entries.filter(e => e._2 > 0 && additive(e._1)).map(_._2).sum
     val firstTotal = firsts.filter(e => additive(e._1)).map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val allFailed = failed ++ scalingRegressions.sorted.map("scaling_regression:" + _)
+    val failedJson = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressionsJson = scalingRegressions.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
       s""""first":${jmap(firsts)},"first_total":${num(firstTotal)},""" +
-      s""""failed":${failed.size},"failed_entries":$failedJson,""" +
+      s""""failed":${allFailed.size},"failed_entries":$failedJson,""" +
       s""""scaling":${jmap(scaling.asScala.toSeq.sortBy(_._1))},""" +
+      s""""scaling_regressions":$regressionsJson,""" +
       s""""wall":${num(wall)},"sf":"$sfDir"}"""
     // Durable copy: round 1's JSON line was buried in sbt [info] noise and the
     // driver recorded parsed:null. Write the line to a file as well, and print

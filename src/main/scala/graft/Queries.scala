@@ -427,6 +427,51 @@ object Queries {
     jobs.CorpusPipeline.curationReport(t(spark, dir).documents, CurationCfg)
       .orderBy("lang")
 
+  private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming curation parity (q66): replay `documents` as a deterministic
+    * MemoryStream (ingest_ts a pure function of doc_id), run the STREAMING
+    * curation path (`CorpusPipeline.curateStream`: quality gate + watermarked
+    * content dedup + lang-ID) to a memory sink, and report per-language
+    * survivor counts + token volume. A second micro-batch re-ingests every
+    * 20th document inside the watermark horizon — the stream's digest dedup
+    * must drop ALL of them, or the counts diverge from the batch oracle.
+    * The oracle is the batch formulation (q65's quality/dedup CTEs at
+    * `curateStream`'s default thresholds): stream == batch is the claim.
+    *
+    * Scale note: the driver-side collect is the REPLAY HARNESS ONLY (the
+    * test corpus is bounded); production streams arrive via readStream
+    * sources — the curation plan itself is the same bounded-state streaming
+    * plan either way. */
+  def streamingCurationParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = t(spark, dir).documents
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .collect()
+    def ts(id: Long, offsetSec: Long) =
+      new java.sql.Timestamp(1704067200000L + (id + offsetSec) * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val stream = mem.toDS().toDF("doc_id", "ingest_ts", "text", "lang")
+    val name = s"q66_stream_${streamRunCounter.getAndIncrement()}"
+    val sq = jobs.CorpusPipeline.curateStream(stream)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(docs.toSeq.map(r =>
+        (r.getLong(0), ts(r.getLong(0), 0), r.getString(1), r.getString(2))))
+      sq.processAllAvailable()
+      mem.addData(docs.toSeq.filter(_.getLong(0) % 20 == 0).map(r =>
+        (r.getLong(0), ts(r.getLong(0), 600), r.getString(1), r.getString(2))))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    spark.table(name)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

@@ -315,7 +315,8 @@ object SparkEntry {
     "q62_decontamination" -> Queries.decontaminationReport _,
     "q63_quantized_recall" -> Queries.simQuantizedRecall _,
     "q64_top_rare_terms"  -> Queries.topRareTerms _,
-    "q65_curation_report" -> Queries.curationReport _
+    "q65_curation_report" -> Queries.curationReport _,
+    "q66_stream_parity"   -> Queries.streamingCurationParity _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -724,6 +725,21 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q65_curation_report" -> curationOracleSql,
+    "q66_stream_parity" ->
+      // batch formulation of the STREAMING curation path at curateStream's
+      // default thresholds: stream == batch is exactly the claim under test
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, text, w FROM t
+        |  WHERE len(w) >= 5
+        |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= 0.9
+        |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= 0.1),
+        |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        |qe AS (SELECT q.* FROM q JOIN e USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(len(w)) AS BIGINT) AS sum_tokens
+        |FROM qe GROUP BY lang ORDER BY lang""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)
