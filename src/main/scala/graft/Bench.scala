@@ -272,10 +272,17 @@ object Bench {
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_GRIDMIX", "1") == "1")
       guarded(Seq("gridmix_p50", "gridmix_p95")) {
         val pools = sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_POOLS", "3").toInt
-        val jobs = sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_JOBS", "24").toInt
-        // stride-7 walk covers the whole suite (gcd(7, |suite|) small) rather
-        // than only the alphabetical head
-        val mix = (0 until jobs).map(i => selected((i * 7) % selected.size))
+        // cap at the suite size: the mix must be DISTINCT queries — some
+        // queries write/read fixed scratch paths (q35), so two copies of one
+        // query must never run concurrently with each other
+        val jobs = math.min(selected.size,
+          sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_JOBS", "24").toInt)
+        // stride walk covers the whole suite rather than only the
+        // alphabetical head; the stride is chosen coprime with the suite
+        // size so the walk visits distinct queries
+        val stride = Iterator.from(7)
+          .find(s => BigInt(s).gcd(BigInt(selected.size)) == 1).get
+        val mix = (0 until jobs).map(i => selected((i * stride) % selected.size))
         val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
         val gpool = Executors.newFixedThreadPool(pools)
         val gfs = mix.map { case (name, fn) =>
@@ -355,7 +362,16 @@ object Bench {
       }
       try {
         import scala.jdk.CollectionConverters._
-        val line = scaling.asScala.toSeq.sortBy(_._1)
+        // Ratchet: a REGRESSED query keeps its previous baseline ratio, so a
+        // persistent regression keeps flagging every round instead of
+        // becoming the new normal after one run; healthy queries (and
+        // genuine improvements) track the current measurement. Queries
+        // absent from this run keep their old entry.
+        val current = scaling.asScala.toMap
+        val persisted = (prev ++ current.map { case (n, r) =>
+          n -> (if (scalingRegressions.contains(n)) prev(n) else r)
+        }).toSeq.sortBy(_._1)
+        val line = persisted
           .map { case (k, v) => "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
           .mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(basePath), line + "\n")

@@ -351,6 +351,7 @@ object Queries {
     * genuinely clustered real embeddings the same code prunes far harder at
     * the same recall. */
   def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val emb = t(spark, dir).embeddings
     val queries = emb.filter(col("vec_id") % 50 === 33)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -358,7 +359,17 @@ object Queries {
       k = 5, nlist = 16, nprobe = 12)
     val bf = Similarity.cosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
       k = 5, dim = 64)
-    Similarity.topKRecall(bf, ivf).orderBy("qid")
+    // The replayed rows prove Spark == oracle; the flag columns ADD the
+    // absolute quality claim (the oracle hardcodes 1, so if a retune ever
+    // tanks recall on both engines identically, Spark computes 0 and the
+    // hash mismatches). Measured: min 0.8, mean 0.96 — floors 0.6/0.9.
+    val all = Window.partitionBy() // 10 recall rows — single-partition window is free
+    Similarity.topKRecall(bf, ivf)
+      .select(col("qid"), col("k"), col("hits"), col("recall"),
+        (col("recall") >= 0.6).cast("long").as("recall_ge_060"),
+        ((sum(col("hits")).over(all).cast("double") / sum(col("k")).over(all)) >= 0.9)
+          .cast("long").as("mean_recall_ge_090"))
+      .orderBy("qid")
   }
 
   /** Benchmark decontamination report (q62): bigram-shingle overlap of every

@@ -193,7 +193,10 @@ object SparkEntry {
     * array_sort(struct) descending slice), full-precision re-rank, and the
     * per-query hit counts against the brute-force top-k. Nothing is taken
     * from the Spark run — recall derives from the algorithm itself, closing
-    * the one weaker oracle VERDICT r5 flagged. */
+    * the one weaker oracle VERDICT r5 flagged. The two flag columns are the
+    * exception BY DESIGN: the oracle hardcodes 1 while Spark computes them
+    * from its measured recall, so an algorithm retune that tanks recall
+    * identically on both engines still flips the hash. */
   private def ivfExactRecallOracleSql(mod: Int, nlist: Int, nprobe: Int,
                                       iters: Int, k: Int, dim: Int): String = {
     // assignment of every quantized row to its best list, given centroid
@@ -241,7 +244,8 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM bs)
        |  WHERE rank <= $k)
        |SELECT b.qid, CAST(count(*) AS BIGINT) AS k, CAST(count(l.id) AS BIGINT) AS hits,
-       |round(count(l.id) * 1.0 / count(*), 6) AS recall
+       |round(count(l.id) * 1.0 / count(*), 6) AS recall,
+       |CAST(1 AS BIGINT) AS recall_ge_060, CAST(1 AS BIGINT) AS mean_recall_ge_090
        |FROM bf b LEFT JOIN ivf l ON l.qid = b.qid AND l.id = b.id
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
   }

@@ -90,31 +90,45 @@ object CorpusPipeline {
     * the stage frame; `gated`/`exact` are persisted so the upstream stages
     * compute once, not once per downstream count (the MinHash signature
     * cache inside `minhashCandidatePairs` handles the sketch the same way).
-    * Nothing beyond the per-language count rows ever concentrates. */
+    * Nothing beyond the per-language count rows ever concentrates.
+    *
+    * EAGER by design (unlike the operator library): a stage-count report is
+    * a job-level artifact, and running it inside the call lets the persisted
+    * stage frames be RELEASED before returning — a lazy plan would have to
+    * leave corpus-sized cache entries live for the session. The returned
+    * frame is the collected per-language rows (a handful). */
   def curationReport(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
     val gated = qualityGated(docs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = Dedup.exactDedup(gated, Seq(col("text")), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fin = nearDupRemoved(exact, cfg)
-      .withColumn("predicted_lang", langId(col("text"), graft.Queries.LangProfiles))
-    def byLang(df: DataFrame, name: String) =
-      df.groupBy("lang").agg(count(lit(1)).cast("long").as(name))
-    val finAgg = fin.groupBy("lang").agg(
-      count(lit(1)).cast("long").as("n_final"),
-      sum(when(col("predicted_lang") === col("lang"), 1L).otherwise(0L))
-        .cast("long").as("n_pred_match"),
-      sum(col("q.n_tokens")).cast("long").as("sum_tokens"))
-    byLang(docs, "n_input")
-      .join(byLang(gated, "n_quality"), Seq("lang"), "left")
-      .join(byLang(exact, "n_exact"), Seq("lang"), "left")
-      .join(finAgg, Seq("lang"), "left")
-      .select(col("lang"), col("n_input"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_final"), lit(0L)).as("n_final"),
-        coalesce(col("n_pred_match"), lit(0L)).as("n_pred_match"),
-        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
+    try {
+      val fin = nearDupRemoved(exact, cfg)
+        .withColumn("predicted_lang", langId(col("text"), graft.Queries.LangProfiles))
+      def byLang(df: DataFrame, name: String) =
+        df.groupBy("lang").agg(count(lit(1)).cast("long").as(name))
+      val finAgg = fin.groupBy("lang").agg(
+        count(lit(1)).cast("long").as("n_final"),
+        sum(when(col("predicted_lang") === col("lang"), 1L).otherwise(0L))
+          .cast("long").as("n_pred_match"),
+        sum(col("q.n_tokens")).cast("long").as("sum_tokens"))
+      val report = byLang(docs, "n_input")
+        .join(byLang(gated, "n_quality"), Seq("lang"), "left")
+        .join(byLang(exact, "n_exact"), Seq("lang"), "left")
+        .join(finAgg, Seq("lang"), "left")
+        .select(col("lang"), col("n_input"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("n_pred_match"), lit(0L)).as("n_pred_match"),
+          coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(report.collect().toList.asJava, report.schema)
+    } finally {
+      gated.unpersist(false)
+      exact.unpersist(false)
+    }
   }
 
   /** Curate + write partitioned by annotated language. */

@@ -123,12 +123,16 @@ object Sinks {
           var currentFinal: org.apache.hadoop.fs.Path = null
           var currentTemp: org.apache.hadoop.fs.Path = null
           var out: java.io.BufferedWriter = null
-          // complete the in-flight file: close the temp, then ATOMICALLY
-          // replace the final name via FileContext rename(OVERWRITE). The
-          // earlier delete(final)+rename(temp) form had a window where a
-          // killed speculative attempt could remove another attempt's
-          // already-committed file and never replace it; a single overwrite
-          // rename leaves either the old whole file or the new whole file.
+          // complete the in-flight file: close the temp, then replace the
+          // final name via FileContext rename(OVERWRITE). On HDFS this is a
+          // single atomic replace — no window in which a killed speculative
+          // attempt can remove another attempt's committed file. Filesystems
+          // whose AbstractFileSystem falls back to the default overwrite
+          // implementation (local fs, some object stores) still realize it
+          // as an internal delete+rename — a far smaller window than the
+          // previous explicit delete-then-rename, but not zero: where
+          // attempt-concurrency must be bulletproof off-HDFS, disable
+          // speculation for this sink.
           def commit(): Unit = if (out != null) {
             out.close(); out = null
             fc.rename(currentTemp, currentFinal,

@@ -62,6 +62,10 @@ object Compact {
 
     val bc = sc.broadcast(graft.sources.Scratch.confEntries(conf))
     val (qsrcStr, qdstStr) = (qsrc.toString, qdst.toString)
+    // collect() drives the flatMap with FULL parallelism (one task per bin)
+    // and materializes only the index metadata; writing the index straight
+    // from the RDD would let a later coalesce(1) serialize the part writes
+    // into a single task.
     val entries = sc.parallelize(planned, math.max(1, planned.size))
       .flatMap { case (part, files) =>
         val conf = graft.sources.Scratch.confFrom(bc.value)
@@ -74,6 +78,8 @@ object Compact {
         val out = dfs.create(tmp, true)
         val buf = new Array[Byte](1 << 16)
         var offset = 0L
+        // temp + rename(OVERWRITE): atomic replace on HDFS, whole-file-or-
+        // nothing everywhere (see Sinks.keyedTextFiles on the off-HDFS window)
         val index = try {
           files.map { case (rel, _) =>
             val sp = new Path(s"$qsrcStr/$rel")
@@ -94,9 +100,9 @@ object Compact {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
         fc.rename(tmp, pp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         index
-      }
-    val index = spark.createDataFrame(entries)
-    index.coalesce(1).write.mode("overwrite").parquet(s"$qdstStr/_index")
+      }.collect()
+    spark.createDataFrame(entries.toSeq)
+      .write.mode("overwrite").parquet(s"$qdstStr/_index")
     spark.read.parquet(s"$qdstStr/_index")
   }
 

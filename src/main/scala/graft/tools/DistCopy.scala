@@ -18,8 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Semantics mirrored from CopyMapper.java:
   *  - every copy lands on a task-attempt temp name and is renamed into place
-  *    atomically (FileContext OVERWRITE) — a retried/speculative attempt can
-  *    never leave a half-file under the final name;
+  *    via FileContext rename(OVERWRITE) — atomic on HDFS; elsewhere the FS
+  *    may realize overwrite as an internal delete+rename (see
+  *    `Sinks.keyedTextFiles`), but a retried/speculative attempt can never
+  *    leave a HALF-file under the final name either way;
   *  - `update = true` re-run: a file is SKIPPED when the destination exists
   *    with equal length and (unless `checksum = false`) equal content digest
   *    (CopyMapper.java:376-402's size+checksum skip rule);
@@ -86,7 +88,14 @@ object DistCopy {
     val bc = sc.broadcast(graft.sources.Scratch.confEntries(conf))
     val (qsrcStr, qdstStr) = (qsrc.toString, qdst.toString)
     val slices = math.max(1, math.min(listing.size, maxTasks))
-    val reports = sc.parallelize(listing, slices).map { case (rel, _) =>
+    // Round-robin the size-descending listing across tasks: parallelize()
+    // slices CONTIGUOUSLY, which would hand all the largest files to task 0
+    // to copy serially. One group per partition (parallelize of `slices`
+    // groups into `slices` slices) puts the i-th largest file on task
+    // i % slices — byte-balanced to within one large file.
+    val groups = (0 until slices).map(s =>
+      listing.indices.collect { case i if i % slices == s => listing(i) })
+    val reports = sc.parallelize(groups, slices).flatMap(identity).map { case (rel, _) =>
       val conf = graft.sources.Scratch.confFrom(bc.value)
       val sp = new Path(s"$qsrcStr/$rel")
       val dp = new Path(s"$qdstStr/$rel")
@@ -127,7 +136,12 @@ object DistCopy {
         }
         FileReport(rel, srcLen, "copy")
       }
-    }
-    spark.createDataFrame(reports)
+    }.collect()
+    // EAGER by design: the copy is a side effect of the tasks — returning
+    // the lazy RDD would silently re-copy the whole tree on every action
+    // (a second count(), an AQE re-plan, a lost-executor recompute). The
+    // collected report is one small row per file, the same envelope as the
+    // driver-side listing above.
+    spark.createDataFrame(reports.toSeq)
   }
 }
