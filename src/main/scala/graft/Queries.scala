@@ -483,6 +483,90 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Streaming stateful sessionization parity (q67): replay a bounded user
+    * slice of `events` through the flatMapGroupsWithState sessionizer
+    * (`streaming.Streams.sessionize` — event-time timeouts, buffer
+    * gap-splitting) and check its CLOSED sessions against the batch
+    * formulation in the DuckDB oracle. Two far-future sentinel batches
+    * advance the watermark and fire the timeouts so every real session
+    * closes (state-closure is exactly the hard part under test).
+    * Timestamps are truncated to seconds on both sides: the stream compares
+    * gaps in millis, the oracle in whole seconds — truncation makes them
+    * the same predicate. */
+  def streamingSessionParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams
+    val evs = t(spark, dir).events
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id").cast("long").as("user_id"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+        col("event_type"), col("value").cast("double").as("value"))
+      .as[Streams.Event].collect()
+    val maxTs = evs.map(_.ts.getTime).max
+    val mem = MemoryStream[Streams.Event]
+    val name = s"q67_stream_${streamRunCounter.getAndIncrement()}"
+    val sq = Streams.sessionize(mem.toDS(), gapMillis = 1800 * 1000L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(evs.toSeq)
+      sq.processAllAvailable()
+      // sentinel user -1: first batch advances the watermark past every
+      // session's (end + gap); the second triggers the timeout pass that
+      // closes them (watermarks update at end-of-batch, fire next batch)
+      mem.addData(Streams.Event(-1L, new java.sql.Timestamp(maxTs + 3600000L), "sentinel", 0.0))
+      sq.processAllAvailable()
+      mem.addData(Streams.Event(-1L, new java.sql.Timestamp(maxTs + 7200000L), "sentinel", 0.0))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Streaming windowed-aggregation parity (q68): replay a user slice of
+    * `events` through the watermarked tumbling-window aggregate
+    * (`Streams.windowedCounts`) and check the emitted windows against the
+    * batch date_trunc formulation (the q19 shape). Append-mode windows emit
+    * only once the watermark passes their end — the sentinel batches flush
+    * the final windows, proving the bounded-state emission path. */
+  def streamingWindowParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams
+    val evs = t(spark, dir).events
+      .filter(col("user_id") % 10 === 1)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value").cast("double").as("value"))
+      .as[Streams.Event].collect()
+    val maxTs = evs.map(_.ts.getTime).max
+    val mem = MemoryStream[Streams.Event]
+    val name = s"q68_stream_${streamRunCounter.getAndIncrement()}"
+    val sq = Streams.windowedCounts(mem.toDS().toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(evs.toSeq)
+      sq.processAllAvailable()
+      mem.addData(Streams.Event(-1L, new java.sql.Timestamp(maxTs + 7200000L), "sentinel", 0.0))
+      sq.processAllAvailable()
+      mem.addData(Streams.Event(-1L, new java.sql.Timestamp(maxTs + 14400000L), "sentinel", 0.0))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    spark.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("h", "event_type")
+  }
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

@@ -320,7 +320,9 @@ object SparkEntry {
     "q63_quantized_recall" -> Queries.simQuantizedRecall _,
     "q64_top_rare_terms"  -> Queries.topRareTerms _,
     "q65_curation_report" -> Queries.curationReport _,
-    "q66_stream_parity"   -> Queries.streamingCurationParity _
+    "q66_stream_parity"   -> Queries.streamingCurationParity _,
+    "q67_stream_sessions" -> Queries.streamingSessionParity _,
+    "q68_stream_windows"  -> Queries.streamingWindowParity _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -729,6 +731,31 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q65_curation_report" -> curationOracleSql,
+    "q67_stream_sessions" ->
+      // batch formulation of the gap sessionizer over the replayed slice;
+      // second-truncated timestamps make the stream's millisecond gap
+      // predicate and this whole-second one identical (see q57's note on
+      // date_diff('second') floor semantics)
+      """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts, value
+        |  FROM events WHERE user_id % 10 = 0),
+        |x AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q68_stream_windows" ->
+      // the q19 shape restricted to the replayed slice: tumbling 1-hour
+      // windows == date_trunc('hour') groups
+      """SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS h,
+        |event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events WHERE user_id % 10 = 1
+        |GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
     "q66_stream_parity" ->
       // batch formulation of the STREAMING curation path at curateStream's
       // default thresholds: stream == batch is exactly the claim under test
