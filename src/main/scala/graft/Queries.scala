@@ -567,6 +567,46 @@ object Queries {
       .orderBy("h", "event_type")
   }
 
+  /** Stream-stream interval-join parity (q69): purchases and clicks of a
+    * user slice replayed as TWO MemoryStreams through the watermark-bounded
+    * interval join (`Streams.intervalJoin`: click within the 30 minutes up
+    * to the purchase), checked against the batch BETWEEN join. This is the
+    * last §2.9 operator promoted from spec-only to driver-checked — with
+    * q66/q67/q68 the whole streaming surface is oracle-gated. Timestamps
+    * are second-truncated on both sides (q67's note: the oracle compares at
+    * DuckDB's nanosecond resolution, Spark at microseconds — truncation
+    * makes the interval boundaries identical predicates). */
+  def streamingIntervalJoinParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = t(spark, dir).events.filter(col("user_id") % 10 === 2)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        date_trunc("second", col("ts")).cast("timestamp"), col("event_type"))
+    def side(kind: String) = ev.filter(col("event_type") === kind)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val purchases = side("purchase")
+    val clicks = side("click")
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.Streams.intervalJoin(
+      memP.toDS().toDF("purchase_id", "user_id", "ts"),
+      memC.toDS().toDF("click_id", "user_id", "click_ts"),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      before = "30 minutes", after = "0 seconds")
+    val name = s"q69_stream_${streamRunCounter.getAndIncrement()}"
+    val sq = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      memP.addData(purchases.toSeq)
+      memC.addData(clicks.toSeq)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    spark.table(name)
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

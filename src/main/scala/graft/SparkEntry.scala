@@ -322,7 +322,8 @@ object SparkEntry {
     "q65_curation_report" -> Queries.curationReport _,
     "q66_stream_parity"   -> Queries.streamingCurationParity _,
     "q67_stream_sessions" -> Queries.streamingSessionParity _,
-    "q68_stream_windows"  -> Queries.streamingWindowParity _
+    "q68_stream_windows"  -> Queries.streamingWindowParity _,
+    "q69_stream_interval_join" -> Queries.streamingIntervalJoinParity _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -756,6 +757,17 @@ object SparkEntry {
         |event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events WHERE user_id % 10 = 1
         |GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+    "q69_stream_interval_join" ->
+      // batch BETWEEN formulation of the stream-stream interval join over
+      // the same second-truncated slice
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, date_trunc('second', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 10 = 2),
+        |c AS (SELECT event_id AS click_id, user_id, date_trunc('second', ts) AS click_ts
+        |  FROM events WHERE event_type = 'click' AND user_id % 10 = 2)
+        |SELECT p.user_id, purchase_id, click_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "q66_stream_parity" ->
       // batch formulation of the STREAMING curation path at curateStream's
       // default thresholds: stream == batch is exactly the claim under test
