@@ -104,4 +104,23 @@ class ToolsSpec extends SparkSpec {
       }
     }
   }
+
+  test("Compact: a file larger than the target gets its own part, bit-exact") {
+    val src = Files.createTempDirectory("graft_har_big_src").toString
+    val dst = Files.createTempDirectory("graft_har_big_dst").toString + "/packed"
+    val rnd = new scala.util.Random(7)
+    val big = Array.fill(200 << 10)(rnd.nextInt().toByte) // 200 KiB > 64 KiB target
+    write(src, "big.bin", big)
+    write(src, "small1.txt", "alpha".getBytes(UTF_8))
+    write(src, "small2.txt", "beta".getBytes(UTF_8))
+    val rows = Compact.compact(spark, src, dst, targetPartBytes = 64L << 10).collect()
+    assert(rows.length == 3)
+    // the oversized file is alone in its bin (FFD opens a new bin when
+    // nothing fits) and starts at offset 0
+    val bigRow = rows.find(_.getAs[String]("rel") == "big.bin").get
+    assert(bigRow.getAs[Long]("offset") == 0L && bigRow.getAs[Long]("length") == big.length)
+    assert(rows.count(_.getAs[Int]("part") == bigRow.getAs[Int]("part")) == 1)
+    assert(Compact.readEntry(spark, dst, "big.bin").sameElements(big))
+    assert(Compact.readEntry(spark, dst, "small2.txt").sameElements("beta".getBytes(UTF_8)))
+  }
 }
