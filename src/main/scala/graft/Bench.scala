@@ -196,7 +196,8 @@ object Bench {
     if (only.isEmpty) {
       val mb = sys.env.getOrElse("SPARK_GRAFT_DISTCP_MB", "256").toInt
       val name = s"distcp_${mb}mb"
-      guarded(Seq(name)) {
+      val updName = s"distcp_update_${mb}mb"
+      guarded(Seq(name, updName)) {
         import org.apache.spark.sql.functions._
         val dir = graft.sources.Scratch.dir(spark,
           s"graft_distcp_${spark.sparkContext.applicationId}")
@@ -209,16 +210,16 @@ object Bench {
           spark.range(rows)
             .select(concat(lpad(col("id").cast("string"), 19, "0"), lit(filler)).as("value"))
             .write.mode("overwrite").text(srcDir)
+          def actionsOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+            df.groupBy("action").agg(count(lit(1)).as("n")).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
           def distcpOnce(i: Int): Double = {
             val dstDir = s"$dir/dst$i"
             val t0 = System.nanoTime()
-            val actions = graft.tools.DistCopy.copy(spark, srcDir, dstDir)
-              .groupBy("action").agg(count(lit(1)).as("n")).collect()
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val actions = actionsOf(graft.tools.DistCopy.copy(spark, srcDir, dstDir))
             val sec = (System.nanoTime() - t0) / 1e9
             require(actions.keySet == Set("copy") && actions("copy") > 0,
               s"distcp unexpected actions: $actions")
-            graft.sources.Scratch.delete(spark.sparkContext.hadoopConfiguration, dstDir)
             sec
           }
           val v = distcpOnce(0)
@@ -229,6 +230,15 @@ object Bench {
               System.err.println(s"[bench] distcp re-bench failed (keeping first pass): ${e.getMessage}")
             }
           }
+          // -update re-run over the tree just copied: every file must SKIP,
+          // but both sides are fully checksummed — the incremental-copy
+          // (read-dominated) throughput number
+          val tu = System.nanoTime()
+          val upd = actionsOf(graft.tools.DistCopy.copy(spark, srcDir, s"$dir/dst0",
+            update = true))
+          val updSec = (System.nanoTime() - tu) / 1e9
+          require(upd.keySet == Set("skip"), s"distcp update unexpected actions: $upd")
+          firstPass.put(updName, updSec); results.put(updName, updSec)
         } finally {
           try graft.sources.Scratch.delete(spark.sparkContext.hadoopConfiguration, dir)
           catch { case e: Exception =>
@@ -264,42 +274,81 @@ object Bench {
       }
     }
 
-    // Gridmix-lite (the reference's hadoop-gridmix intent): a deterministic
-    // stride-sample of the query suite submitted to a small concurrent pool —
-    // the contended-cluster latency signal a sequential suite misses.
+    // Gridmix-lite (the reference's hadoop-gridmix + hadoop-rumen intent):
+    // a mixed workload on a small concurrent pool — the contended-cluster
+    // latency signal a sequential suite misses. Two modes:
+    //  - default: a deterministic stride-sample of the query suite, all
+    //    submitted at t=0 (max contention);
+    //  - SPARK_GRAFT_GRIDMIX_TRACE=<file>: replay a previously captured
+    //    trace — each job submits at its recorded offset, reproducing a
+    //    real run's arrival pattern (Rumen extracts traces from history
+    //    logs; here every gridmix run WRITES gridmix_trace.json, so any
+    //    run's mix can be replayed and compared).
     // gridmix_p50/p95 are latency ORDER STATISTICS over the mixed jobs, not
     // extra sequential work — excluded from the additive totals below.
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_GRIDMIX", "1") == "1")
       guarded(Seq("gridmix_p50", "gridmix_p95")) {
         val pools = sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_POOLS", "3").toInt
-        // cap at the suite size: the mix must be DISTINCT queries — some
-        // queries write/read fixed scratch paths (q35), so two copies of one
-        // query must never run concurrently with each other
-        val jobs = math.min(selected.size,
-          sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_JOBS", "24").toInt)
-        // stride walk covers the whole suite rather than only the
-        // alphabetical head; the stride is chosen coprime with the suite
-        // size so the walk visits distinct queries
-        val stride = Iterator.from(7)
-          .find(s => BigInt(s).gcd(BigInt(selected.size)) == 1).get
-        val mix = (0 until jobs).map(i => selected((i * stride) % selected.size))
-        val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+        val byName = selected.toMap
+        // (query, submit-offset-ms) pairs: trace order, or stride sample at 0
+        val mix: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Long)] =
+          sys.env.get("SPARK_GRAFT_GRIDMIX_TRACE") match {
+            case Some(path) =>
+              val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+              """\{"name":"([^"]+)","offset_ms":([0-9]+)""".r.findAllMatchIn(txt)
+                .flatMap(m => byName.get(m.group(1)).map(fn => (m.group(1), fn, m.group(2).toLong)))
+                .toSeq.sortBy(_._3)
+            case None =>
+              // cap at the suite size: the mix must be DISTINCT queries —
+              // some queries write/read fixed scratch paths (q35), so two
+              // copies of one query must never run concurrently. The stride
+              // is coprime with the suite size so the walk visits distinct
+              // queries across the whole suite, not the alphabetical head.
+              val jobs = math.min(selected.size,
+                sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_JOBS", "24").toInt)
+              val stride = Iterator.from(7)
+                .find(s => BigInt(s).gcd(BigInt(selected.size)) == 1).get
+              (0 until jobs).map { i =>
+                val (n, fn) = selected((i * stride) % selected.size); (n, fn, 0L)
+              }
+          }
+        val lat = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, java.lang.Double)]()
         val gpool = Executors.newFixedThreadPool(pools)
-        val gfs = mix.map { case (name, fn) =>
+        val g0 = System.nanoTime()
+        // submit in offset order from this thread: trace replay preserves
+        // the recorded arrival pattern, the default all-at-zero mix degrades
+        // to plain submission
+        val gfs = mix.map { case (name, fn, offsetMs) =>
+          val wait = offsetMs - (System.nanoTime() - g0) / 1000000L
+          if (wait > 0) Thread.sleep(wait)
+          val submittedAt = (System.nanoTime() - g0) / 1000000L
           gpool.submit(new Runnable {
             def run(): Unit = {
               val v = timeOnce(s"gridmix:$name", fn)
-              if (v > 0) lat.add(v)
+              if (v > 0) lat.add((name, submittedAt, v))
             }
           })
         }
         gfs.foreach(_.get())
         gpool.shutdown()
-        val xs = {
+        val done = {
           import scala.jdk.CollectionConverters._
-          lat.asScala.map(_.doubleValue()).toSeq.sorted
+          lat.asScala.toSeq
         }
-        require(xs.size == jobs, s"gridmix: ${jobs - xs.size} of $jobs jobs failed")
+        require(done.size == mix.size, s"gridmix: ${mix.size - done.size} of ${mix.size} jobs failed")
+        // capture the executed mix as a replayable trace (the Rumen role)
+        try {
+          val trace = done.sortBy(_._2).map { case (n, off, v) =>
+            val sec = String.format(java.util.Locale.ROOT, "%.3f", v)
+            s"""{"name":"$n","offset_ms":$off,"sec":$sec}"""
+          }.mkString("[", ",", "]")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_TRACE_OUT",
+              "gridmix_trace.json")), trace + "\n")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] gridmix trace write failed: ${e.getMessage}")
+        }
+        val xs = done.map(_._3.doubleValue()).sorted
         def pct(p: Double): Double = xs(math.min(xs.size - 1,
           math.max(0, math.ceil(p * xs.size).toInt - 1)))
         firstPass.put("gridmix_p50", pct(0.50)); results.put("gridmix_p50", pct(0.50))
