@@ -312,6 +312,9 @@ object Bench {
                 val (n, fn) = selected((i * stride) % selected.size); (n, fn, 0L)
               }
           }
+        require(mix.nonEmpty,
+          "gridmix: empty job mix (a trace file must contain this bench's own " +
+            "gridmix_trace.json format and name queries that exist)")
         val lat = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, java.lang.Double)]()
         val gpool = Executors.newFixedThreadPool(pools)
         val g0 = System.nanoTime()
