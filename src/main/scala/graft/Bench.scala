@@ -295,9 +295,17 @@ object Bench {
           sys.env.get("SPARK_GRAFT_GRIDMIX_TRACE") match {
             case Some(path) =>
               val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-              """\{"name":"([^"]+)","offset_ms":([0-9]+)""".r.findAllMatchIn(txt)
-                .flatMap(m => byName.get(m.group(1)).map(fn => (m.group(1), fn, m.group(2).toLong)))
-                .toSeq.sortBy(_._3)
+              val parsed = """\{"name":"([^"]+)","offset_ms":([0-9]+)""".r
+                .findAllMatchIn(txt).map(m => (m.group(1), m.group(2).toLong)).toSeq
+              // reject rather than silently drop: a trace naming queries this
+              // build lacks would otherwise report p50/p95 over a partial
+              // mix, and a duplicated name would run a query concurrently
+              // with itself (the distinct invariant the default mode keeps)
+              val unknown = parsed.map(_._1).filterNot(byName.contains)
+              require(unknown.isEmpty, s"gridmix trace names unknown queries: ${unknown.distinct.mkString(",")}")
+              val dups = parsed.groupBy(_._1).filter(_._2.size > 1).keys
+              require(dups.isEmpty, s"gridmix trace duplicates queries: ${dups.mkString(",")}")
+              parsed.map { case (n, off) => (n, byName(n), off) }.sortBy(_._3)
             case None =>
               // cap at the suite size: the mix must be DISTINCT queries —
               // some queries write/read fixed scratch paths (q35), so two
@@ -339,17 +347,24 @@ object Bench {
           lat.asScala.toSeq
         }
         require(done.size == mix.size, s"gridmix: ${mix.size - done.size} of ${mix.size} jobs failed")
-        // capture the executed mix as a replayable trace (the Rumen role)
-        try {
-          val trace = done.sortBy(_._2).map { case (n, off, v) =>
-            val sec = String.format(java.util.Locale.ROOT, "%.3f", v)
-            s"""{"name":"$n","offset_ms":$off,"sec":$sec}"""
-          }.mkString("[", ",", "]")
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_TRACE_OUT",
-              "gridmix_trace.json")), trace + "\n")
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] gridmix trace write failed: ${e.getMessage}")
+        // capture the executed mix as a replayable trace (the Rumen role).
+        // A REPLAY run writes only when TRACE_OUT is explicitly set:
+        // defaulting the capture to gridmix_trace.json would overwrite the
+        // very trace being replayed (and each generation's offsets are the
+        // ACTUAL submit times, so repeated replays would drift later).
+        val traceOut = sys.env.get("SPARK_GRAFT_GRIDMIX_TRACE_OUT")
+          .orElse(if (sys.env.contains("SPARK_GRAFT_GRIDMIX_TRACE")) None
+                  else Some("gridmix_trace.json"))
+        traceOut.foreach { out =>
+          try {
+            val trace = done.sortBy(_._2).map { case (n, off, v) =>
+              val sec = String.format(java.util.Locale.ROOT, "%.3f", v)
+              s"""{"name":"$n","offset_ms":$off,"sec":$sec}"""
+            }.mkString("[", ",", "]")
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(out), trace + "\n")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] gridmix trace write failed: ${e.getMessage}")
+          }
         }
         val xs = done.map(_._3.doubleValue()).sorted
         def pct(p: Double): Double = xs(math.min(xs.size - 1,

@@ -504,6 +504,9 @@ object Queries {
         date_trunc("second", col("ts")).cast("timestamp").as("ts"),
         col("event_type"), col("value").cast("double").as("value"))
       .as[Streams.Event].collect()
+    if (evs.isEmpty) // empty slice → the empty result the oracle yields
+      return spark.emptyDataset[(Long, String, Long, Double)]
+        .toDF("user_id", "session_start", "n_events", "sum_value")
     val maxTs = evs.map(_.ts.getTime).max
     val mem = MemoryStream[Streams.Event]
     val name = s"q67_stream_${streamRunCounter.getAndIncrement()}"
@@ -546,6 +549,9 @@ object Queries {
         col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value").cast("double").as("value"))
       .as[Streams.Event].collect()
+    if (evs.isEmpty) // empty slice → the empty result the oracle yields
+      return spark.emptyDataset[(String, String, Long, Double)]
+        .toDF("h", "event_type", "n", "sum_value")
     val maxTs = evs.map(_.ts.getTime).max
     val mem = MemoryStream[Streams.Event]
     val name = s"q68_stream_${streamRunCounter.getAndIncrement()}"
@@ -580,13 +586,15 @@ object Queries {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ev = t(spark, dir).events.filter(col("user_id") % 10 === 2)
+    // ONE scan/collect for both sides; the split is driver-side
+    val all = t(spark, dir).events.filter(col("user_id") % 10 === 2)
+      .filter(col("event_type").isin("purchase", "click"))
       .select(col("event_id").cast("long"), col("user_id").cast("long"),
         date_trunc("second", col("ts")).cast("timestamp"), col("event_type"))
-    def side(kind: String) = ev.filter(col("event_type") === kind)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
-    val purchases = side("purchase")
-    val clicks = side("click")
+      .collect()
+      .map(r => (r.getString(3), (r.getLong(0), r.getLong(1), r.getTimestamp(2))))
+    val purchases = all.collect { case ("purchase", e) => e }
+    val clicks = all.collect { case ("click", e) => e }
     val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
     val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
     val joined = graft.streaming.Streams.intervalJoin(

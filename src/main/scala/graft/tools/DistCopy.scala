@@ -94,7 +94,7 @@ object DistCopy {
     // groups into `slices` slices) puts the i-th largest file on task
     // i % slices — byte-balanced to within one large file.
     val groups = (0 until slices).map(s =>
-      listing.indices.collect { case i if i % slices == s => listing(i) })
+      (s until listing.size by slices).map(listing))
     val reports = sc.parallelize(groups, slices).flatMap(identity).map { case (rel, _) =>
       val conf = graft.sources.Scratch.confFrom(bc.value)
       val sp = new Path(s"$qsrcStr/$rel")
