@@ -378,6 +378,7 @@ object Bench {
     // operators; a ratio far above ~15 is a latent quadratic. Diagnostic
     // only — never folded into the headline value.
     val scaling = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val scalingSmall = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val scalingDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR", "/root/testdata/sf0.01")
     // Queries whose work is independent of the data dir (pi, puzzle searches,
     // digit extraction): a second run costs full constant time for a ratio of
@@ -392,7 +393,10 @@ object Bench {
           fn(spark, scalingDir).write.mode("overwrite").format("noop").save()
           val small = (System.nanoTime() - q0) / 1e9
           val big = results.getOrDefault(name, -1.0)
-          if (small > 0 && big > 0) scaling.put(name, big / small)
+          if (small > 0 && big > 0) {
+            scaling.put(name, big / small)
+            scalingSmall.put(name, small)
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] scaling $name failed: ${e.getMessage}")
         }
@@ -421,10 +425,31 @@ object Bench {
           System.err.println(s"[bench] scaling baseline read failed: ${e.getMessage}")
           Map.empty
         }
-      scaling.forEach { (name, ratio) =>
+      // Candidate regressions get the same stall defense the absolute
+      // numbers have: re-measure BOTH scales once and recompute the ratio
+      // from per-scale minima — a single host slow window inflating either
+      // side must persist across two passes to flag. (A real plan
+      // regression reproduces; noise doesn't — one observed false positive
+      // was a first pass 3.98 s sitting just under the re-bench threshold.)
+      scaling.forEach { (name, ratio0) =>
         prev.get(name).foreach { p =>
-          if (ratio > 2 * p && ratio > 3 && results.getOrDefault(name, 0.0) >= 1.0)
-            scalingRegressions += name
+          def suspicious(r: Double, big: Double) = r > 2 * p && r > 3 && big >= 1.0
+          if (suspicious(ratio0, results.getOrDefault(name, 0.0))) {
+            val fn = selected.toMap.apply(name)
+            val big2 = math.min(results.get(name),
+              { val t = timeOnce(s"rescale:$name", fn); if (t > 0) t else Double.MaxValue })
+            val q0 = System.nanoTime()
+            val small2 = try {
+              fn(spark, scalingDir).write.mode("overwrite").format("noop").save()
+              math.min(scalingSmall.getOrDefault(name, Double.MaxValue),
+                (System.nanoTime() - q0) / 1e9)
+            } catch { case _: Throwable => scalingSmall.getOrDefault(name, -1.0) }
+            if (small2 > 0) {
+              val ratio2 = big2 / small2
+              scaling.put(name, ratio2)
+              if (suspicious(ratio2, big2)) scalingRegressions += name
+            }
+          }
         }
       }
       try {
