@@ -413,13 +413,27 @@ object Bench {
     val scalingRegressions = scala.collection.mutable.ArrayBuffer[String]()
     if (!scaling.isEmpty) {
       val basePath = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASELINE", "scaling_baseline.json")
+      // Ratios are only comparable between runs measured at the SAME
+      // (main-dir, scaling-dir) pair: a run with SPARK_GRAFT_SF_DIR=sf0.01
+      // (ratio ~1) would otherwise overwrite the baseline with incomparable
+      // numbers and mass-flag the next normal run. The pair is embedded in
+      // the baseline file; on mismatch the prior baseline is DISCARDED (no
+      // comparison, fresh ratchet at the new pair).
+      val dirsTag = s"$sfDir|$scalingDir"
       val prev: Map[String, Double] =
         try {
           val p = java.nio.file.Paths.get(basePath)
           if (java.nio.file.Files.exists(p)) {
             val txt = java.nio.file.Files.readString(p)
-            "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            val prevTag = "\"__dirs\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+            if (prevTag.contains(dirsTag))
+              "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            else {
+              System.err.println(s"[bench] scaling baseline measured at " +
+                s"${prevTag.getOrElse("<untagged>")}, this run is $dirsTag — starting fresh")
+              Map.empty
+            }
           } else Map.empty
         } catch { case e: Throwable =>
           System.err.println(s"[bench] scaling baseline read failed: ${e.getMessage}")
@@ -463,8 +477,8 @@ object Bench {
         val persisted = (prev ++ current.map { case (n, r) =>
           n -> (if (scalingRegressions.contains(n)) prev(n) else r)
         }).toSeq.sortBy(_._1)
-        val line = persisted
-          .map { case (k, v) => "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+        val line = (("\"__dirs\":\"" + dirsTag + "\"") +: persisted
+          .map { case (k, v) => "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) })
           .mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(basePath), line + "\n")
       } catch { case e: Throwable =>

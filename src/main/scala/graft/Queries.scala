@@ -458,9 +458,16 @@ object Queries {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sorted by doc_id so the stream's first-seen-per-digest survivor is the
+    // MIN doc_id — the row the oracle's `min(doc_id)` CTE keeps. The corpus
+    // has no cross-lang exact-duplicate texts at oracle scale (verified:
+    // sf0.01 has zero duplicate texts at all), so the per-lang aggregate is
+    // survivor-independent there; the sort removes the residual arrival-order
+    // dependence at larger scales where cross-lang duplicates exist.
     val docs = t(spark, dir).documents
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
       .collect()
+      .sortBy(_.getLong(0))
     def ts(id: Long, offsetSec: Long) =
       new java.sql.Timestamp(1704067200000L + (id + offsetSec) * 1000L)
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]

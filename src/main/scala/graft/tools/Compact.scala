@@ -41,15 +41,8 @@ object Compact {
 
     // listing (metadata only) → deterministic first-fit-decreasing packing:
     // sort by (size desc, path) so the same tree always packs identically
-    val listing = {
-      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-      val it = srcFs.listFiles(qsrc, true)
-      while (it.hasNext) {
-        val s = it.next()
-        out += ((qsrc.toUri.relativize(s.getPath.toUri).toString, s.getLen))
-      }
-      out.sortBy { case (rel, len) => (-len, rel) }.toSeq
-    }
+    val listing = TreeListing.list(srcFs, qsrc).toSeq
+      .sortBy { case (rel, len) => (-len, rel) }
     val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]()
     listing.foreach { case (rel, len) =>
       bins.indexWhere(_._2 + len <= targetPartBytes) match {
@@ -59,6 +52,19 @@ object Compact {
     }
     val planned: Seq[(Int, Seq[(String, Long)])] =
       bins.toSeq.zipWithIndex.map { case ((files, _), i) => (i, files.toSeq) }
+
+    // Re-compaction into a non-empty destination: a new packing with FEWER
+    // bins would leave the prior run's higher-numbered part files in place,
+    // and a consumer walking part-* (instead of the index) would read stale
+    // data. Delete orphan parts beyond the new bin count, and any in-flight
+    // task temps a crashed prior run left behind.
+    dstFs.listStatus(qdst).foreach { st =>
+      val n = st.getPath.getName
+      val orphanPart = n.matches("part-\\d{5}") &&
+        n.stripPrefix("part-").toInt >= planned.size
+      if (orphanPart || TreeListing.isStaleTemp(n))
+        dstFs.delete(st.getPath, false)
+    }
 
     val bc = sc.broadcast(graft.sources.Scratch.confEntries(conf))
     val (qsrcStr, qdstStr) = (qsrc.toString, qdst.toString)
@@ -75,31 +81,39 @@ object Compact {
           .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
           .getOrElse("driver")
         val tmp = new Path(pp.getParent, s".${pp.getName}.compact-$attempt")
-        val out = dfs.create(tmp, true)
-        val buf = new Array[Byte](1 << 16)
-        var offset = 0L
         // temp + rename(OVERWRITE): atomic replace on HDFS, whole-file-or-
-        // nothing everywhere (see Sinks.keyedTextFiles on the off-HDFS window)
-        val index = try {
-          files.map { case (rel, _) =>
-            val sp = new Path(s"$qsrcStr/$rel")
-            val in = sp.getFileSystem(conf).open(sp)
-            var copied = 0L
-            try {
-              var n = in.read(buf)
-              while (n >= 0) {
-                if (n > 0) { out.write(buf, 0, n); copied += n }
-                n = in.read(buf)
-              }
-            } finally in.close()
-            val e = IndexEntry(rel, part, offset, copied)
-            offset += copied
-            e
-          }
-        } finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
-        fc.rename(tmp, pp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        index
+        // nothing everywhere (see Sinks.keyedTextFiles on the off-HDFS
+        // window); a failure before the rename deletes the temp so a crashed
+        // part write never leaves a stale `.part-*.compact-*` for a later
+        // listing to pick up
+        try {
+          val out = dfs.create(tmp, true)
+          val buf = new Array[Byte](1 << 16)
+          var offset = 0L
+          val index = try {
+            files.map { case (rel, _) =>
+              val sp = new Path(s"$qsrcStr/$rel")
+              val in = sp.getFileSystem(conf).open(sp)
+              var copied = 0L
+              try {
+                var n = in.read(buf)
+                while (n >= 0) {
+                  if (n > 0) { out.write(buf, 0, n); copied += n }
+                  n = in.read(buf)
+                }
+              } finally in.close()
+              val e = IndexEntry(rel, part, offset, copied)
+              offset += copied
+              e
+            }
+          } finally out.close()
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
+          fc.rename(tmp, pp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          index
+        } catch { case e: Throwable =>
+          try dfs.delete(tmp, false) catch { case _: Exception => () }
+          throw e
+        }
       }.collect()
     spark.createDataFrame(entries.toSeq)
       .write.mode("overwrite").parquet(s"$qdstStr/_index")

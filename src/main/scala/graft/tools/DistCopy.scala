@@ -73,15 +73,9 @@ object DistCopy {
     // DistCp spills this to a sequence file; the entries here are ~100 B each
     // — 10^7 files is a GB of driver memory, the same envelope DistCp's
     // listing build works in.
-    val listing = {
-      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-      val it = srcFs.listFiles(qsrc, true)
-      while (it.hasNext) {
-        val s = it.next()
-        out += ((qsrc.toUri.relativize(s.getPath.toUri).toString, s.getLen))
-      }
-      out.sortBy(-_._2).toSeq // largest first: long copies schedule early
-    }
+    val listing =
+      TreeListing.list(srcFs, qsrc).toSeq
+        .sortBy(-_._2) // largest first: long copies schedule early
     require(listing.forall(f => f._1.nonEmpty && !f._1.startsWith("/")),
       s"source listing produced a non-relative path under $qsrc")
 
@@ -113,21 +107,29 @@ object DistCopy {
         val tmp = new Path(dp.getParent, s".${dp.getName}.distcp-$attempt")
         dfs.mkdirs(dp.getParent)
         val md = java.security.MessageDigest.getInstance("MD5")
-        val in = sfs.open(sp)
-        val out = dfs.create(tmp, true)
-        var copied = 0L
+        // any failure before the rename (write I/O error, length-mismatch
+        // require) must delete the temp: a stale `.name.distcp-*` left in the
+        // destination would be listed — not hidden — by a later copy FROM it
         try {
-          val buf = new Array[Byte](1 << 16)
-          var n = in.read(buf)
-          while (n >= 0) {
-            if (n > 0) { out.write(buf, 0, n); md.update(buf, 0, n); copied += n }
-            n = in.read(buf)
-          }
-        } finally { in.close(); out.close() }
-        require(copied == srcLen,
-          s"$rel changed during copy: read $copied of $srcLen bytes")
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
-        fc.rename(tmp, dp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          val in = sfs.open(sp)
+          val out = dfs.create(tmp, true)
+          var copied = 0L
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) { out.write(buf, 0, n); md.update(buf, 0, n); copied += n }
+              n = in.read(buf)
+            }
+          } finally { in.close(); out.close() }
+          require(copied == srcLen,
+            s"$rel changed during copy: read $copied of $srcLen bytes")
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
+          fc.rename(tmp, dp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch { case e: Throwable =>
+          try dfs.delete(tmp, false) catch { case _: Exception => () }
+          throw e
+        }
         if (checksum) {
           val srcMd5 = md.digest().map("%02x".format(_)).mkString
           val dstMd5 = md5Of(dfs, dp)

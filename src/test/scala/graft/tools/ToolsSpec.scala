@@ -105,6 +105,56 @@ class ToolsSpec extends SparkSpec {
     }
   }
 
+  test("DistCopy/Compact: URI-special names (space, percent) round-trip; stale temps don't propagate") {
+    val src = Files.createTempDirectory("graft_uri_src").toString
+    val dst = Files.createTempDirectory("graft_uri_dst").toString + "/out"
+    val packed = Files.createTempDirectory("graft_uri_pk").toString + "/packed"
+    // URI.relativize used to return "sp%20ace.txt" for these, which was then
+    // looked up literally and failed with FileNotFoundException
+    val names = Seq("sp ace.txt", "pct%20name.bin", "sub dir/plus+q.dat")
+    names.zipWithIndex.foreach { case (n, i) =>
+      write(src, n, s"payload $i for $n".getBytes(UTF_8))
+    }
+    // a crashed prior run's in-flight temp in the SOURCE tree must be
+    // filtered from the listing, not copied along
+    write(src, ".victim.txt.distcp-0-1", "stale".getBytes(UTF_8))
+
+    val rep = DistCopy.copy(spark, src, dst)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rep.keySet == names.toSet, rep)
+    names.foreach(n => assert(slurp(dst, n).sameElements(slurp(src, n)), n))
+
+    Compact.compact(spark, src, packed, targetPartBytes = 1L << 20)
+    names.foreach { n =>
+      assert(Compact.readEntry(spark, packed, n).sameElements(slurp(src, n)), n)
+    }
+  }
+
+  test("Compact: re-compacting into a non-empty destination removes orphan parts") {
+    val src = Files.createTempDirectory("graft_orph_src").toString
+    val dst = Files.createTempDirectory("graft_orph_dst").toString + "/packed"
+    val contents = (0 until 64).map { i =>
+      val rel = f"f$i%03d.txt"
+      val body = (s"doc $i " * (1 + i % 9)).getBytes(UTF_8)
+      write(src, rel, body)
+      rel -> body
+    }.toMap
+    // tiny target → many parts
+    val many = new java.io.File(
+      { Compact.compact(spark, src, dst, targetPartBytes = 512L); dst })
+      .listFiles().count(_.getName.matches("part-\\d{5}"))
+    assert(many > 1, s"$many parts")
+    // huge target → 1 part; every higher-numbered part from the prior run
+    // must be deleted, or a consumer walking part-* reads stale data
+    Compact.compact(spark, src, dst, targetPartBytes = 1L << 20)
+    val after = new java.io.File(dst).listFiles()
+      .filter(_.getName.matches("part-\\d{5}")).map(_.getName).toSeq
+    assert(after == Seq("part-00000"), after)
+    contents.foreach { case (rel, body) =>
+      assert(Compact.readEntry(spark, dst, rel).sameElements(body), rel)
+    }
+  }
+
   test("Compact: a file larger than the target gets its own part, bit-exact") {
     val src = Files.createTempDirectory("graft_har_big_src").toString
     val dst = Files.createTempDirectory("graft_har_big_dst").toString + "/packed"
