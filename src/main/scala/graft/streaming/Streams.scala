@@ -18,6 +18,21 @@ object Streams {
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  /** One open session segment, compacted to the aggregates `Session` needs —
+    * the streaming sessionizer's ENTIRE per-key state (never raw events). */
+  final case class SegAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+
+  /** Test-observability hook (meaningful in local mode, where tasks share
+    * the JVM): high-water mark of per-key open segment-aggregates held in
+    * sessionizer state. Bounded under a never-idle hot key is exactly the
+    * state-boundedness claim StreamsSpec pins. */
+  private[graft] val sessionStateHighWater = new java.util.concurrent.atomic.AtomicLong(0)
+  private def recordHighWater(n: Long): Unit = {
+    var cur = sessionStateHighWater.get()
+    while (n > cur && !sessionStateHighWater.compareAndSet(cur, n))
+      cur = sessionStateHighWater.get()
+  }
+
   /** Tumbling-window per-type aggregate with a watermark (late data beyond
     * `lateness` is dropped; state is bounded — the 100 TB-stream essential). */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
@@ -74,50 +89,68 @@ object Streams {
     implicit val se: Encoder[Session] = Encoders.product[Session]
     implicit val le: Encoder[Long] = Encoders.scalaLong
     implicit val ee: Encoder[Event] = Encoders.product[Event]
-    implicit val be: Encoder[List[Event]] = Encoders.kryo[List[Event]]
+    implicit val ae: Encoder[List[SegAgg]] = Encoders.kryo[List[SegAgg]]
+
+    def toSession(userId: Long, s: SegAgg): Session =
+      Session(userId, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.n, s.sum)
 
     def close(userId: Long, buf: Seq[Event]): Session =
       Session(userId, buf.head.ts, buf.last.ts, buf.size.toLong, buf.map(_.value).sum)
 
-    /** Split a time-sorted buffer at gaps > gapMillis. */
-    def segments(sorted: List[Event]): List[List[Event]] =
-      sorted.foldLeft(List.empty[List[Event]]) {
-        case (Nil, e) => List(List(e))
-        case (cur :: done, e) =>
-          if (e.ts.getTime - cur.head.ts.getTime > gapMillis) List(e) :: cur :: done
-          else (e :: cur) :: done // segments and their events accumulate reversed
-      }.map(_.reverse).reverse
+    /** Merge a start-sorted aggregate list: consecutive segments within
+      * gap-reach coalesce (max() because an existing aggregate's span can
+      * contain a newly arrived singleton entirely). */
+    def coalesce(sorted: List[SegAgg]): List[SegAgg] =
+      sorted.foldLeft(List.empty[SegAgg]) {
+        case (Nil, s) => List(s)
+        case (cur :: done, s) =>
+          if (s.startMs - cur.endMs > gapMillis) s :: cur :: done
+          else SegAgg(cur.startMs, math.max(cur.endMs, s.endMs),
+            cur.n + s.n, cur.sum + s.sum) :: done
+      }.reverse
 
     if (events.isStreaming) {
       // EventTimeTimeout requires a watermark to drive timeout firing.
+      //
+      // State is per-SEGMENT aggregates, never raw events. This is lossless:
+      // gap-segmentation over a set of timestamps can only MERGE segments as
+      // points are added — a new event lands inside a segment's gap-reach,
+      // bridges two neighbors, or opens its own segment; no arrival can ever
+      // SPLIT an existing segment (gaps between sorted points only shrink).
+      // Everything close() emits (start, end, count, sum) composes
+      // associatively under that merge, so compacting each event to a
+      // singleton aggregate on arrival loses nothing. A never-idle hot key
+      // (a bot firing an event each second for weeks) therefore holds ONE
+      // aggregate regardless of event count — the raw-event buffer this
+      // replaces grew linearly until the first gap, the classic
+      // streaming-state scale-killer.
       events.withWatermark("ts", "10 seconds").groupByKey(_.user_id)
-        .flatMapGroupsWithState[List[Event], Session](
+        .flatMapGroupsWithState[List[SegAgg], Session](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-          (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          (userId: Long, it: Iterator[Event], state: GroupState[List[SegAgg]]) =>
             if (state.hasTimedOut) {
-              // the buffer may hold SEVERAL gap-separated sessions (events
-              // that arrived before the watermark advanced past their gaps) —
-              // closing it as one session would merge them
-              val out = state.getOption.filter(_.nonEmpty)
-                .map(buf => segments(buf.sortBy(_.ts.getTime)).map(close(userId, _)))
-                .getOrElse(Nil).iterator
+              // state is already coalesced into maximal segments, and the
+              // watermark passed every (end + gap): each closes as-is
+              val out = state.getOption.getOrElse(Nil).map(toSession(userId, _)).iterator
               state.remove()
               out
             } else {
-              val buf = (state.getOption.getOrElse(Nil) ++ it).sortBy(_.ts.getTime)
+              val incoming = it.map(e => SegAgg(e.ts.getTime, e.ts.getTime, 1L, e.value))
+              val segs = coalesce((state.getOption.getOrElse(Nil) ++ incoming)
+                .sortBy(s => (s.startMs, s.endMs)))
               // emit every segment already safely closed: no event still
-              // admissible under the watermark (ts >= wm) can extend a
+              // admissible under the watermark (ts >= wm) can reach a
               // segment whose end + gap precedes the watermark
               val wm = state.getCurrentWatermarkMs()
-              val (closed, open) = segments(buf).partition(seg =>
-                seg.last.ts.getTime + gapMillis < wm)
-              val rest = open.flatten
-              if (rest.isEmpty) state.remove()
+              val (closed, open) = segs.partition(_.endMs + gapMillis < wm)
+              if (open.isEmpty) state.remove()
               else {
-                state.update(rest)
-                state.setTimeoutTimestamp(rest.map(_.ts.getTime).max + gapMillis)
+                recordHighWater(open.size.toLong)
+                state.update(open)
+                state.setTimeoutTimestamp(open.map(_.endMs).max + gapMillis)
               }
-              closed.map(close(userId, _)).iterator
+              closed.map(toSession(userId, _)).iterator
             }
         }
     } else {

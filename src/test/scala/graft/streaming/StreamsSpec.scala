@@ -61,6 +61,84 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer state stays bounded under a never-idle hot key") {
+    implicit val sc = spark.sqlContext
+    Streams.sessionStateHighWater.set(0)
+    val base = 1704067200000L
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("hotkey_out")
+      .outputMode("append").start()
+    try {
+      // 20 batches x 500 events, one per second, never a gap: the raw-event
+      // buffer this replaces would hold all 10,000 events; aggregate state
+      // holds ONE open segment
+      for (b <- 0 until 20) {
+        mem.addData((0 until 500).map(i =>
+          Event(1, new Timestamp(base + (b * 500 + i) * 1000L), "e", 1.0)))
+        q.processAllAvailable()
+      }
+      // two far-future sentinels: advance the watermark, then fire timeouts
+      mem.addData(Event(2, new Timestamp(base + 100000 * 1000L), "s", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, new Timestamp(base + 200000 * 1000L), "s", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("hotkey_out").as[Session].collect()
+        .filter(_.user_id == 1L).map(s => (s.n_events, s.sum_value)).toSeq
+      assert(got == Seq((10000L, 10000.0)), s"hot key sessions: $got")
+      assert(Streams.sessionStateHighWater.get() <= 2L,
+        s"state high-water ${Streams.sessionStateHighWater.get()} — not bounded")
+    } finally q.stop()
+  }
+
+  test("sessionizer parity under heavy out-of-order arrival straddling the watermark") {
+    implicit val sc = spark.sqlContext
+    val base = 1704067200000L
+    // 3 users x 120 events at 3 s spacing, a 2-minute jump every 25 events
+    // (gap = 60 s → ~5 sessions per user, varying sums)
+    val all = for (u <- 1L to 3L; i <- 0 until 120) yield {
+      val t = base + u * 7000L + i * 3000L + (i / 25) * 120000L
+      Event(u, new Timestamp(t), "e", (u * 31 + i % 13) * 0.5)
+    }
+    val sorted = all.sortBy(_.ts.getTime)
+    // batches of 45 in time order, but each batch is internally SHUFFLED and
+    // every event within 9 s of the previous batch's max is DEFERRED into the
+    // next batch — a late-but-admissible arrival under the 10 s watermark
+    // delay that lands behind rows the state already absorbed
+    val rnd = new scala.util.Random(1234)
+    val batches = sorted.grouped(45).toSeq
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[Event]
+    val adversarial = batches.zipWithIndex.map { case (b, i) =>
+      val carryIn = deferred.toSeq; deferred.clear()
+      val maxTs = b.map(_.ts.getTime).max
+      val (late, onTime) =
+        if (i < batches.size - 1) b.partition(e => e.ts.getTime > maxTs - 9000L)
+        else (Seq.empty, b)
+      deferred ++= late
+      rnd.shuffle(carryIn ++ onTime)
+    } :+ deferred.toSeq
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMillis = 60000L)
+      .writeStream.format("memory").queryName("ooo_out")
+      .outputMode("append").start()
+    try {
+      adversarial.filter(_.nonEmpty).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val far = sorted.last.ts.getTime
+      mem.addData(Event(9, new Timestamp(far + 3600000L), "s", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, new Timestamp(far + 7200000L), "s", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ooo_out").as[Session].collect()
+        .filter(_.user_id < 9).map(s => (s.user_id, s.start, s.end, s.n_events, s.sum_value)).toSet
+      val expect = sessionize(all.toDS(), gapMillis = 60000L).collect()
+        .map(s => (s.user_id, s.start, s.end, s.n_events, s.sum_value)).toSet
+      assert(got == expect,
+        s"stream != batch: missing ${expect -- got}, extra ${got -- expect}")
+    } finally q.stop()
+  }
+
   test("dedupStream drops in-watermark duplicate keys on a real micro-batch stream") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
