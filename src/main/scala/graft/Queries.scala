@@ -622,6 +622,54 @@ object Queries {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** File-source streaming curation parity (q70): the q66 claim re-proven on
+    * the PRODUCTION ingest path — `spark.readStream` over a staged parquet
+    * directory with `maxFilesPerTrigger` (so the first wave spans several
+    * micro-batch triggers), with NO driver-side collect anywhere in the
+    * ingest path: the stage write, the stream, and the aggregate are all
+    * plans. A second wave of files re-ingests every 20th document inside the
+    * watermark horizon; the stream's watermarked digest dedup must drop ALL
+    * of them or the per-language counts diverge from the batch oracle.
+    *
+    * ingest_ts is a pure column function of doc_id at 100 ms spacing, so the
+    * corpus time-span (500 s at sf0.1) stays far inside the 1 h dedup
+    * lateness horizon even though the file source advances the watermark
+    * between the triggers it splits the first wave into (a doc arriving in a
+    * later trigger must never be "late"). */
+  def streamingFileSourceParity(spark: SparkSession, dir: String): DataFrame = {
+    val runId = streamRunCounter.getAndIncrement()
+    val stage = scratchDir(spark,
+      s"q70_${Integer.toHexString(dir.hashCode)}_$runId")
+    val docs = t(spark, dir).documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        timestamp_millis(lit(1704067200000L) + col("doc_id").cast("long") * 100L)
+          .as("ingest_ts"),
+        col("text"), col("lang"))
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(stage)
+    val name = s"q70_stream_$runId"
+    val sq = jobs.CorpusPipeline.curateStream(stream)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      // second wave: the same documents re-ingested 60 s later — duplicates
+      // the watermarked digest dedup state must still remember
+      docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("ingest_ts",
+          timestamp_millis(lit(1704067200000L) + col("doc_id") * 100L + 60000L))
+        .write.mode("append").parquet(stage)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    spark.table(name)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

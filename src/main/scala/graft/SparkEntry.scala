@@ -250,6 +250,23 @@ object SparkEntry {
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
   }
 
+  /** Batch formulation of the STREAMING curation path at `curateStream`'s
+    * default thresholds: stream == batch is exactly the claim under test.
+    * Shared by q66 (MemoryStream replay) and q70 (file-source ingest). */
+  private val streamCurationParityOracleSql: String =
+    """WITH t AS (SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |q AS (SELECT doc_id, lang, text, w FROM t
+      |  WHERE len(w) >= 5
+      |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= 0.9
+      |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= 0.1),
+      |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      |qe AS (SELECT q.* FROM q JOIN e USING (doc_id))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |CAST(sum(len(w)) AS BIGINT) AS sum_tokens
+      |FROM qe GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.datajoin(spark, "/root/testdata/sf0.001")
@@ -323,7 +340,8 @@ object SparkEntry {
     "q66_stream_parity"   -> Queries.streamingCurationParity _,
     "q67_stream_sessions" -> Queries.streamingSessionParity _,
     "q68_stream_windows"  -> Queries.streamingWindowParity _,
-    "q69_stream_interval_join" -> Queries.streamingIntervalJoinParity _
+    "q69_stream_interval_join" -> Queries.streamingIntervalJoinParity _,
+    "q70_stream_file_source" -> Queries.streamingFileSourceParity _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -768,21 +786,10 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.click_ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
-    "q66_stream_parity" ->
-      // batch formulation of the STREAMING curation path at curateStream's
-      // default thresholds: stream == batch is exactly the claim under test
-      """WITH t AS (SELECT doc_id, lang, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
-        |  FROM documents),
-        |q AS (SELECT doc_id, lang, text, w FROM t
-        |  WHERE len(w) >= 5
-        |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= 0.9
-        |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= 0.1),
-        |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-        |qe AS (SELECT q.* FROM q JOIN e USING (doc_id))
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |CAST(sum(len(w)) AS BIGINT) AS sum_tokens
-        |FROM qe GROUP BY lang ORDER BY lang""".stripMargin,
+    "q66_stream_parity" -> streamCurationParityOracleSql,
+    // q70 re-proves the SAME batch claim on the production file-source
+    // ingest path (readStream parquet + maxFilesPerTrigger, no collect)
+    "q70_stream_file_source" -> streamCurationParityOracleSql,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)
