@@ -155,6 +155,31 @@ class ToolsSpec extends SparkSpec {
     }
   }
 
+  test("Compact.pack: 100k-file listing packs in bounded time, deterministically, within capacity") {
+    val rnd = new scala.util.Random(99)
+    val target = 256L << 20
+    val listing = (0 until 100000).map { i =>
+      (f"dir${i % 37}/f$i%06d.bin", (rnd.nextInt(8 << 20) + 1).toLong)
+    }.sortBy { case (rel, len) => (-len, rel) }
+    val t0 = System.nanoTime()
+    val packed = Compact.pack(listing, target)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the O(F x B) indexWhere scan this replaced took ~F x B/2 ≈ 4e9 probes
+    // here; the TreeMap form is ~F log B
+    assert(sec < 5.0, s"pack took $sec s")
+    // every file exactly once
+    assert(packed.flatMap(_._2).sortBy(_._1) == listing.sortBy(_._1))
+    // capacity respected (no oversized inputs in this listing)
+    packed.foreach { case (i, files) =>
+      assert(files.map(_._2).sum <= target, s"bin $i over target")
+    }
+    // near-optimal bin count: total/target is the lower bound
+    val lower = math.ceil(listing.map(_._2).sum.toDouble / target).toInt
+    assert(packed.size <= lower + 2, s"${packed.size} bins vs lower bound $lower")
+    // deterministic on re-run
+    assert(Compact.pack(listing, target) == packed)
+  }
+
   test("Compact: a file larger than the target gets its own part, bit-exact") {
     val src = Files.createTempDirectory("graft_har_big_src").toString
     val dst = Files.createTempDirectory("graft_har_big_dst").toString + "/packed"
