@@ -57,11 +57,67 @@ object Compact {
     binFiles.toSeq.zipWithIndex.map { case (files, i) => (i, files.toSeq) }
   }
 
+  /** Stream one bin's files — in the given order — into part file `part`
+    * via temp + rename(OVERWRITE), returning the index rows. Shared by the
+    * in-memory and spilled drivers. */
+  private def writePart(conf: org.apache.hadoop.conf.Configuration,
+                        qsrcStr: String, qdstStr: String,
+                        part: Int, files: Seq[(String, Long)]): Seq[IndexEntry] = {
+    val pp = new Path(s"$qdstStr/${partName(part)}")
+    val dfs = pp.getFileSystem(conf)
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
+      .getOrElse("driver")
+    val tmp = new Path(pp.getParent, s".${pp.getName}.compact-$attempt")
+    // temp + rename(OVERWRITE): atomic replace on HDFS, whole-file-or-
+    // nothing everywhere (see Sinks.keyedTextFiles on the off-HDFS window);
+    // a failure before the rename deletes the temp so a crashed part write
+    // never leaves a stale `.part-*.compact-*` for a later listing
+    try {
+      val out = dfs.create(tmp, true)
+      val buf = new Array[Byte](1 << 16)
+      var offset = 0L
+      val index = try {
+        files.map { case (rel, _) =>
+          val sp = new Path(s"$qsrcStr/$rel")
+          val in = sp.getFileSystem(conf).open(sp)
+          var copied = 0L
+          try {
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) { out.write(buf, 0, n); copied += n }
+              n = in.read(buf)
+            }
+          } finally in.close()
+          val e = IndexEntry(rel, part, offset, copied)
+          offset += copied
+          e
+        }
+      } finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
+      fc.rename(tmp, pp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      index
+    } catch { case e: Throwable =>
+      try dfs.delete(tmp, false) catch { case _: Exception => () }
+      throw e
+    }
+  }
+
   /** Pack every file under `srcDir` into part files under `dstDir` and
     * write/return the index. Source files are left in place (callers delete
-    * after validating, like har). */
+    * after validating, like har).
+    *
+    * Listings up to `spillThreshold` entries are packed on the driver
+    * (best-fit-decreasing, see `pack`). Beyond that the listing is SPILLED
+    * to a scratch file while it is built and the whole pack is driven from
+    * a DataFrame: a distributed (size desc, path) sort, a two-phase prefix
+    * sum of byte positions, and bins cut at `targetPartBytes` boundaries in
+    * that global order (next-fit-decreasing — each bin closes within one
+    * straddling file of the target). At the 100M-file scale har exists for,
+    * neither the listing nor the index ever concentrates on the driver. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
-              targetPartBytes: Long = 256L << 20): DataFrame = {
+              targetPartBytes: Long = 256L << 20,
+              spillThreshold: Int = 1 << 20): DataFrame = {
     require(targetPartBytes > 0)
     val sc = spark.sparkContext
     val conf = sc.hadoopConfiguration
@@ -71,10 +127,16 @@ object Compact {
     dstFs.mkdirs(new Path(dstDir))
     val qdst = dstFs.makeQualified(new Path(dstDir))
 
-    // listing (metadata only) → deterministic first-fit-decreasing packing:
+    val it = TreeListing.list(srcFs, qsrc)
+    val head = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    while (it.hasNext && head.size < spillThreshold) head += it.next()
+    if (it.hasNext)
+      return compactSpilled(spark, qsrc.toString, qdst.toString,
+        head.iterator ++ it, targetPartBytes)
+
+    // listing (metadata only) → deterministic best-fit-decreasing packing:
     // sort by (size desc, path) so the same tree always packs identically
-    val listing = TreeListing.list(srcFs, qsrc).toSeq
-      .sortBy { case (rel, len) => (-len, rel) }
+    val listing = head.sortBy { case (rel, len) => (-len, rel) }.toSeq
     val planned = pack(listing, targetPartBytes)
 
     // Re-compaction into a non-empty destination: a new packing with FEWER
@@ -98,51 +160,111 @@ object Compact {
     // into a single task.
     val entries = sc.parallelize(planned, math.max(1, planned.size))
       .flatMap { case (part, files) =>
-        val conf = graft.sources.Scratch.confFrom(bc.value)
-        val pp = new Path(s"$qdstStr/${partName(part)}")
-        val dfs = pp.getFileSystem(conf)
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
-          .getOrElse("driver")
-        val tmp = new Path(pp.getParent, s".${pp.getName}.compact-$attempt")
-        // temp + rename(OVERWRITE): atomic replace on HDFS, whole-file-or-
-        // nothing everywhere (see Sinks.keyedTextFiles on the off-HDFS
-        // window); a failure before the rename deletes the temp so a crashed
-        // part write never leaves a stale `.part-*.compact-*` for a later
-        // listing to pick up
-        try {
-          val out = dfs.create(tmp, true)
-          val buf = new Array[Byte](1 << 16)
-          var offset = 0L
-          val index = try {
-            files.map { case (rel, _) =>
-              val sp = new Path(s"$qsrcStr/$rel")
-              val in = sp.getFileSystem(conf).open(sp)
-              var copied = 0L
-              try {
-                var n = in.read(buf)
-                while (n >= 0) {
-                  if (n > 0) { out.write(buf, 0, n); copied += n }
-                  n = in.read(buf)
-                }
-              } finally in.close()
-              val e = IndexEntry(rel, part, offset, copied)
-              offset += copied
-              e
-            }
-          } finally out.close()
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
-          fc.rename(tmp, pp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-          index
-        } catch { case e: Throwable =>
-          try dfs.delete(tmp, false) catch { case _: Exception => () }
-          throw e
-        }
+        writePart(graft.sources.Scratch.confFrom(bc.value), qsrcStr, qdstStr,
+          part, files)
       }.collect()
     spark.createDataFrame(entries.toSeq)
       .write.mode("overwrite").parquet(s"$qdstStr/_index")
     spark.read.parquet(s"$qdstStr/_index")
   }
+
+  /** Spilled-listing driver: global (size desc, path) order via a
+    * distributed range sort; bin = global-byte-position / target (computed
+    * with a two-phase prefix sum — per-range-partition byte totals to the
+    * driver, bases broadcast back); one shuffle groups each bin's rows onto
+    * a writer task. Deterministic regardless of range sampling: bins derive
+    * from global byte positions, which depend only on the listing order. */
+  private def compactSpilled(spark: SparkSession, qsrcStr: String, qdstStr: String,
+                             entries: Iterator[(String, Long)],
+                             targetPartBytes: Long): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val conf = sc.hadoopConfiguration
+    val bc = sc.broadcast(graft.sources.Scratch.confEntries(conf))
+    val scratch = graft.sources.Scratch.dir(spark,
+      s"graft_compact_spill_${sc.applicationId}_${spillRunCounter.getAndIncrement()}")
+    val listingPath = new Path(s"$scratch/listing.txt")
+    val os = listingPath.getFileSystem(conf).create(listingPath, true)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+    try entries.foreach { case (rel, len) =>
+      require(rel.nonEmpty && !rel.startsWith("/") && !rel.contains("\n") && !rel.contains("\t"),
+        s"unsupported path in listing: $rel")
+      w.write(s"$len\t$rel\n")
+    } finally w.close()
+
+    // full-rewrite semantics: every pre-existing part (and stale temp) goes —
+    // the new bin count is unknown until the job runs, so there is no
+    // "orphan tail" to compute as in the in-memory path
+    val qdst = new Path(qdstStr)
+    val dstFs = qdst.getFileSystem(conf)
+    dstFs.listStatus(qdst).foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("part-\\d{5}") || TreeListing.isStaleTemp(n))
+        dstFs.delete(st.getPath, false)
+    }
+
+    val rangeParts = math.max(16, sc.defaultParallelism)
+    val ordered = spark.read.text(listingPath.toString)
+      .select(
+        split(col("value"), "\t", 2).getItem(0).cast("long").as("len"),
+        split(col("value"), "\t", 2).getItem(1).as("rel"))
+      .repartitionByRange(rangeParts, col("len").desc, col("rel"))
+      .sortWithinPartitions(col("len").desc, col("rel"))
+      .select(col("rel"), col("len")).as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      // phase 1: per-partition byte totals — rangeParts rows to the driver
+      val sums = ordered.mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var bytes = 0L
+        rows.foreach(bytes += _._2)
+        Iterator((pid, bytes))
+      }.collect().toMap
+      val bases = new Array[Long](rangeParts)
+      (1 until rangeParts).foreach(p =>
+        bases(p) = bases(p - 1) + sums.getOrElse(p - 1, 0L))
+      val basesBc = sc.broadcast(bases)
+      // phase 2: global byte position per file → bin id; phase 3: shuffle
+      // rows to their bin's writer task and stream the parts
+      ordered.mapPartitions { rows =>
+        var run = basesBc.value(org.apache.spark.TaskContext.getPartitionId())
+        rows.map { case (rel, len) =>
+          val pos = run
+          run += len
+          ((pos / targetPartBytes).toInt, rel, len, pos)
+        }
+      }.toDF("bin", "rel", "len", "pos")
+        .repartition(col("bin"))
+        .sortWithinPartitions(col("bin"), col("pos"))
+        .as[(Int, String, Long, Long)]
+        .mapPartitions { rows =>
+          val taskConf = graft.sources.Scratch.confFrom(bc.value)
+          val buf = rows.buffered
+          new Iterator[Seq[IndexEntry]] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): Seq[IndexEntry] = {
+              val bin = buf.head._1
+              val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+              while (buf.hasNext && buf.head._1 == bin) {
+                val r = buf.next(); files += ((r._2, r._3))
+              }
+              writePart(taskConf, qsrcStr, qdstStr, bin, files.toSeq)
+            }
+          }.flatten
+        }
+        // the write EXECUTES the whole pack exactly once; the index never
+        // concentrates on the driver
+        .write.mode("overwrite").parquet(s"$qdstStr/_index")
+      spark.read.parquet(s"$qdstStr/_index")
+    } finally {
+      ordered.unpersist(false)
+      try listingPath.getFileSystem(conf).delete(listingPath, false)
+      catch { case _: Exception => () }
+    }
+  }
+
+  private val spillRunCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Point lookup: the original bytes of `rel` from a compacted directory —
     * one index filter (parquet predicate pushdown on `rel`) + one positioned

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Distributed file-tree copy with per-file validation — the engine's DistCp
   * (reference: hadoop-tools/hadoop-distcp/src/main/java/org/apache/hadoop/
@@ -55,12 +56,76 @@ object DistCopy {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Copy (or update-skip) ONE file — the shared per-task body of both the
+    * in-memory and the spilled-listing drivers. */
+  private def copyOne(conf: org.apache.hadoop.conf.Configuration,
+                      qsrcStr: String, qdstStr: String, rel: String,
+                      update: Boolean, checksum: Boolean): FileReport = {
+    val sp = new Path(s"$qsrcStr/$rel")
+    val dp = new Path(s"$qdstStr/$rel")
+    val sfs = sp.getFileSystem(conf)
+    val dfs = dp.getFileSystem(conf)
+    val srcLen = sfs.getFileStatus(sp).getLen
+    val skip = update && dfs.exists(dp) &&
+      dfs.getFileStatus(dp).getLen == srcLen &&
+      (!checksum || md5Of(dfs, dp) == md5Of(sfs, sp))
+    if (skip) FileReport(rel, srcLen, "skip")
+    else {
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
+        .getOrElse("driver")
+      val tmp = new Path(dp.getParent, s".${dp.getName}.distcp-$attempt")
+      dfs.mkdirs(dp.getParent)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // any failure before the rename (write I/O error, length-mismatch
+      // require) must delete the temp: a stale `.name.distcp-*` left in the
+      // destination would be listed — not hidden — by a later copy FROM it
+      try {
+        val in = sfs.open(sp)
+        val out = dfs.create(tmp, true)
+        var copied = 0L
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) { out.write(buf, 0, n); md.update(buf, 0, n); copied += n }
+            n = in.read(buf)
+          }
+        } finally { in.close(); out.close() }
+        require(copied == srcLen,
+          s"$rel changed during copy: read $copied of $srcLen bytes")
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
+        fc.rename(tmp, dp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch { case e: Throwable =>
+        try dfs.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+      }
+      if (checksum) {
+        val srcMd5 = md.digest().map("%02x".format(_)).mkString
+        val dstMd5 = md5Of(dfs, dp)
+        require(dstMd5 == srcMd5,
+          s"$rel checksum mismatch after copy: src $srcMd5 dst $dstMd5")
+      }
+      FileReport(rel, srcLen, "copy")
+    }
+  }
+
   /** Copy every file under `srcDir` to the same relative path under
     * `dstDir`. Returns the per-file report (also the unit test surface:
-    * callers assert on action counts). */
+    * callers assert on action counts).
+    *
+    * Listings up to `spillThreshold` entries are held in driver memory
+    * (~100 B each — the default 2^20 is ~100 MB, the envelope DistCp's
+    * in-memory listing build works in). Beyond that the listing is SPILLED:
+    * streamed to a scratch file while it is built (driver memory stays
+    * O(threshold)) and the copy is driven from a DataFrame over that file —
+    * DistCp's sequence-file CopyListing, re-expressed. In spill mode the
+    * report is written to scratch parquet by the copy tasks themselves and
+    * returned as a lazy frame over it, so at the 10^8-file scale neither the
+    * listing nor the report ever concentrates on the driver. */
   def copy(spark: SparkSession, srcDir: String, dstDir: String,
            update: Boolean = false, checksum: Boolean = true,
-           maxTasks: Int = 128): DataFrame = {
+           maxTasks: Int = 128, spillThreshold: Int = 1 << 20): DataFrame = {
     val sc = spark.sparkContext
     val conf = sc.hadoopConfiguration
     val srcFs = new Path(srcDir).getFileSystem(conf)
@@ -68,19 +133,24 @@ object DistCopy {
     val dstFs = new Path(dstDir).getFileSystem(conf)
     dstFs.mkdirs(new Path(dstDir))
     val qdst = dstFs.makeQualified(new Path(dstDir))
+    val (qsrcStr, qdstStr) = (qsrc.toString, qdst.toString)
+    val bc = sc.broadcast(graft.sources.Scratch.confEntries(conf))
 
-    // Copy listing: metadata only (path + length). At extreme listing sizes
-    // DistCp spills this to a sequence file; the entries here are ~100 B each
-    // — 10^7 files is a GB of driver memory, the same envelope DistCp's
-    // listing build works in.
-    val listing =
-      TreeListing.list(srcFs, qsrc).toSeq
-        .sortBy(-_._2) // largest first: long copies schedule early
+    // Copy listing: metadata only (path + length), streamed from the
+    // recursive iterator — only the first `spillThreshold` entries are ever
+    // buffered before the spill decision.
+    val it = TreeListing.list(srcFs, qsrc)
+    val head = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    while (it.hasNext && head.size < spillThreshold) head += it.next()
+
+    if (it.hasNext)
+      return copySpilled(spark, qsrcStr, qdstStr, head.iterator ++ it,
+        update, checksum, maxTasks, bc)
+
+    val listing = head.sortBy(-_._2).toSeq // largest first: long copies schedule early
     require(listing.forall(f => f._1.nonEmpty && !f._1.startsWith("/")),
       s"source listing produced a non-relative path under $qsrc")
 
-    val bc = sc.broadcast(graft.sources.Scratch.confEntries(conf))
-    val (qsrcStr, qdstStr) = (qsrc.toString, qdst.toString)
     val slices = math.max(1, math.min(listing.size, maxTasks))
     // Round-robin the size-descending listing across tasks: parallelize()
     // slices CONTIGUOUSLY, which would hand all the largest files to task 0
@@ -90,54 +160,8 @@ object DistCopy {
     val groups = (0 until slices).map(s =>
       (s until listing.size by slices).map(listing))
     val reports = sc.parallelize(groups, slices).flatMap(identity).map { case (rel, _) =>
-      val conf = graft.sources.Scratch.confFrom(bc.value)
-      val sp = new Path(s"$qsrcStr/$rel")
-      val dp = new Path(s"$qdstStr/$rel")
-      val sfs = sp.getFileSystem(conf)
-      val dfs = dp.getFileSystem(conf)
-      val srcLen = sfs.getFileStatus(sp).getLen
-      val skip = update && dfs.exists(dp) &&
-        dfs.getFileStatus(dp).getLen == srcLen &&
-        (!checksum || md5Of(dfs, dp) == md5Of(sfs, sp))
-      if (skip) FileReport(rel, srcLen, "skip")
-      else {
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
-          .getOrElse("driver")
-        val tmp = new Path(dp.getParent, s".${dp.getName}.distcp-$attempt")
-        dfs.mkdirs(dp.getParent)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        // any failure before the rename (write I/O error, length-mismatch
-        // require) must delete the temp: a stale `.name.distcp-*` left in the
-        // destination would be listed — not hidden — by a later copy FROM it
-        try {
-          val in = sfs.open(sp)
-          val out = dfs.create(tmp, true)
-          var copied = 0L
-          try {
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) {
-              if (n > 0) { out.write(buf, 0, n); md.update(buf, 0, n); copied += n }
-              n = in.read(buf)
-            }
-          } finally { in.close(); out.close() }
-          require(copied == srcLen,
-            s"$rel changed during copy: read $copied of $srcLen bytes")
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dfs.getUri, conf)
-          fc.rename(tmp, dp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        } catch { case e: Throwable =>
-          try dfs.delete(tmp, false) catch { case _: Exception => () }
-          throw e
-        }
-        if (checksum) {
-          val srcMd5 = md.digest().map("%02x".format(_)).mkString
-          val dstMd5 = md5Of(dfs, dp)
-          require(dstMd5 == srcMd5,
-            s"$rel checksum mismatch after copy: src $srcMd5 dst $dstMd5")
-        }
-        FileReport(rel, srcLen, "copy")
-      }
+      copyOne(graft.sources.Scratch.confFrom(bc.value), qsrcStr, qdstStr, rel,
+        update, checksum)
     }.collect()
     // EAGER by design: the copy is a side effect of the tasks — returning
     // the lazy RDD would silently re-copy the whole tree on every action
@@ -146,4 +170,54 @@ object DistCopy {
     // driver-side listing above.
     spark.createDataFrame(reports.toSeq)
   }
+
+  /** Spilled-listing driver: the listing streams to a scratch text file
+    * (`len TAB rel` per line, never resident in driver memory), tasks are
+    * fed from a DataFrame over it, and the report lands in scratch parquet
+    * written by the copy tasks. Scheduling differs from the in-memory path
+    * only in HOW balance is achieved: round-robin row distribution balances
+    * task file-counts statistically (exact global striping would need a
+    * global sort rank — a driver-sized bottleneck at this scale), and each
+    * task copies its own files largest-first. */
+  private def copySpilled(spark: SparkSession, qsrcStr: String, qdstStr: String,
+                          entries: Iterator[(String, Long)],
+                          update: Boolean, checksum: Boolean, maxTasks: Int,
+                          bc: org.apache.spark.broadcast.Broadcast[Array[(String, String)]]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val scratch = graft.sources.Scratch.dir(spark,
+      s"graft_distcp_spill_${spark.sparkContext.applicationId}_${spillRunCounter.getAndIncrement()}")
+    val listingPath = new Path(s"$scratch/listing.txt")
+    val os = listingPath.getFileSystem(conf).create(listingPath, true)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+    try entries.foreach { case (rel, len) =>
+      require(rel.nonEmpty && !rel.startsWith("/") && !rel.contains("\n") && !rel.contains("\t"),
+        s"unsupported path in listing: $rel")
+      w.write(s"$len\t$rel\n")
+    } finally w.close()
+
+    val reportDir = s"$scratch/report"
+    spark.read.text(listingPath.toString)
+      .select(
+        split(col("value"), "\t", 2).getItem(0).cast("long").as("len"),
+        split(col("value"), "\t", 2).getItem(1).as("rel"))
+      .repartition(math.max(1, maxTasks))
+      .sortWithinPartitions(col("len").desc)
+      .select(col("rel"), col("len")).as[(String, Long)]
+      .mapPartitions { rows =>
+        val taskConf = graft.sources.Scratch.confFrom(bc.value)
+        rows.map { case (rel, _) =>
+          copyOne(taskConf, qsrcStr, qdstStr, rel, update, checksum)
+        }
+      }
+      // the write EXECUTES the copy exactly once (same eagerness contract as
+      // the in-memory path); the returned frame reads the materialized report
+      .write.mode("overwrite").parquet(reportDir)
+    try listingPath.getFileSystem(conf).delete(listingPath, false)
+    catch { case _: Exception => () }
+    spark.read.parquet(reportDir)
+  }
+
+  private val spillRunCounter = new java.util.concurrent.atomic.AtomicLong()
 }

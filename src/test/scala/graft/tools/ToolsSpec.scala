@@ -180,6 +180,54 @@ class ToolsSpec extends SparkSpec {
     assert(Compact.pack(listing, target) == packed)
   }
 
+  test("DistCopy spilled-listing path copies byte-identically with update semantics") {
+    val src = Files.createTempDirectory("graft_spl_src").toString
+    val dst = Files.createTempDirectory("graft_spl_dst").toString + "/out"
+    val rnd = new scala.util.Random(11)
+    val rels = (0 until 60).map(i => f"d${i % 5}/f$i%03d.bin")
+    rels.foreach(r => write(src, r, Array.fill(rnd.nextInt(4000) + 1)(rnd.nextInt().toByte)))
+    // threshold far below the file count → the listing spills to scratch and
+    // the copy runs from the DataFrame driver
+    val rep = DistCopy.copy(spark, src, dst, spillThreshold = 4)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rep.keySet == rels.toSet && rep.values.forall(_ == "copy"), rep.size)
+    rels.foreach(r => assert(slurp(dst, r).sameElements(slurp(src, r)), r))
+    // update re-run through the spill path: everything skips
+    val rep2 = DistCopy.copy(spark, src, dst, update = true, spillThreshold = 4)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rep2.values.forall(_ == "skip"), rep2)
+  }
+
+  test("Compact spilled-listing path packs byte-identically and deterministically") {
+    val src = Files.createTempDirectory("graft_spc_src").toString
+    val dst = Files.createTempDirectory("graft_spc_dst").toString + "/packed"
+    val contents = (0 until 300).map { i =>
+      val rel = f"d${i % 9}/f$i%04d.txt"
+      val body = (s"spill file $i " * (1 + i % 23)).getBytes(UTF_8)
+      write(src, rel, body)
+      rel -> body
+    }.toMap
+    def indexOf(d: String) = Compact.compact(spark, src, d,
+        targetPartBytes = 32L << 10, spillThreshold = 10)
+      .collect().map(r => (r.getAs[String]("rel"), r.getAs[Int]("part"),
+        r.getAs[Long]("offset"), r.getAs[Long]("length"))).sortBy(_._1).toSeq
+    val idx = indexOf(dst)
+    assert(idx.size == 300)
+    // bins respect the target within one straddling file
+    val parts = new java.io.File(dst).listFiles()
+      .filter(_.getName.matches("part-\\d{5}"))
+    assert(parts.length > 1, s"${parts.length} parts")
+    val maxFile = contents.values.map(_.length).max
+    assert(parts.forall(_.length() <= (32L << 10) + maxFile))
+    // every file reconstructs exactly through the index
+    contents.foreach { case (rel, body) =>
+      assert(Compact.readEntry(spark, dst, rel).sameElements(body), rel)
+    }
+    // deterministic: a fresh destination gets the IDENTICAL index
+    val dst2 = Files.createTempDirectory("graft_spc_dst2").toString + "/packed"
+    assert(indexOf(dst2) == idx)
+  }
+
   test("Compact: a file larger than the target gets its own part, bit-exact") {
     val src = Files.createTempDirectory("graft_har_big_src").toString
     val dst = Files.createTempDirectory("graft_har_big_dst").toString + "/packed"
