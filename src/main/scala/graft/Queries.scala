@@ -922,6 +922,46 @@ object Queries {
       .orderBy("media_id")
   }
 
+  final case class AudioMetaRow(media_id: Long, format: String,
+                                        sample_rate: Int, channels: Int, bits: Int,
+                                        n_frames: Long, duration_raw: Double,
+                                        rms_raw: Double)
+
+  /** Real audio decode end-to-end (q71): synthesize a deterministic 16-bit
+    * PCM WAV per document id in each task (the sample function
+    * ((id·31 + i·7) mod 201) − 100 is replayed by the DuckDB oracle), then
+    * byte-parse the RIFF header AND decode the samples with the pure-JVM
+    * codec. sample_rate/channels/bits come from the HEADER parse, n_frames
+    * from the header's data size cross-checked against the DECODED sample
+    * count, duration and RMS from the samples — the audio counterpart of
+    * q49's encode → sniff → decode agreement proof. Video remains honestly
+    * stubbed (`Multimodal.FakeDecoder`): no pure-JVM video codec exists. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(spark, dir).documents.select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val sr = 8000 + (id % 4).toInt * 4000
+        val n = 400 + (id % 7).toInt * 100
+        val wav = AudioCodec.synthWav(id, sr, n)
+        val meta = AudioCodec.parseHeader(wav)
+          .getOrElse(throw new IllegalStateException(s"unparseable wav for id=$id"))
+        val samples = AudioCodec.decodeSamples(wav)
+          .getOrElse(throw new IllegalStateException(s"undecodable wav for id=$id"))
+        require(samples.length.toLong == meta.nFrames * meta.channels,
+          s"id=$id: decoded ${samples.length} samples, header claims ${meta.nFrames}")
+        AudioMetaRow(id, "wav", meta.sampleRate, meta.channels, meta.bitsPerSample,
+          meta.nFrames, meta.nFrames.toDouble / meta.sampleRate,
+          AudioCodec.rms(samples))
+      }
+    }(Encoders.product[AudioMetaRow])
+      .select(col("media_id"), col("format"), col("sample_rate"), col("channels"),
+        col("bits"), col("n_frames"),
+        round(col("duration_raw"), 6).as("duration_sec"),
+        round(col("rms_raw"), 6).as("rms"))
+      .orderBy("media_id")
+  }
+
   /** Batch sessionization (q57): 30-minute-gap sessions over the events
     * stream, one row per (user, session) with event count, start time, and
     * value sum. event_id breaks timestamp ties so session numbering is

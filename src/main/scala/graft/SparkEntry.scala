@@ -341,7 +341,8 @@ object SparkEntry {
     "q67_stream_sessions" -> Queries.streamingSessionParity _,
     "q68_stream_windows"  -> Queries.streamingWindowParity _,
     "q69_stream_interval_join" -> Queries.streamingIntervalJoinParity _,
-    "q70_stream_file_source" -> Queries.streamingFileSourceParity _
+    "q70_stream_file_source" -> Queries.streamingFileSourceParity _,
+    "q71_audio_meta"      -> Queries.audioMeta _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -790,6 +791,24 @@ object SparkEntry {
     // q70 re-proves the SAME batch claim on the production file-source
     // ingest path (readStream parquet + maxFilesPerTrigger, no collect)
     "q70_stream_file_source" -> streamCurationParityOracleSql,
+    "q71_audio_meta" ->
+      // closed-form replay of the synthesized WAV set: the Spark side must
+      // round-trip RIFF encode -> header parse -> full PCM decode to match;
+      // the sample function and the exact integer sum-of-squares make RMS a
+      // pure function both engines compute identically
+      """WITH p AS (SELECT doc_id,
+        |    8000 + (doc_id % 4) * 4000 AS sample_rate,
+        |    400 + (doc_id % 7) * 100 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, sample_rate, n,
+        |    CAST(sum(((doc_id * 31 + i * 7) % 201 - 100) * ((doc_id * 31 + i * 7) % 201 - 100)) AS BIGINT) AS sumsq
+        |  FROM p, range(0, 1000) r(i) WHERE i < n GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, 'wav' AS format,
+        |CAST(sample_rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |CAST(16 AS INT) AS bits, CAST(n AS BIGINT) AS n_frames,
+        |round(CAST(n AS DOUBLE) / sample_rate, 6) AS duration_sec,
+        |round(sqrt(CAST(sumsq AS DOUBLE) / n), 6) AS rms
+        |FROM s ORDER BY media_id""".stripMargin,
     "q50_sudoku" ->
       // the solver must recover the closed-form canonical grid (the blanked
       // cells admit exactly one completion — n_solutions doubles as proof)

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Decode: IMAGE payloads (png/jpeg/gif/bmp) go through a REAL pure-JVM
   * decode (`ImageCodec`: byte-level header sniff + javax.imageio pixel
-  * decode + grid-luminance feature — see ImageCodecSpec and q49's oracle).
-  * Non-image media (audio/video, which the JDK cannot decode) fall back to
-  * `FakeDecoder`, a deterministic stand-in with the same bytes→float-vector
-  * contract a native codec would fill.
+  * decode + grid-luminance feature — see ImageCodecSpec and q49's oracle);
+  * WAV/PCM AUDIO payloads go through a REAL RIFF parse + sample decode
+  * (`AudioCodec`: windowed-RMS profile feature — see AudioCodecSpec and
+  * q71's oracle). Compressed audio and video (which the JDK cannot decode)
+  * fall back to `FakeDecoder`, a deterministic stand-in with the same
+  * bytes→float-vector contract a native codec would fill.
   */
 object Multimodal {
 
@@ -61,7 +63,8 @@ object Multimodal {
   /** Batched per-partition feature extraction: decoder state initialized once
     * per partition; rows streamed through. Fully distributed, no driver hop.
     * Payloads whose magic bytes identify a JDK-decodable image get the REAL
-    * decode (grid-luminance embedding); everything else the deterministic
+    * pixel decode (grid-luminance embedding); WAV/PCM payloads the REAL
+    * sample decode (windowed-RMS profile); everything else the deterministic
     * fallback. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeature] = {
     implicit val enc: Encoder[MediaFeature] = Encoders.product[MediaFeature]
@@ -74,6 +77,9 @@ object Multimodal {
         val feat = ImageCodec.parseHeader(r.payload)
           .flatMap(_ => ImageCodec.decode(r.payload))
           .map(img => ImageCodec.luminanceFeature(img, grid).take(dim))
+          .orElse(AudioCodec.parseHeader(r.payload)
+            .flatMap(_ => AudioCodec.decodeSamples(r.payload))
+            .map(AudioCodec.rmsProfile(_, dim)))
           .getOrElse(FakeDecoder.decode(r.payload, dim))
         var crc = 0L
         var i = 0
