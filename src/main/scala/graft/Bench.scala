@@ -35,16 +35,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = {
+      val b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_EVENTLOG_DIR=<dir>: write a Spark event log, which
+      // tools.EventLogTrace converts into a replayable gridmix trace — any
+      // logged run becomes a load mix (the Rumen role end-to-end). Each
+      // query sets its name as the job description (timeOnce below), so the
+      // converter can attribute jobs to queries.
+      sys.env.get("SPARK_GRAFT_EVENTLOG_DIR").fold(b) { d =>
+        new java.io.File(d).mkdirs()
+        b.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", d)
+      }.getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
 
     // Untimed warmup: pay executor spin-up, codegen compiler init, and first
@@ -69,13 +79,16 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val q0 = System.nanoTime()
+      // thread-local job description: tags this query's jobs in the Spark
+      // event log so EventLogTrace can rebuild a replayable trace from it
+      spark.sparkContext.setJobDescription(name)
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - q0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
     val futures = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
@@ -286,13 +299,16 @@ object Bench {
     //    run's mix can be replayed and compared).
     // gridmix_p50/p95 are latency ORDER STATISTICS over the mixed jobs, not
     // extra sequential work — excluded from the additive totals below.
-    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_GRIDMIX", "1") == "1")
-      guarded(Seq("gridmix_p50", "gridmix_p95")) {
-        val pools = sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_POOLS", "3").toInt
-        val byName = selected.toMap
+    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_GRIDMIX", "1") == "1") {
+      val pools = sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_POOLS", "3").toInt
+      val byName = selected.toMap
+      // One gridmix leg: build the mix (trace replay or stride sample), run
+      // it on the contended pool, optionally capture the executed mix as a
+      // replayable trace, return (p50, p95) latency order statistics.
+      def runMix(traceFile: Option[String], captureTo: Option[String]): (Double, Double) = {
         // (query, submit-offset-ms) pairs: trace order, or stride sample at 0
         val mix: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Long)] =
-          sys.env.get("SPARK_GRAFT_GRIDMIX_TRACE") match {
+          traceFile match {
             case Some(path) =>
               val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
               val parsed = """\{"name":"([^"]+)","offset_ms":([0-9]+)""".r
@@ -347,15 +363,7 @@ object Bench {
           lat.asScala.toSeq
         }
         require(done.size == mix.size, s"gridmix: ${mix.size - done.size} of ${mix.size} jobs failed")
-        // capture the executed mix as a replayable trace (the Rumen role).
-        // A REPLAY run writes only when TRACE_OUT is explicitly set:
-        // defaulting the capture to gridmix_trace.json would overwrite the
-        // very trace being replayed (and each generation's offsets are the
-        // ACTUAL submit times, so repeated replays would drift later).
-        val traceOut = sys.env.get("SPARK_GRAFT_GRIDMIX_TRACE_OUT")
-          .orElse(if (sys.env.contains("SPARK_GRAFT_GRIDMIX_TRACE")) None
-                  else Some("gridmix_trace.json"))
-        traceOut.foreach { out =>
+        captureTo.foreach { out =>
           try {
             val trace = done.sortBy(_._2).map { case (n, off, v) =>
               val sec = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -369,9 +377,45 @@ object Bench {
         val xs = done.map(_._3.doubleValue()).sorted
         def pct(p: Double): Double = xs(math.min(xs.size - 1,
           math.max(0, math.ceil(p * xs.size).toInt - 1)))
-        firstPass.put("gridmix_p50", pct(0.50)); results.put("gridmix_p50", pct(0.50))
-        firstPass.put("gridmix_p95", pct(0.95)); results.put("gridmix_p95", pct(0.95))
+        (pct(0.50), pct(0.95))
       }
+
+      val envTrace = sys.env.get("SPARK_GRAFT_GRIDMIX_TRACE")
+      guarded(Seq("gridmix_p50", "gridmix_p95")) {
+        // capture the executed mix as a replayable trace (the Rumen role).
+        // A REPLAY run writes only when TRACE_OUT is explicitly set:
+        // defaulting the capture to gridmix_trace.json would overwrite the
+        // very trace being replayed (and each generation's offsets are the
+        // ACTUAL submit times, so repeated replays would drift later).
+        val captureTo = sys.env.get("SPARK_GRAFT_GRIDMIX_TRACE_OUT")
+          .orElse(if (envTrace.isDefined) None else Some("gridmix_trace.json"))
+        val (p50, p95) = runMix(envTrace, captureTo)
+        firstPass.put("gridmix_p50", p50); results.put("gridmix_p50", p50)
+        firstPass.put("gridmix_p95", p95); results.put("gridmix_p95", p95)
+      }
+      // Replay leg: re-drive the COMMITTED reference trace (a prior round's
+      // captured mix) so every round reports latency under an identical
+      // arrival pattern next to the fresh mix — round-over-round comparable
+      // where the fresh mix's stride changes whenever the suite grows. Same
+      // stall defense as the query entries: a slow first pass is re-run once
+      // and the minimum reported.
+      val refTrace = sys.env.getOrElse("SPARK_GRAFT_GRIDMIX_REF", "gridmix_trace_ref.json")
+      if (envTrace.isEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(refTrace)))
+        guarded(Seq("gridmix_replay_p50", "gridmix_replay_p95")) {
+          val (p50, p95) = runMix(Some(refTrace), None)
+          firstPass.put("gridmix_replay_p50", p50); results.put("gridmix_replay_p50", p50)
+          firstPass.put("gridmix_replay_p95", p95); results.put("gridmix_replay_p95", p95)
+          if (rebenchSec > 0 && p95 > rebenchSec) {
+            try {
+              val (p50b, p95b) = runMix(Some(refTrace), None)
+              results.put("gridmix_replay_p50", math.min(p50, p50b))
+              results.put("gridmix_replay_p95", math.min(p95, p95b))
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] gridmix replay re-bench failed (keeping first pass): ${e.getMessage}")
+            }
+          }
+        }
+    }
 
     // Per-query scaling probe: time each query once at sf0.01 and report the
     // main-dir/sf0.01 ratio. ~10x data should cost ~10x at worst for linear

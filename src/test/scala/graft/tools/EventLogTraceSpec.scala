@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** The log lines below are Spark's public event-log JSON schema
+  * (SparkListenerJobStart/JobEnd as `spark.eventLog.enabled` writes them);
+  * Bench tags every query's jobs via setJobDescription, which lands in
+  * Properties."spark.job.description". */
+class EventLogTraceSpec extends SparkSpec {
+
+  private val log = Seq(
+    """{"Event":"SparkListenerApplicationStart","App Name":"bench"}""",
+    """{"Event":"SparkListenerJobStart","Job ID":0,"Submission Time":1000,"Properties":{"spark.job.description":"q01_wordcount"}}""",
+    """{"Event":"SparkListenerJobEnd","Job ID":0,"Completion Time":1800,"Job Result":{"Result":"JobSucceeded"}}""",
+    """{"Event":"SparkListenerJobStart","Job ID":1,"Submission Time":2000,"Properties":{"spark.job.description":"q02_grep_topk"}}""",
+    """{"Event":"SparkListenerJobStart","Job ID":2,"Submission Time":2500,"Properties":{"spark.job.description":"q01_wordcount"}}""",
+    """{"Event":"SparkListenerJobEnd","Job ID":2,"Completion Time":4100,"Job Result":{"Result":"JobSucceeded"}}""",
+    """{"Event":"SparkListenerJobEnd","Job ID":1,"Completion Time":3000,"Job Result":{"Result":"JobSucceeded"}}""",
+    """{"Event":"SparkListenerJobStart","Job ID":3,"Submission Time":5000,"Properties":{}}""",
+    """{"Event":"SparkListenerJobStart","Job ID":4,"Submission Time":6000,"Properties":{"spark.job.description":"gridmix:q01_wordcount"}}""",
+    """{"Event":"SparkListenerJobEnd","Job ID":4,"Completion Time":6400}""",
+    """not even json""")
+
+  test("fromLog folds jobs into per-name (first submission, last completion) entries") {
+    val entries = EventLogTrace.fromLog(log.iterator)
+    assert(entries == Seq(
+      // q01 spans two jobs: submission 1000 (= t0), last completion 4100
+      EventLogTrace.TraceEntry("q01_wordcount", 0L, 3.1),
+      EventLogTrace.TraceEntry("q02_grep_topk", 1000L, 1.0),
+      // the gridmix re-run is its own (non-replayable) name, kept by default
+      EventLogTrace.TraceEntry("gridmix:q01_wordcount", 5000L, 0.4)))
+  }
+
+  test("convert writes a trace the bench replay path accepts, filtered to real queries") {
+    val dir = Files.createTempDirectory("graft_evlog")
+    val logPath = dir.resolve("eventlog").toString
+    Files.write(Paths.get(logPath),
+      String.join("\n", log: _*).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = dir.resolve("trace.json").toString
+    val entries = EventLogTrace.convert(
+      spark.sparkContext.hadoopConfiguration, logPath, out,
+      nameFilter = graft.SparkEntry.queries.contains)
+    assert(entries.map(_.name) == Seq("q01_wordcount", "q02_grep_topk"))
+    // the written trace parses with the EXACT regex Bench's replay uses, and
+    // satisfies the replay invariants: known names, no duplicates
+    val txt = Files.readString(Paths.get(out))
+    val parsed = """\{"name":"([^"]+)","offset_ms":([0-9]+)""".r
+      .findAllMatchIn(txt).map(m => (m.group(1), m.group(2).toLong)).toSeq
+    assert(parsed == Seq(("q01_wordcount", 0L), ("q02_grep_topk", 1000L)))
+    assert(parsed.map(_._1).forall(graft.SparkEntry.queries.contains))
+    assert(parsed.map(_._1).distinct.size == parsed.size)
+  }
+}
