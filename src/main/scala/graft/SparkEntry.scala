@@ -252,11 +252,15 @@ object SparkEntry {
 
   /** Batch formulation of the STREAMING curation path at `curateStream`'s
     * default thresholds: stream == batch is exactly the claim under test.
-    * Shared by q66 (MemoryStream replay) and q70 (file-source ingest). */
-  private val streamCurationParityOracleSql: String =
-    """WITH t AS (SELECT doc_id, lang, text,
-      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
-      |  FROM documents),
+    * Shared by q66 (MemoryStream replay, `srcCte` = all documents) and q70
+    * (file-source ingest, `srcCte` = single-lang texts only — the file
+    * source cannot control which lang's copy of a cross-lang duplicate text
+    * arrives first, so those texts are excluded on BOTH sides). */
+  private def streamCurationParityOracleSql(srcCte: String): String =
+    s"""WITH $srcCte,
+      |t AS (SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      |  FROM src),
       |q AS (SELECT doc_id, lang, text, w FROM t
       |  WHERE len(w) >= 5
       |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= 0.9
@@ -787,10 +791,16 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.click_ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
-    "q66_stream_parity" -> streamCurationParityOracleSql,
+    "q66_stream_parity" -> streamCurationParityOracleSql(
+      "src AS (SELECT doc_id, lang, text FROM documents)"),
     // q70 re-proves the SAME batch claim on the production file-source
-    // ingest path (readStream parquet + maxFilesPerTrigger, no collect)
-    "q70_stream_file_source" -> streamCurationParityOracleSql,
+    // ingest path (readStream parquet + maxFilesPerTrigger, no collect);
+    // cross-lang duplicate texts are excluded on both sides (arrival order
+    // of their copies is uncontrolled on the file source)
+    "q70_stream_file_source" -> streamCurationParityOracleSql(
+      """src AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  JOIN (SELECT text FROM documents GROUP BY text
+        |        HAVING count(DISTINCT lang) = 1) ok USING (text))""".stripMargin),
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

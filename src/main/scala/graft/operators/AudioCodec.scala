@@ -39,12 +39,17 @@ object AudioCodec {
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
       val id = tag(b, i)
       val size = le32(b, i + 4).toLong & 0xffffffffL
-      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+      // a chunk size beyond the payload is malformed (and a still-needed
+      // chunk can't follow it): without this guard a crafted size (e.g.
+      // 0xFFFFFFF8 → toInt -8) stalls the walk or indexes out of bounds —
+      // Multimodal feeds ARBITRARY payloads through here and the contract is
+      // None, never a hang or an escaped exception
+      if (size > b.length - i - 8) return None
+      if (id == "fmt " && size >= 16) {
         val audioFormat = le16(b, i + 8)
         if (audioFormat != 1) return None // only integer PCM
         fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
       } else if (id == "data") {
-        if (i + 8 + size > b.length) return None // truncated payload
         dataBytes = size
       }
       i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
@@ -63,6 +68,7 @@ object AudioCodec {
       var i = 12
       while (i + 8 <= b.length) {
         val size = le32(b, i + 4).toLong & 0xffffffffL
+        if (size > b.length - i - 8) return None // malformed chunk size
         if (tag(b, i) == "data") {
           val n = (m.nFrames * m.channels).toInt
           val out = new Array[Int](n)

@@ -139,16 +139,10 @@ object Compact {
     val listing = head.sortBy { case (rel, len) => (-len, rel) }.toSeq
     val planned = pack(listing, targetPartBytes)
 
-    // Re-compaction into a non-empty destination: a new packing with FEWER
-    // bins would leave the prior run's higher-numbered part files in place,
-    // and a consumer walking part-* (instead of the index) would read stale
-    // data. Delete orphan parts beyond the new bin count, and any in-flight
-    // task temps a crashed prior run left behind.
+    // stale in-flight task temps from a crashed prior run are never
+    // referenced by any index — safe to sweep up front
     dstFs.listStatus(qdst).foreach { st =>
-      val n = st.getPath.getName
-      val orphanPart = n.matches("part-\\d{5}") &&
-        n.stripPrefix("part-").toInt >= planned.size
-      if (orphanPart || TreeListing.isStaleTemp(n))
+      if (TreeListing.isStaleTemp(st.getPath.getName))
         dstFs.delete(st.getPath, false)
     }
 
@@ -165,8 +159,26 @@ object Compact {
       }.collect()
     spark.createDataFrame(entries.toSeq)
       .write.mode("overwrite").parquet(s"$qdstStr/_index")
+    deleteOrphanParts(dstFs, qdst, planned.size.toLong)
     spark.read.parquet(s"$qdstStr/_index")
   }
+
+  /** Delete part files at or beyond `newBinCount` — re-compaction with fewer
+    * bins would otherwise leave the prior run's higher-numbered parts for a
+    * consumer walking part-* (instead of the index) to read as stale data.
+    * Runs AFTER the new index is written: deleting up front would break the
+    * OLD archive the moment a re-compaction failed mid-job. (In-place
+    * re-compaction is still not crash-atomic — colliding part names are
+    * overwritten as the job runs; compact into a fresh directory when that
+    * matters.) The name match is `\d{5,}`: partName's %05d widens past
+    * 99999 parts, exactly the scale where orphans would otherwise survive. */
+  private def deleteOrphanParts(dstFs: org.apache.hadoop.fs.FileSystem,
+                                qdst: Path, newBinCount: Long): Unit =
+    dstFs.listStatus(qdst).foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("part-\\d{5,}") && n.stripPrefix("part-").toLong >= newBinCount)
+        dstFs.delete(st.getPath, false)
+    }
 
   /** Spilled-listing driver: global (size desc, path) order via a
     * distributed range sort; bin = global-byte-position / target (computed
@@ -187,20 +199,22 @@ object Compact {
     val os = listingPath.getFileSystem(conf).create(listingPath, true)
     val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+    // \r is rejected along with \n: Hadoop's line reader splits on lone CR
+    // too, so a CR-bearing name would silently garble the listing
     try entries.foreach { case (rel, len) =>
-      require(rel.nonEmpty && !rel.startsWith("/") && !rel.contains("\n") && !rel.contains("\t"),
+      require(rel.nonEmpty && !rel.startsWith("/") &&
+        !rel.contains("\n") && !rel.contains("\r") && !rel.contains("\t"),
         s"unsupported path in listing: $rel")
       w.write(s"$len\t$rel\n")
     } finally w.close()
 
-    // full-rewrite semantics: every pre-existing part (and stale temp) goes —
-    // the new bin count is unknown until the job runs, so there is no
-    // "orphan tail" to compute as in the in-memory path
+    // stale temps swept up front (never index-referenced); orphan parts are
+    // deleted only AFTER the new index lands — the new bin count is unknown
+    // until the job runs, so it is read back from the written index
     val qdst = new Path(qdstStr)
     val dstFs = qdst.getFileSystem(conf)
     dstFs.listStatus(qdst).foreach { st =>
-      val n = st.getPath.getName
-      if (n.matches("part-\\d{5}") || TreeListing.isStaleTemp(n))
+      if (TreeListing.isStaleTemp(st.getPath.getName))
         dstFs.delete(st.getPath, false)
     }
 
@@ -256,6 +270,12 @@ object Compact {
         // the write EXECUTES the whole pack exactly once; the index never
         // concentrates on the driver
         .write.mode("overwrite").parquet(s"$qdstStr/_index")
+      val newBins = spark.read.parquet(s"$qdstStr/_index")
+        .agg(max(col("part"))).collect()(0) match {
+          case r if r.isNullAt(0) => 0L // empty source tree → no parts at all
+          case r => r.getInt(0).toLong + 1L
+        }
+      deleteOrphanParts(dstFs, qdst, newBins)
       spark.read.parquet(s"$qdstStr/_index")
     } finally {
       ordered.unpersist(false)

@@ -191,31 +191,38 @@ object DistCopy {
     val os = listingPath.getFileSystem(conf).create(listingPath, true)
     val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+    // \r is rejected along with \n: Hadoop's line reader splits on lone CR
+    // too, so a CR-bearing name would silently garble the listing
     try entries.foreach { case (rel, len) =>
-      require(rel.nonEmpty && !rel.startsWith("/") && !rel.contains("\n") && !rel.contains("\t"),
+      require(rel.nonEmpty && !rel.startsWith("/") &&
+        !rel.contains("\n") && !rel.contains("\r") && !rel.contains("\t"),
         s"unsupported path in listing: $rel")
       w.write(s"$len\t$rel\n")
     } finally w.close()
 
     val reportDir = s"$scratch/report"
-    spark.read.text(listingPath.toString)
-      .select(
-        split(col("value"), "\t", 2).getItem(0).cast("long").as("len"),
-        split(col("value"), "\t", 2).getItem(1).as("rel"))
-      .repartition(math.max(1, maxTasks))
-      .sortWithinPartitions(col("len").desc)
-      .select(col("rel"), col("len")).as[(String, Long)]
-      .mapPartitions { rows =>
-        val taskConf = graft.sources.Scratch.confFrom(bc.value)
-        rows.map { case (rel, _) =>
-          copyOne(taskConf, qsrcStr, qdstStr, rel, update, checksum)
+    try {
+      spark.read.text(listingPath.toString)
+        .select(
+          split(col("value"), "\t", 2).getItem(0).cast("long").as("len"),
+          split(col("value"), "\t", 2).getItem(1).as("rel"))
+        .repartition(math.max(1, maxTasks))
+        .sortWithinPartitions(col("len").desc)
+        .select(col("rel"), col("len")).as[(String, Long)]
+        .mapPartitions { rows =>
+          val taskConf = graft.sources.Scratch.confFrom(bc.value)
+          rows.map { case (rel, _) =>
+            copyOne(taskConf, qsrcStr, qdstStr, rel, update, checksum)
+          }
         }
-      }
-      // the write EXECUTES the copy exactly once (same eagerness contract as
-      // the in-memory path); the returned frame reads the materialized report
-      .write.mode("overwrite").parquet(reportDir)
-    try listingPath.getFileSystem(conf).delete(listingPath, false)
-    catch { case _: Exception => () }
+        // the write EXECUTES the copy exactly once (same eagerness contract
+        // as the in-memory path); the returned frame reads the report
+        .write.mode("overwrite").parquet(reportDir)
+    } finally {
+      // delete the spilled listing on failure too (it can be GBs)
+      try listingPath.getFileSystem(conf).delete(listingPath, false)
+      catch { case _: Exception => () }
+    }
     spark.read.parquet(reportDir)
   }
 

@@ -66,11 +66,15 @@ object EventLogTrace {
     }
   }
 
-  /** Serialize entries in the exact format `Bench` writes and replays. */
+  /** Serialize entries in the exact format `Bench` writes and replays.
+    * Names are JSON-escaped: job descriptions are free-form user strings
+    * (`setJobDescription("load \"hot\" shard")`), and an unescaped quote
+    * would both break the JSON and truncate Bench's replay regex. */
   def toJson(entries: Seq[TraceEntry]): String =
     entries.map { e =>
+      val name = e.name.replace("\\", "\\\\").replace("\"", "\\\"")
       val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(e.sec))
-      s"""{"name":"${e.name}","offset_ms":${e.offsetMs},"sec":$sec}"""
+      s"""{"name":"$name","offset_ms":${e.offsetMs},"sec":$sec}"""
     }.mkString("[", ",", "]") + "\n"
 
   /** Convert an event log (any Hadoop filesystem; `.inprogress` logs work —

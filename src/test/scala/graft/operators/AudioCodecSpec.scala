@@ -49,6 +49,20 @@ class AudioCodecSpec extends SparkSpec {
     assert(AudioCodec.parseHeader(nonPcm).isEmpty)
   }
 
+  test("malformed chunk sizes terminate with None instead of hanging or throwing") {
+    // RIFF/WAVE with a junk chunk whose size field is 0xFFFFFFF8: toInt = -8
+    // once made the chunk walk advance by zero (infinite loop in an executor
+    // task); large positive sizes indexed out of bounds
+    val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    b.put("junk".getBytes).putInt(0xFFFFFFF8)
+    assert(AudioCodec.parseHeader(b.array()).isEmpty)
+    val b2 = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b2.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    b2.put("junk".getBytes).putInt(0x7FFFFFF0)
+    assert(AudioCodec.parseHeader(b2.array()).isEmpty)
+  }
+
   test("Multimodal routes WAV payloads through the real audio decode") {
     import org.apache.spark.sql.{Encoder, Encoders}
     implicit val enc: Encoder[Multimodal.MediaRecord] =
