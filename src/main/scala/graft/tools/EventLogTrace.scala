@@ -25,17 +25,18 @@ object EventLogTrace {
 
   final case class TraceEntry(name: String, offsetMs: Long, sec: Double)
 
-  /** Fold the event stream into per-name (first submission, last completion)
-    * trace entries, sorted by submission. Jobs without a description are
-    * skipped — they have no replayable identity. */
-  def fromLog(lines: Iterator[String]): Seq[TraceEntry] = {
+  /** Incremental fold over event-log lines — one instance spans a whole
+    * rolling-log directory, fed file by file so no log ever has to fit in
+    * memory at once. */
+  private final class Accumulator {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    implicit val fmts: Formats = DefaultFormats
-    val jobName = scala.collection.mutable.Map.empty[Long, String]
-    val starts = scala.collection.mutable.Map.empty[String, Long]
-    val ends = scala.collection.mutable.Map.empty[String, Long]
-    lines.foreach { line =>
+    private implicit val fmts: Formats = DefaultFormats
+    private val jobName = scala.collection.mutable.Map.empty[Long, String]
+    private val starts = scala.collection.mutable.Map.empty[String, Long]
+    private val ends = scala.collection.mutable.Map.empty[String, Long]
+
+    def feed(line: String): Unit = {
       val j = try JsonMethods.parse(line) catch { case _: Exception => JNothing }
       (j \ "Event").extractOpt[String] match {
         case Some("SparkListenerJobStart") =>
@@ -56,14 +57,25 @@ object EventLogTrace {
         case _ => ()
       }
     }
-    if (starts.isEmpty) Nil
-    else {
-      val t0 = starts.values.min
-      starts.toSeq.sortBy { case (name, sub) => (sub, name) }.map { case (name, sub) =>
-        TraceEntry(name, sub - t0,
-          math.max(0L, ends.getOrElse(name, sub) - sub) / 1000.0)
+
+    def result(): Seq[TraceEntry] =
+      if (starts.isEmpty) Nil
+      else {
+        val t0 = starts.values.min
+        starts.toSeq.sortBy { case (name, sub) => (sub, name) }.map { case (name, sub) =>
+          TraceEntry(name, sub - t0,
+            math.max(0L, ends.getOrElse(name, sub) - sub) / 1000.0)
+        }
       }
-    }
+  }
+
+  /** Fold the event stream into per-name (first submission, last completion)
+    * trace entries, sorted by submission. Jobs without a description are
+    * skipped — they have no replayable identity. */
+  def fromLog(lines: Iterator[String]): Seq[TraceEntry] = {
+    val acc = new Accumulator
+    lines.foreach(acc.feed)
+    acc.result()
   }
 
   /** Serialize entries in the exact format `Bench` writes and replays.
@@ -77,22 +89,47 @@ object EventLogTrace {
       s"""{"name":"$name","offset_ms":${e.offsetMs},"sec":$sec}"""
     }.mkString("[", ",", "]") + "\n"
 
-  /** Convert an event log (any Hadoop filesystem; `.inprogress` logs work —
-    * the format is line-delimited) into a local trace file the bench's
-    * replay path accepts. `nameFilter` selects which job descriptions become
-    * trace entries — pass `SparkEntry.queries.contains` to keep only entries
-    * the replay path can run (a bench log also tags `gridmix:`/`rescale:`
-    * re-runs, which are not replayable identities). Returns the entries. */
+  /** Feed one event-log file into `acc`, transparently decompressing
+    * Spark's `.zstd` codec suffix (zstd-jni ships with Spark; other codec
+    * suffixes are rejected with a clear error rather than garbled). */
+  private def feedFile(conf: Configuration, f: Path, acc: Accumulator): Unit = {
+    val raw = f.getFileSystem(conf).open(f)
+    val base = f.getName.stripSuffix(".inprogress")
+    val in: java.io.InputStream =
+      if (base.endsWith(".zstd")) new com.github.luben.zstd.ZstdInputStream(raw)
+      else if (base.endsWith(".lz4") || base.endsWith(".snappy"))
+        throw new IllegalArgumentException(
+          s"unsupported event-log codec for $f (zstd or uncompressed only)")
+      else raw
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(r.readLine()).takeWhile(_ != null).foreach(acc.feed)
+    finally r.close()
+  }
+
+  /** Convert an event log into a local trace file the bench's replay path
+    * accepts. `logPath` may be a single log file (`.inprogress` works — the
+    * format is line-delimited), or a Spark ROLLING event-log directory
+    * (`eventlog_v2_<app>/` holding `events_<i>_<app>[.zstd]` files, read in
+    * index order) — the layout `spark.eventLog.enabled` actually produces.
+    * `nameFilter` selects which job descriptions become trace entries — pass
+    * `SparkEntry.queries.contains` to keep only entries the replay path can
+    * run (a bench log also tags `gridmix:`/`rebench:`/`rescale:` re-runs,
+    * which are not replayable identities). Returns the entries. */
   def convert(conf: Configuration, logPath: String, outPath: String,
               nameFilter: String => Boolean = _ => true): Seq[TraceEntry] = {
     val p = new Path(logPath)
-    val in = p.getFileSystem(conf).open(p)
-    val entries = try {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-      fromLog(Iterator.continually(r.readLine()).takeWhile(_ != null))
-        .filter(e => nameFilter(e.name))
-    } finally in.close()
+    val fs = p.getFileSystem(conf)
+    val files: Seq[Path] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.startsWith("events_")).toSeq
+          .sortBy(q => q.getName.split("_")(1).toLong)
+      else Seq(p)
+    require(files.nonEmpty, s"$logPath contains no event-log files")
+    val acc = new Accumulator
+    files.foreach(feedFile(conf, _, acc))
+    val entries = acc.result().filter(e => nameFilter(e.name))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), toJson(entries))
     entries
   }

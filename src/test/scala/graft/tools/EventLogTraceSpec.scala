@@ -32,6 +32,29 @@ class EventLogTraceSpec extends SparkSpec {
       EventLogTrace.TraceEntry("gridmix:q01_wordcount", 5000L, 0.4)))
   }
 
+  test("converts a REAL Spark-written rolling event log (zstd, v2 directory layout)") {
+    // fixture captured from an actual Bench run with SPARK_GRAFT_EVENTLOG_DIR
+    // set (Spark 4.1 rolling event-log v2: eventlog_v2_<app>/events_1_<app>
+    // .zstd) — proves the converter parses what spark.eventLog.enabled
+    // REALLY produces, not just this repo's idea of the format
+    val dir = "src/test/resources/eventlog_v2_local-1786601120228"
+    val out = java.nio.file.Files.createTempDirectory("graft_evreal")
+      .resolve("trace.json").toString
+    val entries = EventLogTrace.convert(
+      spark.sparkContext.hadoopConfiguration, dir, out,
+      nameFilter = graft.SparkEntry.queries.contains)
+    assert(entries.map(_.name).sorted ==
+      Seq("q01_wordcount", "q23_dedup_exact", "q34_pi"))
+    // offsets are relative to the first submission and durations are real
+    assert(entries.head.offsetMs == 0L)
+    assert(entries.forall(e => e.sec > 0.0 && e.sec < 60.0))
+    // and the produced trace satisfies the bench replay invariants
+    val txt = Files.readString(Paths.get(out))
+    val parsed = """\{"name":"([^"]+)","offset_ms":([0-9]+)""".r
+      .findAllMatchIn(txt).map(_.group(1)).toSeq
+    assert(parsed.sorted == Seq("q01_wordcount", "q23_dedup_exact", "q34_pi"))
+  }
+
   test("convert writes a trace the bench replay path accepts, filtered to real queries") {
     val dir = Files.createTempDirectory("graft_evlog")
     val logPath = dir.resolve("eventlog").toString
