@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   *    (CopyMapper.java:383-386) — content MD5 costs one extra sequential
   *    read of what was just written but validates on EVERY filesystem pair.
   *    `checksum = false` (DistCp's -skipcrccheck) drops both digest passes
-  *    and validates length only.
+  *    and validates length only;
+  *  - `preserve = true` (DistCp's -p for times + permissions): after
+  *    validation the destination takes the source's modification time and
+  *    permissions (CopyMapper's preserve step).
   *
   * Directory structure: parents are created on demand; empty source
   * directories are not replicated (copy what has bytes).
@@ -60,7 +63,8 @@ object DistCopy {
     * in-memory and the spilled-listing drivers. */
   private def copyOne(conf: org.apache.hadoop.conf.Configuration,
                       qsrcStr: String, qdstStr: String, rel: String,
-                      update: Boolean, checksum: Boolean): FileReport = {
+                      update: Boolean, checksum: Boolean,
+                      preserve: Boolean): FileReport = {
     val sp = new Path(s"$qsrcStr/$rel")
     val dp = new Path(s"$qdstStr/$rel")
     val sfs = sp.getFileSystem(conf)
@@ -106,6 +110,13 @@ object DistCopy {
         require(dstMd5 == srcMd5,
           s"$rel checksum mismatch after copy: src $srcMd5 dst $dstMd5")
       }
+      // DistCp's -pt/-pp attribute preservation (CopyMapper's preserve step):
+      // applied LAST so the validation re-read can't disturb what was set
+      if (preserve) {
+        val st = sfs.getFileStatus(sp)
+        dfs.setTimes(dp, st.getModificationTime, -1)
+        dfs.setPermission(dp, st.getPermission)
+      }
       FileReport(rel, srcLen, "copy")
     }
   }
@@ -125,7 +136,8 @@ object DistCopy {
     * listing nor the report ever concentrates on the driver. */
   def copy(spark: SparkSession, srcDir: String, dstDir: String,
            update: Boolean = false, checksum: Boolean = true,
-           maxTasks: Int = 128, spillThreshold: Int = 1 << 20): DataFrame = {
+           maxTasks: Int = 128, spillThreshold: Int = 1 << 20,
+           preserve: Boolean = false): DataFrame = {
     val sc = spark.sparkContext
     val conf = sc.hadoopConfiguration
     val srcFs = new Path(srcDir).getFileSystem(conf)
@@ -145,7 +157,7 @@ object DistCopy {
 
     if (it.hasNext)
       return copySpilled(spark, qsrcStr, qdstStr, head.iterator ++ it,
-        update, checksum, maxTasks, bc)
+        update, checksum, preserve, maxTasks, bc)
 
     val listing = head.sortBy(-_._2).toSeq // largest first: long copies schedule early
     require(listing.forall(f => f._1.nonEmpty && !f._1.startsWith("/")),
@@ -161,7 +173,7 @@ object DistCopy {
       (s until listing.size by slices).map(listing))
     val reports = sc.parallelize(groups, slices).flatMap(identity).map { case (rel, _) =>
       copyOne(graft.sources.Scratch.confFrom(bc.value), qsrcStr, qdstStr, rel,
-        update, checksum)
+        update, checksum, preserve)
     }.collect()
     // EAGER by design: the copy is a side effect of the tasks — returning
     // the lazy RDD would silently re-copy the whole tree on every action
@@ -181,7 +193,8 @@ object DistCopy {
     * task copies its own files largest-first. */
   private def copySpilled(spark: SparkSession, qsrcStr: String, qdstStr: String,
                           entries: Iterator[(String, Long)],
-                          update: Boolean, checksum: Boolean, maxTasks: Int,
+                          update: Boolean, checksum: Boolean, preserve: Boolean,
+                          maxTasks: Int,
                           bc: org.apache.spark.broadcast.Broadcast[Array[(String, String)]]): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -212,7 +225,7 @@ object DistCopy {
         .mapPartitions { rows =>
           val taskConf = graft.sources.Scratch.confFrom(bc.value)
           rows.map { case (rel, _) =>
-            copyOne(taskConf, qsrcStr, qdstStr, rel, update, checksum)
+            copyOne(taskConf, qsrcStr, qdstStr, rel, update, checksum, preserve)
           }
         }
         // the write EXECUTES the copy exactly once (same eagerness contract

@@ -180,6 +180,23 @@ class ToolsSpec extends SparkSpec {
     assert(Compact.pack(listing, target) == packed)
   }
 
+  test("DistCopy preserve (-p) carries mtime and permissions; default does not") {
+    import java.nio.file.attribute.{FileTime, PosixFilePermissions}
+    val src = Files.createTempDirectory("graft_p_src").toString
+    val dst = Files.createTempDirectory("graft_p_dst").toString + "/out"
+    write(src, "a.txt", "attrs".getBytes(UTF_8))
+    Files.setLastModifiedTime(Paths.get(src, "a.txt"), FileTime.fromMillis(1600000000000L))
+    Files.setPosixFilePermissions(Paths.get(src, "a.txt"),
+      PosixFilePermissions.fromString("rw-------"))
+    DistCopy.copy(spark, src, dst, preserve = true)
+    assert(Files.getLastModifiedTime(Paths.get(dst, "a.txt")).toMillis == 1600000000000L)
+    assert(PosixFilePermissions.toString(Files.getPosixFilePermissions(Paths.get(dst, "a.txt")))
+      == "rw-------")
+    val dst2 = Files.createTempDirectory("graft_p_dst2").toString + "/out"
+    DistCopy.copy(spark, src, dst2)
+    assert(Files.getLastModifiedTime(Paths.get(dst2, "a.txt")).toMillis != 1600000000000L)
+  }
+
   test("DistCopy spilled-listing path copies byte-identically with update semantics") {
     val src = Files.createTempDirectory("graft_spl_src").toString
     val dst = Files.createTempDirectory("graft_spl_dst").toString + "/out"
