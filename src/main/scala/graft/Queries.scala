@@ -682,6 +682,69 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** File-source streaming sessionization parity (q72): the q67 claim on
+    * the PRODUCTION ingest path — the stateful flatMapGroupsWithState
+    * sessionizer driven by `readStream` over staged parquet, with no
+    * driver-side collect of events (the only driver values are the min/max
+    * timestamp aggregates that size the waves). Events arrive as four
+    * time-ordered file waves — the shape a production ingest has (files
+    * land roughly in event-time order); each wave is one micro-batch, so
+    * the advancing watermark never drops an in-order event. (The
+    * watermark-STRADDLING out-of-order case is pinned separately in
+    * StreamsSpec's adversarial-lateness test.) Two far-future sentinel
+    * waves advance the watermark and fire the timeouts that close every
+    * session. Oracle = the q67 batch formulation over this slice. */
+  def streamingFileSessionParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.Streams
+    val runId = streamRunCounter.getAndIncrement()
+    val stage = scratchDir(spark,
+      s"q72_${Integer.toHexString(dir.hashCode)}_$runId")
+    val evs = t(spark, dir).events
+      .filter(col("user_id") % 10 === 3)
+      .select(col("user_id").cast("long").as("user_id"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+        col("event_type"), col("value").cast("double").as("value"))
+    val minMax = evs.agg(min(col("ts")), max(col("ts")))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    if (minMax._1 == null) // empty slice → the empty result the oracle yields
+      return spark.emptyDataset[(Long, String, Long, Double)]
+        .toDF("user_id", "session_start", "n_events", "sum_value")
+    val (lo0, hi0) = (minMax._1.getTime, minMax._2.getTime)
+    val stream = spark.readStream
+      .schema(evs.schema)
+      .option("maxFilesPerTrigger", 256) // each wave lands as ONE trigger
+      .parquet(stage)
+      .as[Streams.Event]
+    val name = s"q72_stream_$runId"
+    val sq = Streams.sessionize(stream, gapMillis = 1800 * 1000L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      (0 until 4).foreach { i =>
+        val wLo = lo0 + (hi0 - lo0 + 1) * i / 4
+        val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / 4
+        evs.filter(unix_millis(col("ts")) >= wLo && unix_millis(col("ts")) < wHi)
+          .write.mode("append").parquet(stage)
+        sq.processAllAvailable()
+      }
+      // sentinel waves: advance the watermark past every (end + gap), then
+      // trigger the timeout pass (watermarks update at end-of-batch)
+      Seq(1, 2).foreach { k =>
+        Seq((-1L, new java.sql.Timestamp(hi0 + k * 3600000L), "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+          .write.mode("append").parquet(stage)
+        sq.processAllAvailable()
+      }
+    } finally sq.stop()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   // ---- pipe / π / partitioned write / multimodal ----
 
   def pipeUpper(spark: SparkSession, dir: String): DataFrame = {

@@ -346,7 +346,8 @@ object SparkEntry {
     "q68_stream_windows"  -> Queries.streamingWindowParity _,
     "q69_stream_interval_join" -> Queries.streamingIntervalJoinParity _,
     "q70_stream_file_source" -> Queries.streamingFileSourceParity _,
-    "q71_audio_meta"      -> Queries.audioMeta _
+    "q71_audio_meta"      -> Queries.audioMeta _,
+    "q72_stream_file_sessions" -> Queries.streamingFileSessionParity _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -762,6 +763,22 @@ object SparkEntry {
       // date_diff('second') floor semantics)
       """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts, value
         |  FROM events WHERE user_id % 10 = 0),
+        |x AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q72_stream_file_sessions" ->
+      // the q67 batch formulation over the user_id % 10 = 3 slice — q72
+      // re-proves the sessionizer claim on the file-source ingest path
+      """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts, value
+        |  FROM events WHERE user_id % 10 = 3),
         |x AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
         |    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS ns
