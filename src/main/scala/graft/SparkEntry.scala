@@ -252,10 +252,11 @@ object SparkEntry {
 
   /** Batch formulation of the STREAMING curation path at `curateStream`'s
     * default thresholds: stream == batch is exactly the claim under test.
-    * Shared by q66 (MemoryStream replay, `srcCte` = all documents) and q70
-    * (file-source ingest, `srcCte` = single-lang texts only — the file
+    * Shared by q70 (file-source ingest) and q73 (checkpointed file sink,
+    * kill/restart); both use `srcCte` = single-lang texts only — the file
     * source cannot control which lang's copy of a cross-lang duplicate text
-    * arrives first, so those texts are excluded on BOTH sides). */
+    * arrives first, so those texts are excluded on BOTH sides. (q66 instead
+    * aggregates survivor-independent quantities over the full corpus.) */
   private def streamCurationParityOracleSql(srcCte: String): String =
     s"""WITH $srcCte,
       |t AS (SELECT doc_id, lang, text,
@@ -270,6 +271,12 @@ object SparkEntry {
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |CAST(sum(len(w)) AS BIGINT) AS sum_tokens
       |FROM qe GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Single-lang-texts source CTE shared by the q70/q73 oracles. */
+  private val singleLangSrcCte =
+    """src AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+      |  JOIN (SELECT text FROM documents GROUP BY text
+      |        HAVING count(DISTINCT lang) = 1) ok USING (text))""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -347,7 +354,8 @@ object SparkEntry {
     "q69_stream_interval_join" -> Queries.streamingIntervalJoinParity _,
     "q70_stream_file_source" -> Queries.streamingFileSourceParity _,
     "q71_audio_meta"      -> Queries.audioMeta _,
-    "q72_stream_file_sessions" -> Queries.streamingFileSessionParity _
+    "q72_stream_file_sessions" -> Queries.streamingFileSessionParity _,
+    "q73_stream_file_sink" -> Queries.streamingFileSinkExactlyOnce _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -808,16 +816,33 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.click_ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
-    "q66_stream_parity" -> streamCurationParityOracleSql(
-      "src AS (SELECT doc_id, lang, text FROM documents)"),
+    "q66_stream_parity" ->
+      // survivor-INDEPENDENT global aggregate of the streamed curation: one
+      // survivor per digest group regardless of which copy arrives first,
+      // and n_tokens is a function of the text itself — deterministic over
+      // the FULL corpus (no exclusions) under uncontrolled file arrival
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, w FROM t
+        |  WHERE len(w) >= 5
+        |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= 0.9
+        |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= 0.1),
+        |g AS (SELECT md5(text) AS dg, max(len(w)) AS n_tokens FROM q GROUP BY md5(text))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM g""".stripMargin,
     // q70 re-proves the SAME batch claim on the production file-source
     // ingest path (readStream parquet + maxFilesPerTrigger, no collect);
     // cross-lang duplicate texts are excluded on both sides (arrival order
     // of their copies is uncontrolled on the file source)
-    "q70_stream_file_source" -> streamCurationParityOracleSql(
-      """src AS (SELECT d.doc_id, d.lang, d.text FROM documents d
-        |  JOIN (SELECT text FROM documents GROUP BY text
-        |        HAVING count(DISTINCT lang) = 1) ok USING (text))""".stripMargin),
+    "q70_stream_file_source" -> streamCurationParityOracleSql(singleLangSrcCte),
+    // q73: the same batch claim through the checkpointed parquet file SINK
+    // with a mid-stream kill + restart — a lost, duplicated, or resurrected
+    // row diverges from this oracle
+    "q73_stream_file_sink" -> streamCurationParityOracleSql(singleLangSrcCte),
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

@@ -6,6 +6,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
+/** Task-visible one-shot fault flag (top-level object: the closure must not
+  * capture the spec class; local mode shares the JVM so the flag is seen by
+  * executor threads directly). */
+object CrashOnce {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -181,6 +188,46 @@ class StreamsSpec extends SparkSpec {
       val got = spark.table("ssjoin_out").collect().map(_.getLong(0)).toSeq
       assert(got == Seq(1L), s"expected only user 1 to join, got $got")
     } finally q.stop()
+  }
+
+  test("file sink is exactly-once across a mid-batch crash and checkpoint restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_eo_").toString
+    val src = s"$base/src"; val out = s"$base/out"; val chk = s"$base/chk"
+    // 8 rows across 4 files, one file per micro-batch
+    (0L until 8L).map(i => (i, new Timestamp(1704067200000L + i * 1000L)))
+      .toDF("id", "ts").repartition(4).write.parquet(src)
+    def start() = spark.readStream
+      .schema("id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id" :: Nil)
+      .as[(Long, Timestamp)]
+      .map { case (id, t) =>
+        // one-shot fault: the first task to see id 5 dies MID-batch, after
+        // sibling tasks may already have written uncommitted sink files
+        if (id == 5 && CrashOnce.armed.compareAndSet(true, false))
+          throw new RuntimeException("injected mid-batch crash")
+        (id, t)
+      }.toDF("id", "ts")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    CrashOnce.armed.set(true)
+    val q1 = start()
+    // the injected throw fails its task, which fails the micro-batch and
+    // terminates the query (local mode has no task retries)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination(60000)
+    }
+    q1.stop()
+    val q2 = start() // restart from the checkpoint: the failed batch replays
+    try q2.processAllAvailable() finally q2.stop()
+    // the _spark_metadata-aware read sees each row EXACTLY once — the killed
+    // attempt's orphan part files are invisible, the replayed batch is not
+    // double-committed
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 8L).toSeq,
+      s"file sink not exactly-once after crash+restart: ${got.toSeq}")
   }
 
   test("windowedCounts over a stream equals the batch aggregation") {
