@@ -30,6 +30,22 @@ import java.util.concurrent.Executors
   * sf0.01 and "scaling" reports the sf-dir/sf0.01 time ratio per query
   * (~10x data). A ratio far above ~15 flags a latent quadratic before it
   * costs a round (SPARK_GRAFT_SCALING=0 disables).
+  *
+  * Medians: every successful measurement of an entry (first pass, extra
+  * passes, re-bench passes) is kept, and "median"/"median_total" are
+  * reported next to the minima — round-over-round comparisons can use the
+  * median, which a single stall window cannot drag the way it drags the
+  * first pass (and which a single lucky pass cannot flatter the way it
+  * flatters the min). SPARK_GRAFT_BENCH_PASSES=N (default 1) runs the whole
+  * query suite N times so the median rests on N samples even for fast
+  * queries; extra passes are tagged "rebench:" in the event log like all
+  * re-measurements.
+  *
+  * Tera stage attribution: the TeraGen/TeraSort legs run under a listener
+  * that records per-stage wall times ("tera_stages" in the JSON, keyed
+  * p<pass>_<phase>_s<ordinal>), so a slow terasort_validate is attributable
+  * to its sampling / shuffle-write / sort+validate stage instead of being
+  * one opaque number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -71,6 +87,12 @@ object Bench {
     // First-pass measurements, never overwritten by re-benching: the honest
     // "what this run saw" statistic next to the stall-filtered minimum.
     val firstPass = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // EVERY successful measurement per entry — the sample the medians are
+    // computed from (minima come from `results`, which min-folds in place).
+    val allRuns = new java.util.concurrent.ConcurrentHashMap[String, java.util.Queue[Double]]()
+    def recordRun(name: String, v: Double): Unit =
+      if (v > 0) allRuns.computeIfAbsent(name,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Double]()).add(v)
     val pool = Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "1").toInt)
     // Dev knob: SPARK_GRAFT_ONLY="q25,q31" runs a subset (and skips tera/micro).
@@ -96,11 +118,25 @@ object Bench {
           val v = timeOnce(name, fn)
           results.put(name, v)
           firstPass.put(name, v)
+          recordRun(name, v)
         }
       })
     }
     futures.foreach(_.get())
     pool.shutdown()
+    // Optional extra full passes (SPARK_GRAFT_BENCH_PASSES=N): the median
+    // then rests on N samples for every query, not just the re-benched slow
+    // ones. Tagged "rebench:" so the event-log trace keeps one bare-name
+    // span per query.
+    val benchPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt
+    (1 until benchPasses).foreach { _ =>
+      selected.foreach { case (name, fn) =>
+        val v = timeOnce(s"rebench:$name", fn)
+        recordRun(name, v)
+        if (v > 0 && v < results.getOrDefault(name, Double.MaxValue))
+          results.put(name, v)
+      }
+    }
     // Re-measure suspiciously slow queries (host stall defense — see
     // scaladoc): up to REBENCH_MAX extra passes, keeping the best, stopping
     // once a query measures under the threshold. (A stall window can cover
@@ -128,6 +164,7 @@ object Bench {
           // log by the whole inter-pass wall time, corrupting the trace
           // EventLogTrace derives (the gridmix/rescale legs prefix likewise)
           val again = timeOnce(s"rebench:$name", fn)
+          recordRun(name, again)
           if (again > 0 && again < best) results.put(name, again)
         }
       }
@@ -145,45 +182,75 @@ object Bench {
     // TeraGen → TeraSort → TeraValidate chain (1M rows ≙ 100 MB teradata),
     // with the same stall defense as the queries (a 73 s terasort was once
     // measured during a host slow window; local norm is ~6 s).
+    val teraStages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     if (only.isEmpty) guarded(Seq("teragen", "terasort_validate")) {
       import graft.bench.TeraBench._
       // 10M rows = 1 GB of teradata: enough to exercise real shuffle
       // spill/merge (1M = 100 MB finished in 0.4 s and measured overhead,
       // not sorting)
       val rows = sys.env.getOrElse("SPARK_GRAFT_TERA_ROWS", "10000000").toLong
-      def teraOnce(): (Double, Double) = {
+      // Stage attribution: while a tera phase runs, record each completed
+      // stage's wall time keyed p<pass>_<phase>_s<ordinal> (submission
+      // order). terasort_validate's three stages are the range-boundary
+      // SAMPLING scan, the shuffle-WRITE map stage, and the sorted
+      // VALIDATE scan — so a slow run names its culprit. Listener events
+      // post asynchronously: the tag is read at event delivery, which can
+      // in principle mis-tag a stage completing exactly at a phase
+      // boundary — fine for a diagnostic (phases end with a collect that
+      // drains the last stage before the next phase's first job).
+      @volatile var phaseTag = ""
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val tag = phaseTag
+          if (tag.nonEmpty)
+            for (sub <- e.stageInfo.submissionTime; done <- e.stageInfo.completionTime)
+              teraStages.synchronized {
+                val ord = teraStages.count(_._1.startsWith(tag))
+                teraStages += ((f"${tag}_s$ord%02d", (done - sub) / 1000.0))
+              }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def teraOnce(pass: Int): (Double, Double) = try {
         var t = System.nanoTime()
         // gensort-bit-compatible records (GenSortParity); checksum protocol =
         // sum of per-record CRC32, as the reference's CHECKSUM counter.
         // No cache: regenerating 1M records is cheaper than caching 100 MB.
+        phaseTag = s"p${pass}_teragen"
         val gen = graft.bench.GenSortParity.teraGen(spark, rows)
         val genSum = checksum(gen)
         val tGen = (System.nanoTime() - t) / 1e9
         t = System.nanoTime()
+        phaseTag = s"p${pass}_terasort"
         val sorted = teraSort(gen)
         val (n, sortSum, ordered) = validate(sorted)
         val tSort = (System.nanoTime() - t) / 1e9
         require(n == rows && sortSum == genSum && ordered,
           s"terasort validation failed: n=$n ordered=$ordered sums $genSum/$sortSum")
         (tGen, tSort)
-      }
-      val (tGen, tSort) = teraOnce()
-      firstPass.put("teragen", tGen)
-      firstPass.put("terasort_validate", tSort)
-      // first-pass values land in results BEFORE any re-bench attempt: a
-      // re-bench failure must degrade to the measured first pass, never
-      // discard it (same pattern in the dfsio/mrbench blocks below)
-      results.put("teragen", tGen)
-      results.put("terasort_validate", tSort)
-      if (rebenchSec > 0 && (tGen > rebenchSec || tSort > rebenchSec)) {
-        try {
-          val (g2, s2) = teraOnce()
-          results.put("teragen", math.min(tGen, g2))
-          results.put("terasort_validate", math.min(tSort, s2))
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] tera re-bench failed (keeping first pass): ${e.getMessage}")
+      } finally phaseTag = ""
+      try {
+        val (tGen, tSort) = teraOnce(0)
+        firstPass.put("teragen", tGen)
+        firstPass.put("terasort_validate", tSort)
+        recordRun("teragen", tGen); recordRun("terasort_validate", tSort)
+        // first-pass values land in results BEFORE any re-bench attempt: a
+        // re-bench failure must degrade to the measured first pass, never
+        // discard it (same pattern in the dfsio/mrbench blocks below)
+        results.put("teragen", tGen)
+        results.put("terasort_validate", tSort)
+        if (rebenchSec > 0 && (tGen > rebenchSec || tSort > rebenchSec)) {
+          try {
+            val (g2, s2) = teraOnce(1)
+            recordRun("teragen", g2); recordRun("terasort_validate", s2)
+            results.put("teragen", math.min(tGen, g2))
+            results.put("terasort_validate", math.min(tSort, s2))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] tera re-bench failed (keeping first pass): ${e.getMessage}")
+          }
         }
-      }
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
     // TestDFSIO-equivalent throughput legs (BASELINE.md's remaining metric
     // family): seconds to write / read SPARK_GRAFT_DFSIO_MB MiB of 1 KiB
@@ -196,10 +263,11 @@ object Bench {
         def dfsioOnce(): Seq[(String, Double)] = graft.bench.DfsioBench.run(spark, mb)
           .map { case (leg, sec) => s"dfsio_${leg}_${mb}mb" -> sec }
         val io = dfsioOnce()
-        io.foreach { case (k, v) => firstPass.put(k, v); results.put(k, v) }
+        io.foreach { case (k, v) => firstPass.put(k, v); results.put(k, v); recordRun(k, v) }
         if (rebenchSec > 0 && io.exists(_._2 > rebenchSec)) {
           try {
             val again = dfsioOnce().toMap
+            again.foreach { case (k, v) => recordRun(k, v) }
             io.foreach { case (k, v) => results.put(k, math.min(v, again(k))) }
           } catch { case e: Throwable =>
             System.err.println(s"[bench] dfsio re-bench failed (keeping first pass): ${e.getMessage}")
@@ -240,10 +308,13 @@ object Bench {
             sec
           }
           val v = distcpOnce(0)
-          firstPass.put(name, v); results.put(name, v)
+          firstPass.put(name, v); results.put(name, v); recordRun(name, v)
           if (rebenchSec > 0 && v > rebenchSec) {
-            try results.put(name, math.min(v, distcpOnce(1)))
-            catch { case e: Throwable =>
+            try {
+              val v2 = distcpOnce(1)
+              recordRun(name, v2)
+              results.put(name, math.min(v, v2))
+            } catch { case e: Throwable =>
               System.err.println(s"[bench] distcp re-bench failed (keeping first pass): ${e.getMessage}")
             }
           }
@@ -255,7 +326,7 @@ object Bench {
             update = true))
           val updSec = (System.nanoTime() - tu) / 1e9
           require(upd.keySet == Set("skip"), s"distcp update unexpected actions: $upd")
-          firstPass.put(updName, updSec); results.put(updName, updSec)
+          firstPass.put(updName, updSec); results.put(updName, updSec); recordRun(updName, updSec)
         } finally {
           try graft.sources.Scratch.delete(spark.sparkContext.hadoopConfiguration, dir)
           catch { case e: Exception =>
@@ -280,10 +351,11 @@ object Bench {
           "mrbench_random_avg" -> rndAvg, "mrbench_random_min" -> rndMn, "mrbench_random_max" -> rndMx)
       }
       val mr = mrbenchOnce()
-      mr.foreach { case (k, v) => firstPass.put(k, v); results.put(k, v) }
+      mr.foreach { case (k, v) => firstPass.put(k, v); results.put(k, v); recordRun(k, v) }
       if (rebenchSec > 0 && mr.exists(_._2 > rebenchSec)) {
         try {
           val again = mrbenchOnce().toMap
+          again.foreach { case (k, v) => recordRun(k, v) }
           mr.foreach { case (k, v) => results.put(k, math.min(v, again(k))) }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] mrbench re-bench failed (keeping first pass): ${e.getMessage}")
@@ -315,8 +387,14 @@ object Bench {
           traceFile match {
             case Some(path) =>
               val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-              val parsed = """\{"name":"([^"]+)","offset_ms":([0-9]+)""".r
-                .findAllMatchIn(txt).map(m => (m.group(1), m.group(2).toLong)).toSeq
+              // the name group admits escaped quotes/backslashes (toJson
+              // escapes control chars too) and is decoded with toJson's
+              // exact inverse — an entry whose description contains a quote
+              // replays instead of silently truncating at the escape
+              val parsed = """\{"name":"((?:[^"\\]|\\.)*)","offset_ms":([0-9]+)""".r
+                .findAllMatchIn(txt)
+                .map(m => (graft.tools.EventLogTrace.unescapeName(m.group(1)), m.group(2).toLong))
+                .toSeq
               // reject rather than silently drop: a trace naming queries this
               // build lacks would otherwise report p50/p95 over a partial
               // mix, and a duplicated name would run a query concurrently
@@ -371,7 +449,7 @@ object Bench {
           try {
             val trace = done.sortBy(_._2).map { case (n, off, v) =>
               val sec = String.format(java.util.Locale.ROOT, "%.3f", v)
-              s"""{"name":"$n","offset_ms":$off,"sec":$sec}"""
+              s"""{"name":"${graft.tools.EventLogTrace.escapeName(n)}","offset_ms":$off,"sec":$sec}"""
             }.mkString("[", ",", "]")
             java.nio.file.Files.writeString(java.nio.file.Paths.get(out), trace + "\n")
           } catch { case e: Throwable =>
@@ -396,6 +474,7 @@ object Bench {
         val (p50, p95) = runMix(envTrace, captureTo)
         firstPass.put("gridmix_p50", p50); results.put("gridmix_p50", p50)
         firstPass.put("gridmix_p95", p95); results.put("gridmix_p95", p95)
+        recordRun("gridmix_p50", p50); recordRun("gridmix_p95", p95)
       }
       // Replay leg: re-drive the COMMITTED reference trace (a prior round's
       // captured mix) so every round reports latency under an identical
@@ -409,9 +488,11 @@ object Bench {
           val (p50, p95) = runMix(Some(refTrace), None)
           firstPass.put("gridmix_replay_p50", p50); results.put("gridmix_replay_p50", p50)
           firstPass.put("gridmix_replay_p95", p95); results.put("gridmix_replay_p95", p95)
+          recordRun("gridmix_replay_p50", p50); recordRun("gridmix_replay_p95", p95)
           if (rebenchSec > 0 && p95 > rebenchSec) {
             try {
               val (p50b, p95b) = runMix(Some(refTrace), None)
+              recordRun("gridmix_replay_p50", p50b); recordRun("gridmix_replay_p95", p95b)
               results.put("gridmix_replay_p50", math.min(p50, p50b))
               results.put("gridmix_replay_p95", math.min(p95, p95b))
             } catch { case e: Throwable =>
@@ -499,7 +580,8 @@ object Bench {
           if (suspicious(ratio0, results.getOrDefault(name, 0.0))) {
             val fn = selected.toMap.apply(name)
             val big2 = math.min(results.get(name),
-              { val t = timeOnce(s"rescale:$name", fn); if (t > 0) t else Double.MaxValue })
+              { val t = timeOnce(s"rescale:$name", fn); recordRun(name, t)
+                if (t > 0) t else Double.MaxValue })
             val q0 = System.nanoTime()
             val small2 = try {
               fn(spark, scalingDir).write.mode("overwrite").format("noop").save()
@@ -551,11 +633,23 @@ object Bench {
         !name.startsWith("gridmix")
     val total = entries.filter(e => e._2 > 0 && additive(e._1)).map(_._2).sum
     val firstTotal = firsts.filter(e => additive(e._1)).map(_._2).sum
+    // Median over every recorded measurement of each entry (single-sample
+    // entries report that sample): the round-over-round comparison statistic
+    // a stall window cannot drag and a lucky pass cannot flatter.
+    val medians = allRuns.asScala.toSeq.map { case (name, q) =>
+      val xs = q.asScala.toSeq.sorted
+      val m = if (xs.size % 2 == 1) xs(xs.size / 2)
+              else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+      name -> m
+    }.sortBy(_._1)
+    val medianTotal = medians.filter(e => additive(e._1)).map(_._2).sum
     val allFailed = failed ++ scalingRegressions.sorted.map("scaling_regression:" + _)
     val failedJson = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressionsJson = scalingRegressions.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
       s""""first":${jmap(firsts)},"first_total":${num(firstTotal)},""" +
+      s""""median":${jmap(medians)},"median_total":${num(medianTotal)},""" +
+      s""""tera_stages":${jmap(teraStages.toSeq)},""" +
       s""""failed":${allFailed.size},"failed_entries":$failedJson,""" +
       s""""scaling":${jmap(scaling.asScala.toSeq.sortBy(_._1))},""" +
       s""""scaling_regressions":$regressionsJson,""" +

@@ -23,7 +23,87 @@ object Compact {
   /** Index row: original relative path → its bytes inside a part file. */
   final case class IndexEntry(rel: String, part: Int, offset: Long, length: Long)
 
-  private def partName(i: Int): String = f"part-$i%05d"
+  /** Part naming is GENERATION-scoped: a re-compaction (generation g > 0)
+    * writes `part-g<g>-<id>` names that can never collide with any earlier
+    * generation's parts, so an interrupted re-compaction cannot overwrite a
+    * part the live index still references. Generation 0 keeps the bare
+    * `part-<id>` name. The committed generation is named by the `_current`
+    * pointer file; its index lives at `_index-g<g>`. */
+  private def partName(gen: Long, i: Int): String =
+    if (gen == 0) f"part-$i%05d" else f"part-g$gen-$i%05d"
+
+  private val PartRe = "part-(?:g(\\d+)-)?(\\d{5,})".r
+
+  private def indexDirName(gen: Long): String = s"_index-g$gen"
+
+  /** Generation encoded in an archive-member name, if it is one. */
+  private def genOf(name: String): Option[Long] = name match {
+    case PartRe(g, _) => Some(if (g == null) 0L else g.toLong)
+    case "_index" => Some(0L)
+    case n if n.startsWith("_index-g") =>
+      scala.util.Try(n.stripPrefix("_index-g").toLong).toOption
+    case _ => None
+  }
+
+  /** (index path, generation) of the COMMITTED archive in `dst`: the
+    * `_current` pointer names the generation; a pointer-less dir with a bare
+    * `_index` is a legacy (or externally-built) generation-0 archive. */
+  private def resolveCurrent(fs: org.apache.hadoop.fs.FileSystem,
+                             dst: Path): (String, Long) = {
+    val cur = new Path(dst, "_current")
+    if (fs.exists(cur)) {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(cur), java.nio.charset.StandardCharsets.UTF_8))
+      val g = try in.readLine().trim.toLong finally in.close()
+      (s"$dst/${indexDirName(g)}", g)
+    } else (s"$dst/_index", 0L)
+  }
+
+  /** First generation id no existing member (part, index dir, or pointer)
+    * uses — leftovers of a CRASHED attempt count too, so a retry never
+    * reuses names a partial write may hold. Fresh directory → 0. */
+  private def nextGen(fs: org.apache.hadoop.fs.FileSystem, qdst: Path): Long = {
+    val fromNames = fs.listStatus(qdst).toSeq
+      .flatMap(st => genOf(st.getPath.getName))
+    val fromPointer =
+      if (fs.exists(new Path(qdst, "_current")))
+        try Seq(resolveCurrent(fs, qdst)._2) catch { case _: Exception => Nil }
+      else Nil
+    val seen = fromNames ++ fromPointer
+    if (seen.isEmpty) 0L else seen.max + 1L
+  }
+
+  /** COMMIT: atomically swap the `_current` pointer to `gen` via a hidden
+    * temp (swept by `isStaleTemp` if orphaned) + single-file
+    * rename(OVERWRITE) — the one atomic primitive every FileSystem has.
+    * Everything before this call is invisible to readers; everything after
+    * is cleanup of the superseded generation. */
+  private def commitCurrent(conf: org.apache.hadoop.conf.Configuration,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            qdst: Path, gen: Long): Unit = {
+    val tmp = new Path(qdst, s"._current.compact-commit-$gen")
+    val os = fs.create(tmp, true)
+    try os.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(tmp, new Path(qdst, "_current"), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Post-commit sweep: delete every part file NOT referenced by the new
+    * index (a name diff, not an id-range check — next-fit bin ids can skip
+    * numbers past an oversized file, and earlier generations' ids overlap)
+    * and every superseded index dir. Runs only AFTER `_current` lands, so
+    * a crash anywhere earlier leaves the old generation fully readable. */
+  private def cleanupSuperseded(fs: org.apache.hadoop.fs.FileSystem, qdst: Path,
+                                gen: Long, referenced: Set[String]): Unit =
+    fs.listStatus(qdst).foreach { st =>
+      val n = st.getPath.getName
+      val isPart = PartRe.pattern.matcher(n).matches
+      val isOldIndex = (n == "_index" || n.startsWith("_index-g")) &&
+        n != indexDirName(gen)
+      if ((isPart && !referenced.contains(n)) || isOldIndex)
+        fs.delete(st.getPath, true)
+    }
 
   /** Deterministic bin-packing of a (size desc, path)-sorted listing:
     * best-fit-decreasing via a capacity-indexed TreeMap — for each file,
@@ -61,9 +141,9 @@ object Compact {
     * via temp + rename(OVERWRITE), returning the index rows. Shared by the
     * in-memory and spilled drivers. */
   private def writePart(conf: org.apache.hadoop.conf.Configuration,
-                        qsrcStr: String, qdstStr: String,
+                        qsrcStr: String, qdstStr: String, gen: Long,
                         part: Int, files: Seq[(String, Long)]): Seq[IndexEntry] = {
-    val pp = new Path(s"$qdstStr/${partName(part)}")
+    val pp = new Path(s"$qdstStr/${partName(gen, part)}")
     val dfs = pp.getFileSystem(conf)
     val attempt = Option(org.apache.spark.TaskContext.get())
       .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
@@ -114,10 +194,26 @@ object Compact {
     * sum of byte positions, and bins cut at `targetPartBytes` boundaries in
     * that global order (next-fit-decreasing — each bin closes within one
     * straddling file of the target). At the 100M-file scale har exists for,
-    * neither the listing nor the index ever concentrates on the driver. */
+    * neither the listing nor the index ever concentrates on the driver.
+    *
+    * Re-compaction is CRASH-ATOMIC: the new generation's parts and index
+    * land under names no earlier generation uses, and the archive flips to
+    * them only when the `_current` pointer is atomically replaced — a crash
+    * at ANY earlier point leaves the old generation fully readable (its
+    * parts untouched, its index still pointed at); the superseded
+    * generation is swept only after the commit. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
               targetPartBytes: Long = 256L << 20,
-              spillThreshold: Int = 1 << 20): DataFrame = {
+              spillThreshold: Int = 1 << 20): DataFrame =
+    compactWithFault(spark, srcDir, dstDir, targetPartBytes, spillThreshold, _ => ())
+
+  /** `compact` with a test-only fault hook invoked at each part boundary
+    * (before that part's first byte is written) — the crash-atomicity spec
+    * kills a re-compaction mid-write through it. */
+  private[tools] def compactWithFault(spark: SparkSession, srcDir: String,
+                                      dstDir: String, targetPartBytes: Long,
+                                      spillThreshold: Int,
+                                      beforePart: Int => Unit): DataFrame = {
     require(targetPartBytes > 0)
     val sc = spark.sparkContext
     val conf = sc.hadoopConfiguration
@@ -126,13 +222,14 @@ object Compact {
     val dstFs = new Path(dstDir).getFileSystem(conf)
     dstFs.mkdirs(new Path(dstDir))
     val qdst = dstFs.makeQualified(new Path(dstDir))
+    val newGen = nextGen(dstFs, qdst)
 
     val it = TreeListing.list(srcFs, qsrc)
     val head = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     while (it.hasNext && head.size < spillThreshold) head += it.next()
     if (it.hasNext)
       return compactSpilled(spark, qsrc.toString, qdst.toString,
-        head.iterator ++ it, targetPartBytes)
+        head.iterator ++ it, targetPartBytes, newGen, beforePart)
 
     // listing (metadata only) → deterministic best-fit-decreasing packing:
     // sort by (size desc, path) so the same tree always packs identically
@@ -154,31 +251,17 @@ object Compact {
     // into a single task.
     val entries = sc.parallelize(planned, math.max(1, planned.size))
       .flatMap { case (part, files) =>
+        beforePart(part)
         writePart(graft.sources.Scratch.confFrom(bc.value), qsrcStr, qdstStr,
-          part, files)
+          newGen, part, files)
       }.collect()
     spark.createDataFrame(entries.toSeq)
-      .write.mode("overwrite").parquet(s"$qdstStr/_index")
-    deleteOrphanParts(dstFs, qdst, planned.size.toLong)
-    spark.read.parquet(s"$qdstStr/_index")
+      .write.mode("overwrite").parquet(s"$qdstStr/${indexDirName(newGen)}")
+    commitCurrent(conf, dstFs, qdst, newGen)
+    cleanupSuperseded(dstFs, qdst, newGen,
+      planned.map(p => partName(newGen, p._1)).toSet)
+    spark.read.parquet(s"$qdstStr/${indexDirName(newGen)}")
   }
-
-  /** Delete part files at or beyond `newBinCount` — re-compaction with fewer
-    * bins would otherwise leave the prior run's higher-numbered parts for a
-    * consumer walking part-* (instead of the index) to read as stale data.
-    * Runs AFTER the new index is written: deleting up front would break the
-    * OLD archive the moment a re-compaction failed mid-job. (In-place
-    * re-compaction is still not crash-atomic — colliding part names are
-    * overwritten as the job runs; compact into a fresh directory when that
-    * matters.) The name match is `\d{5,}`: partName's %05d widens past
-    * 99999 parts, exactly the scale where orphans would otherwise survive. */
-  private def deleteOrphanParts(dstFs: org.apache.hadoop.fs.FileSystem,
-                                qdst: Path, newBinCount: Long): Unit =
-    dstFs.listStatus(qdst).foreach { st =>
-      val n = st.getPath.getName
-      if (n.matches("part-\\d{5,}") && n.stripPrefix("part-").toLong >= newBinCount)
-        dstFs.delete(st.getPath, false)
-    }
 
   /** Spilled-listing driver: global (size desc, path) order via a
     * distributed range sort; bin = global-byte-position / target (computed
@@ -188,7 +271,8 @@ object Compact {
     * from global byte positions, which depend only on the listing order. */
   private def compactSpilled(spark: SparkSession, qsrcStr: String, qdstStr: String,
                              entries: Iterator[(String, Long)],
-                             targetPartBytes: Long): DataFrame = {
+                             targetPartBytes: Long, newGen: Long,
+                             beforePart: Int => Unit): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
     val conf = sc.hadoopConfiguration
@@ -208,9 +292,11 @@ object Compact {
       w.write(s"$len\t$rel\n")
     } finally w.close()
 
-    // stale temps swept up front (never index-referenced); orphan parts are
-    // deleted only AFTER the new index lands — the new bin count is unknown
-    // until the job runs, so it is read back from the written index
+    // stale temps swept up front (never index-referenced); the superseded
+    // generation is swept only AFTER `_current` commits — the new part set
+    // is unknown until the job runs, so it is read back from the written
+    // index (a name diff, never an id-range check: pos/target bin ids SKIP
+    // numbers past an oversized file)
     val qdst = new Path(qdstStr)
     val dstFs = qdst.getFileSystem(conf)
     dstFs.listStatus(qdst).foreach { st =>
@@ -263,20 +349,23 @@ object Compact {
               while (buf.hasNext && buf.head._1 == bin) {
                 val r = buf.next(); files += ((r._2, r._3))
               }
-              writePart(taskConf, qsrcStr, qdstStr, bin, files.toSeq)
+              beforePart(bin)
+              writePart(taskConf, qsrcStr, qdstStr, newGen, bin, files.toSeq)
             }
           }.flatten
         }
         // the write EXECUTES the whole pack exactly once; the index never
         // concentrates on the driver
-        .write.mode("overwrite").parquet(s"$qdstStr/_index")
-      val newBins = spark.read.parquet(s"$qdstStr/_index")
-        .agg(max(col("part"))).collect()(0) match {
-          case r if r.isNullAt(0) => 0L // empty source tree → no parts at all
-          case r => r.getInt(0).toLong + 1L
-        }
-      deleteOrphanParts(dstFs, qdst, newBins)
-      spark.read.parquet(s"$qdstStr/_index")
+        .write.mode("overwrite").parquet(s"$qdstStr/${indexDirName(newGen)}")
+      // the new part-name set for the post-commit sweep: one distinct-agg
+      // over the index — O(parts) names on the driver (~4k/TB at the
+      // default target), the same envelope as the writer task count
+      val newParts = spark.read.parquet(s"$qdstStr/${indexDirName(newGen)}")
+        .select(col("part")).distinct().collect()
+        .map(r => partName(newGen, r.getInt(0))).toSet
+      commitCurrent(conf, dstFs, qdst, newGen)
+      cleanupSuperseded(dstFs, qdst, newGen, newParts)
+      spark.read.parquet(s"$qdstStr/${indexDirName(newGen)}")
     } finally {
       ordered.unpersist(false)
       try listingPath.getFileSystem(conf).delete(listingPath, false)
@@ -288,15 +377,20 @@ object Compact {
 
   /** Point lookup: the original bytes of `rel` from a compacted directory —
     * one index filter (parquet predicate pushdown on `rel`) + one positioned
-    * read of the part file. */
+    * read of the part file. Reads the COMMITTED generation (`_current`
+    * pointer; pointer-less legacy archives read as generation 0). */
   def readEntry(spark: SparkSession, dstDir: String, rel: String): Array[Byte] = {
-    val rows = spark.read.parquet(s"$dstDir/_index")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(dstDir).getFileSystem(conf)
+      .makeQualified(new Path(dstDir))
+    val (indexPath, gen) = resolveCurrent(dst.getFileSystem(conf), dst)
+    val rows = spark.read.parquet(indexPath)
       .filter(col("rel") === rel).collect()
     require(rows.length == 1, s"$rel: ${rows.length} index entries")
     val r = rows(0)
     val (part, offset, length) =
       (r.getAs[Int]("part"), r.getAs[Long]("offset"), r.getAs[Long]("length"))
-    val pp = new Path(s"$dstDir/${partName(part)}")
+    val pp = new Path(s"$dst/${partName(gen, part)}")
     val in = pp.getFileSystem(spark.sparkContext.hadoopConfiguration).open(pp)
     try {
       require(length <= Int.MaxValue, s"$rel too large for a single buffer")

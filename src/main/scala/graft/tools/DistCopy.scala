@@ -34,18 +34,86 @@ import org.apache.spark.sql.functions._
   *    read of what was just written but validates on EVERY filesystem pair.
   *    `checksum = false` (DistCp's -skipcrccheck) drops both digest passes
   *    and validates length only;
-  *  - `preserve = true` (DistCp's -p for times + permissions): after
-  *    validation the destination takes the source's modification time and
-  *    permissions (CopyMapper's preserve step).
+  *  - `preserve` (DistCp's -p flag string, the full `rbugpcaxt` surface of
+  *    DistCpOptionSwitch.java:49 — Replication, Block-size, User, Group,
+  *    Permission, Checksum-type, ACLs, XAttrs, Timestamps): each requested
+  *    attribute is applied after validation where the destination
+  *    filesystem supports it and DEGRADES GRACEFULLY (logged notice, flag
+  *    dropped from the report's `preserved` column) where it does not —
+  *    ownership/ACLs/XAttrs need a privileged or capable FS,
+  *    replication/block-size only mean anything on HDFS-likes, and
+  *    checksum-type is a create-time HDFS option no local FS exposes.
+  *    Block-size and replication are applied at CREATE time on the copy
+  *    branch (the only time a block size can be chosen); on the update-skip
+  *    branch block-size is immutable for an existing file, so `b` degrades
+  *    there (the reference instead re-copies on block-size mismatch under
+  *    -pb — a divergence documented here: off-HDFS the block size is
+  *    unobservable, so re-copying for it would be pure cost). Attributes
+  *    ARE re-applied on skipped files (the reference's CopyMapper calls
+  *    preserve even for SKIPs), so an update+preserve re-run converges
+  *    attribute drift without re-copying bytes.
   *
   * Directory structure: parents are created on demand; empty source
   * directories are not replicated (copy what has bytes).
   */
 object DistCopy {
 
-  /** One row per source file: relative path, size, and what happened —
-    * "copy" (bytes moved + validated) or "skip" (update-mode unchanged). */
-  final case class FileReport(rel: String, bytes: Long, action: String)
+  /** The reference's full -p attribute universe, in canonical order. */
+  private val PreserveFlags = "rbugpcaxt"
+
+  /** One row per source file: relative path, size, what happened — "copy"
+    * (bytes moved + validated) or "skip" (update-mode unchanged) — and
+    * which preserve flags were actually applied (requested flags the
+    * destination FS cannot honor are dropped here, with a logged notice). */
+  final case class FileReport(rel: String, bytes: Long, action: String,
+                              preserved: String)
+
+  /** Once-per-JVM-per-(flag, reason) degradation notice: at 10^8 files a
+    * per-file warning would BE the job output. */
+  private val noticed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def noteDegraded(flag: Char, why: String): Unit =
+    if (noticed.add(s"$flag|$why"))
+      System.err.println(s"[distcp] -p$flag unsupported here ($why); continuing without it")
+
+  /** Apply the requested preserve flags to `dp`, returning those actually
+    * applied (plus `atCreate` — flags already honored at create time).
+    * Ordering: mutators that may bump times run first; permission then
+    * timestamps LAST, so nothing disturbs what was just set. */
+  private def applyPreserve(flags: String, sfs: FileSystem, sp: Path,
+                            dfs: FileSystem, dp: Path,
+                            atCreate: String): String = {
+    if (flags.isEmpty) return ""
+    val st = sfs.getFileStatus(sp)
+    val applied = new StringBuilder(atCreate)
+    def attempt(flag: Char)(body: => Unit): Unit =
+      if (flags.indexOf(flag) >= 0 && atCreate.indexOf(flag) < 0)
+        try { body; applied.append(flag) }
+        catch { case e: Exception =>
+          noteDegraded(flag, s"${e.getClass.getSimpleName} on ${dfs.getScheme}")
+        }
+    attempt('r') {
+      if (!dfs.setReplication(dp, st.getReplication))
+        throw new UnsupportedOperationException("FS declined setReplication")
+    }
+    attempt('b') { // only choosable at create; an existing file's layout is fixed
+      throw new UnsupportedOperationException(
+        "block size is immutable for an existing file; re-copy to apply")
+    }
+    attempt('c') { // HDFS create-time checksum opt; no FS here exposes it
+      throw new UnsupportedOperationException(
+        "checksum-type preservation is an HDFS create-time option")
+    }
+    attempt('u')(dfs.setOwner(dp, st.getOwner, null))
+    attempt('g')(dfs.setOwner(dp, null, st.getGroup))
+    attempt('a')(dfs.setAcl(dp, sfs.getAclStatus(sp).getEntries))
+    attempt('x') {
+      val xs = sfs.getXAttrs(sp)
+      xs.forEach((k, v) => dfs.setXAttr(dp, k, v))
+    }
+    attempt('p')(dfs.setPermission(dp, st.getPermission))
+    attempt('t')(dfs.setTimes(dp, st.getModificationTime, st.getAccessTime))
+    PreserveFlags.filter(applied.toString.indexOf(_) >= 0)
+  }
 
   /** Streaming MD5 of a file's content through its own filesystem. */
   private def md5Of(fs: FileSystem, p: Path): String = {
@@ -64,16 +132,22 @@ object DistCopy {
   private def copyOne(conf: org.apache.hadoop.conf.Configuration,
                       qsrcStr: String, qdstStr: String, rel: String,
                       update: Boolean, checksum: Boolean,
-                      preserve: Boolean): FileReport = {
+                      preserve: String): FileReport = {
     val sp = new Path(s"$qsrcStr/$rel")
     val dp = new Path(s"$qdstStr/$rel")
     val sfs = sp.getFileSystem(conf)
     val dfs = dp.getFileSystem(conf)
-    val srcLen = sfs.getFileStatus(sp).getLen
+    val srcSt = sfs.getFileStatus(sp)
+    val srcLen = srcSt.getLen
     val skip = update && dfs.exists(dp) &&
       dfs.getFileStatus(dp).getLen == srcLen &&
       (!checksum || md5Of(dfs, dp) == md5Of(sfs, sp))
-    if (skip) FileReport(rel, srcLen, "skip")
+    if (skip)
+      // attributes re-sync even when the bytes skip (the reference's
+      // CopyMapper calls preserve for SKIPs too): a source whose
+      // mtime/permissions changed since the last run converges here
+      FileReport(rel, srcLen, "skip",
+        applyPreserve(preserve, sfs, sp, dfs, dp, atCreate = ""))
     else {
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
@@ -81,12 +155,24 @@ object DistCopy {
       val tmp = new Path(dp.getParent, s".${dp.getName}.distcp-$attempt")
       dfs.mkdirs(dp.getParent)
       val md = java.security.MessageDigest.getInstance("MD5")
+      // replication and block size are CREATE-time choices — honor -pr/-pb
+      // by creating the temp with the source's values (the rename carries
+      // them to the final name); everything else is a post-copy setter
+      val atCreate = PreserveFlags.filter(f =>
+        preserve.indexOf(f) >= 0 && (f == 'r' || f == 'b'))
       // any failure before the rename (write I/O error, length-mismatch
       // require) must delete the temp: a stale `.name.distcp-*` left in the
       // destination would be listed — not hidden — by a later copy FROM it
       try {
         val in = sfs.open(sp)
-        val out = dfs.create(tmp, true)
+        val out =
+          if (atCreate.isEmpty) dfs.create(tmp, true)
+          else dfs.create(tmp, true,
+            conf.getInt("io.file.buffer.size", 4096),
+            if (atCreate.indexOf('r') >= 0 && srcSt.getReplication > 0)
+              srcSt.getReplication else dfs.getDefaultReplication(tmp),
+            if (atCreate.indexOf('b') >= 0 && srcSt.getBlockSize > 0)
+              srcSt.getBlockSize else dfs.getDefaultBlockSize(tmp))
         var copied = 0L
         try {
           val buf = new Array[Byte](1 << 16)
@@ -110,14 +196,10 @@ object DistCopy {
         require(dstMd5 == srcMd5,
           s"$rel checksum mismatch after copy: src $srcMd5 dst $dstMd5")
       }
-      // DistCp's -pt/-pp attribute preservation (CopyMapper's preserve step):
+      // remaining attribute preservation (CopyMapper's preserve step):
       // applied LAST so the validation re-read can't disturb what was set
-      if (preserve) {
-        val st = sfs.getFileStatus(sp)
-        dfs.setTimes(dp, st.getModificationTime, -1)
-        dfs.setPermission(dp, st.getPermission)
-      }
-      FileReport(rel, srcLen, "copy")
+      FileReport(rel, srcLen, "copy",
+        applyPreserve(preserve, sfs, sp, dfs, dp, atCreate))
     }
   }
 
@@ -137,7 +219,10 @@ object DistCopy {
   def copy(spark: SparkSession, srcDir: String, dstDir: String,
            update: Boolean = false, checksum: Boolean = true,
            maxTasks: Int = 128, spillThreshold: Int = 1 << 20,
-           preserve: Boolean = false): DataFrame = {
+           preserve: String = ""): DataFrame = {
+    val badFlags = preserve.filter(PreserveFlags.indexOf(_) < 0)
+    require(badFlags.isEmpty,
+      s"unknown -p flag(s) '$badFlags' (supported: $PreserveFlags)")
     val sc = spark.sparkContext
     val conf = sc.hadoopConfiguration
     val srcFs = new Path(srcDir).getFileSystem(conf)
@@ -193,7 +278,7 @@ object DistCopy {
     * task copies its own files largest-first. */
   private def copySpilled(spark: SparkSession, qsrcStr: String, qdstStr: String,
                           entries: Iterator[(String, Long)],
-                          update: Boolean, checksum: Boolean, preserve: Boolean,
+                          update: Boolean, checksum: Boolean, preserve: String,
                           maxTasks: Int,
                           bc: org.apache.spark.broadcast.Broadcast[Array[(String, String)]]): DataFrame = {
     import spark.implicits._

@@ -78,28 +78,71 @@ object EventLogTrace {
     acc.result()
   }
 
-  /** Serialize entries in the exact format `Bench` writes and replays.
-    * Names are JSON-escaped: job descriptions are free-form user strings
-    * (`setJobDescription("load \"hot\" shard")`), and an unescaped quote
-    * would both break the JSON and truncate Bench's replay regex. */
+  /** JSON string escape for trace names — job descriptions are free-form
+    * user strings (`setJobDescription("load \"hot\" shard")`): quotes and
+    * backslashes get the standard short escapes, control characters
+    * (a tab or newline in a description would otherwise emit invalid JSON)
+    * become \u00XX. Shared with Bench's trace capture writer; `unescapeName`
+    * is its exact inverse, used by Bench's replay parser. */
+  def escapeName(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Inverse of `escapeName` (also tolerates the other standard JSON short
+    * escapes so a hand-edited trace file parses). */
+  def unescapeName(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case '/' => b.append('/'); i += 2
+          case e   => b.append(e); i += 2 // \\ and \" (and anything else, verbatim)
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Serialize entries in the exact format `Bench` writes and replays. */
   def toJson(entries: Seq[TraceEntry]): String =
     entries.map { e =>
-      val name = e.name.replace("\\", "\\\\").replace("\"", "\\\"")
       val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(e.sec))
-      s"""{"name":"$name","offset_ms":${e.offsetMs},"sec":$sec}"""
+      s"""{"name":"${escapeName(e.name)}","offset_ms":${e.offsetMs},"sec":$sec}"""
     }.mkString("[", ",", "]") + "\n"
 
-  /** Feed one event-log file into `acc`, transparently decompressing
-    * Spark's `.zstd` codec suffix (zstd-jni ships with Spark; other codec
-    * suffixes are rejected with a clear error rather than garbled). */
+  /** Feed one event-log file into `acc`, transparently decompressing every
+    * codec suffix Spark's event-log writer can produce (`spark.eventLog.
+    * compression.codec`: zstd, lz4, snappy — all three client jars ship
+    * with Spark). NOTE these are SPARK's codec framings, not Hadoop's: a
+    * Spark `.lz4` event log is an lz4-java BLOCK stream and `.snappy` a
+    * xerial framed stream, so Hadoop's CompressionCodecFactory (whose
+    * Lz4Codec/SnappyCodec use Hadoop block framing) would mis-read them —
+    * the streams here are the same classes Spark's own history server
+    * opens the files with. Unknown suffixes fall through as plain text
+    * (the uncompressed default). */
   private def feedFile(conf: Configuration, f: Path, acc: Accumulator): Unit = {
     val raw = f.getFileSystem(conf).open(f)
     val base = f.getName.stripSuffix(".inprogress")
     val in: java.io.InputStream =
       if (base.endsWith(".zstd")) new com.github.luben.zstd.ZstdInputStream(raw)
-      else if (base.endsWith(".lz4") || base.endsWith(".snappy"))
-        throw new IllegalArgumentException(
-          s"unsupported event-log codec for $f (zstd or uncompressed only)")
+      else if (base.endsWith(".lz4")) new net.jpountz.lz4.LZ4BlockInputStream(raw)
+      else if (base.endsWith(".snappy")) new org.xerial.snappy.SnappyInputStream(raw)
       else raw
     val r = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))

@@ -74,4 +74,43 @@ class EventLogTraceSpec extends SparkSpec {
     assert(parsed.map(_._1).forall(graft.SparkEntry.queries.contains))
     assert(parsed.map(_._1).distinct.size == parsed.size)
   }
+
+  test("reads lz4 and snappy event logs (Spark codec framings, not Hadoop's)") {
+    // Spark's event-log writer compresses with ITS codecs: .lz4 is an
+    // lz4-java BLOCK stream, .snappy a xerial framed stream — write the
+    // fixtures with exactly those, as spark.eventLog.compression.codec does
+    val dir = Files.createTempDirectory("graft_evcodec")
+    val bytes = String.join("\n", log: _*).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val lz4Path = dir.resolve("events_1_app.lz4")
+    val lz = new net.jpountz.lz4.LZ4BlockOutputStream(
+      Files.newOutputStream(lz4Path))
+    try lz.write(bytes) finally lz.close()
+    val snapPath = dir.resolve("events_1_app.snappy")
+    val sn = new org.xerial.snappy.SnappyOutputStream(
+      Files.newOutputStream(snapPath))
+    try sn.write(bytes) finally sn.close()
+    Seq(lz4Path, snapPath).foreach { p =>
+      val out = dir.resolve(p.getFileName.toString + ".trace.json").toString
+      val entries = EventLogTrace.convert(
+        spark.sparkContext.hadoopConfiguration, p.toString, out,
+        nameFilter = graft.SparkEntry.queries.contains)
+      assert(entries.map(_.name) == Seq("q01_wordcount", "q02_grep_topk"), p)
+    }
+  }
+
+  test("names with quotes/control chars emit valid JSON and round-trip the replay parser") {
+    val name = "load \"hot\"\tshard\\1"
+    val json = EventLogTrace.toJson(Seq(EventLogTrace.TraceEntry(name, 42L, 1.5)))
+    // valid JSON: json4s (the strict parser Spark ships) must accept it
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    import org.json4s.DefaultFormats
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    assert((parsed.children.head \ "name").extract[String] == name)
+    // and Bench's replay pattern + unescape recover the original name
+    val m = """\{"name":"((?:[^"\\]|\\.)*)","offset_ms":([0-9]+)""".r
+      .findAllMatchIn(json).toSeq
+    assert(m.size == 1)
+    assert(EventLogTrace.unescapeName(m.head.group(1)) == name)
+    assert(m.head.group(2).toLong == 42L)
+  }
 }

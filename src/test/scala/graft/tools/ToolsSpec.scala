@@ -144,15 +144,56 @@ class ToolsSpec extends SparkSpec {
       { Compact.compact(spark, src, dst, targetPartBytes = 512L); dst })
       .listFiles().count(_.getName.matches("part-\\d{5}"))
     assert(many > 1, s"$many parts")
-    // huge target → 1 part; every higher-numbered part from the prior run
-    // must be deleted, or a consumer walking part-* reads stale data
+    // huge target → 1 part (in the NEXT generation's namespace); every part
+    // of the prior generation must be swept after the commit, or a consumer
+    // walking part-* reads stale data
     Compact.compact(spark, src, dst, targetPartBytes = 1L << 20)
     val after = new java.io.File(dst).listFiles()
-      .filter(_.getName.matches("part-\\d{5}")).map(_.getName).toSeq
-    assert(after == Seq("part-00000"), after)
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSeq
+    assert(after == Seq("part-g1-00000"), after)
     contents.foreach { case (rel, body) =>
       assert(Compact.readEntry(spark, dst, rel).sameElements(body), rel)
     }
+  }
+
+  test("Compact: a re-compaction killed at a part boundary leaves the old archive fully readable") {
+    val src = Files.createTempDirectory("graft_atomic_src").toString
+    val dst = Files.createTempDirectory("graft_atomic_dst").toString + "/packed"
+    val v1 = (0 until 40).map { i =>
+      val rel = f"f$i%03d.txt"
+      val body = (s"v1 doc $i " * (1 + i % 7)).getBytes(UTF_8)
+      write(src, rel, body)
+      rel -> body
+    }.toMap
+    Compact.compact(spark, src, dst, targetPartBytes = 512L)
+    // the source evolves, then the re-compaction over it is KILLED at a
+    // part boundary (fault injected before part 1's first byte; sibling
+    // tasks may have already renamed their parts into place)
+    v1.keys.foreach(rel => write(src, rel, (s"v2 $rel " * 20).getBytes(UTF_8)))
+    write(src, "new.txt", "v2 new".getBytes(UTF_8))
+    intercept[Exception] {
+      Compact.compactWithFault(spark, src, dst, targetPartBytes = 512L,
+        spillThreshold = 1 << 20,
+        beforePart = p =>
+          if (p >= 1) throw new RuntimeException("injected mid-compaction crash"))
+    }
+    // crash-atomicity: the commit pointer never moved, so the OLD archive
+    // is fully readable — and the aborted generation is invisible
+    v1.foreach { case (rel, body) =>
+      assert(Compact.readEntry(spark, dst, rel).sameElements(body), rel)
+    }
+    intercept[Exception](Compact.readEntry(spark, dst, "new.txt"))
+    // the retry allocates a FRESH generation (never reusing names a partial
+    // write may hold), commits, and sweeps both superseded generations
+    Compact.compact(spark, src, dst, targetPartBytes = 512L)
+    v1.keys.foreach { rel =>
+      assert(Compact.readEntry(spark, dst, rel)
+        .sameElements((s"v2 $rel " * 20).getBytes(UTF_8)), rel)
+    }
+    assert(Compact.readEntry(spark, dst, "new.txt").sameElements("v2 new".getBytes(UTF_8)))
+    val names = new java.io.File(dst).listFiles().map(_.getName).toSet
+    assert(names.count(_.startsWith("_index")) == 1, names)
+    assert(!names.exists(n => n.startsWith("part-") && !n.startsWith("part-g2-")), names)
   }
 
   test("Compact.pack: 100k-file listing packs in bounded time, deterministically, within capacity") {
@@ -180,7 +221,7 @@ class ToolsSpec extends SparkSpec {
     assert(Compact.pack(listing, target) == packed)
   }
 
-  test("DistCopy preserve (-p) carries mtime and permissions; default does not") {
+  test("DistCopy preserve (-ptp) carries mtime and permissions; default does not") {
     import java.nio.file.attribute.{FileTime, PosixFilePermissions}
     val src = Files.createTempDirectory("graft_p_src").toString
     val dst = Files.createTempDirectory("graft_p_dst").toString + "/out"
@@ -188,13 +229,63 @@ class ToolsSpec extends SparkSpec {
     Files.setLastModifiedTime(Paths.get(src, "a.txt"), FileTime.fromMillis(1600000000000L))
     Files.setPosixFilePermissions(Paths.get(src, "a.txt"),
       PosixFilePermissions.fromString("rw-------"))
-    DistCopy.copy(spark, src, dst, preserve = true)
+    DistCopy.copy(spark, src, dst, preserve = "tp")
     assert(Files.getLastModifiedTime(Paths.get(dst, "a.txt")).toMillis == 1600000000000L)
     assert(PosixFilePermissions.toString(Files.getPosixFilePermissions(Paths.get(dst, "a.txt")))
       == "rw-------")
     val dst2 = Files.createTempDirectory("graft_p_dst2").toString + "/out"
     DistCopy.copy(spark, src, dst2)
     assert(Files.getLastModifiedTime(Paths.get(dst2, "a.txt")).toMillis != 1600000000000L)
+  }
+
+  test("DistCopy preserve accepts the full rbugpcaxt surface with graceful degradation") {
+    import java.nio.file.attribute.{FileTime, PosixFilePermissions}
+    val src = Files.createTempDirectory("graft_pf_src").toString
+    val dst = Files.createTempDirectory("graft_pf_dst").toString + "/out"
+    write(src, "a.txt", "full flags".getBytes(UTF_8))
+    Files.setLastModifiedTime(Paths.get(src, "a.txt"), FileTime.fromMillis(1500000000000L))
+    Files.setPosixFilePermissions(Paths.get(src, "a.txt"),
+      PosixFilePermissions.fromString("r--------"))
+    // the reference's full flag string must be ACCEPTED and must not fail
+    // the copy on a local FS that cannot honor every attribute
+    val rep = DistCopy.copy(spark, src, dst, preserve = "rbugpcaxt")
+      .collect().map(r => (r.getAs[String]("rel"),
+        r.getAs[String]("action"), r.getAs[String]("preserved"))).toSeq
+    assert(rep.map(r => (r._1, r._2)) == Seq(("a.txt", "copy")))
+    val preserved = rep.head._3
+    // what local POSIX can honor was honored...
+    assert(preserved.contains('t') && preserved.contains('p'), preserved)
+    assert(Files.getLastModifiedTime(Paths.get(dst, "a.txt")).toMillis == 1500000000000L)
+    assert(PosixFilePermissions.toString(Files.getPosixFilePermissions(Paths.get(dst, "a.txt")))
+      == "r--------")
+    // ...and what it cannot (HDFS create-time checksum type) degraded
+    // instead of failing; the report never claims an unapplied flag
+    assert(!preserved.contains('c'), preserved)
+    assert(preserved.forall("rbugpcaxt".contains(_)), preserved)
+    // unknown flags are rejected up front, not silently ignored
+    intercept[IllegalArgumentException] {
+      DistCopy.copy(spark, src, dst, preserve = "tz")
+    }
+  }
+
+  test("DistCopy update+preserve re-syncs attributes on the SKIP branch") {
+    import java.nio.file.attribute.{FileTime, PosixFilePermissions}
+    val src = Files.createTempDirectory("graft_ps_src").toString
+    val dst = Files.createTempDirectory("graft_ps_dst").toString + "/out"
+    write(src, "a.txt", "drift".getBytes(UTF_8))
+    DistCopy.copy(spark, src, dst, preserve = "tp")
+    // source attributes drift AFTER the first copy — content unchanged
+    Files.setLastModifiedTime(Paths.get(src, "a.txt"), FileTime.fromMillis(1650000000000L))
+    Files.setPosixFilePermissions(Paths.get(src, "a.txt"),
+      PosixFilePermissions.fromString("rw-rw-rw-"))
+    val rep = DistCopy.copy(spark, src, dst, update = true, preserve = "tp")
+      .collect().map(r => (r.getAs[String]("action"), r.getAs[String]("preserved")))
+    // the bytes skip, but the '-p' mirror still converges the attributes
+    // (the reference's CopyMapper preserves on SKIPped files too)
+    assert(rep.toSeq == Seq(("skip", "pt")))
+    assert(Files.getLastModifiedTime(Paths.get(dst, "a.txt")).toMillis == 1650000000000L)
+    assert(PosixFilePermissions.toString(Files.getPosixFilePermissions(Paths.get(dst, "a.txt")))
+      == "rw-rw-rw-")
   }
 
   test("DistCopy spilled-listing path copies byte-identically with update semantics") {
