@@ -440,6 +440,21 @@ object Queries {
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Isolated session for the streaming parity harnesses, with state-store
+    * parallelism sized to the harness: every stateful micro-batch pays a
+    * per-partition state-store open/commit per trigger, so 32 shuffle
+    * partitions x 6+ file-wave triggers is ~200 store commits to hold a few
+    * thousand keys — pure fixed cost. 8 partitions carry identical
+    * semantics at a quarter of it. A PRODUCTION stream sizes this to
+    * cluster cores exactly like any shuffle; the clone also keeps the
+    * setting (and the memory-sink temp view) out of the shared session that
+    * Verify runs concurrent queries on. */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Staged curation corpus + a dedup lateness sized to its ingest span.
     * ingest_ts is a pure column function of doc_id at 100 ms spacing, so the
     * corpus time-span grows with the data: a FIXED 1 h horizon would start
@@ -452,11 +467,15 @@ object Queries {
     val maxId = base.agg(max(col("doc_id").cast("long"))).head.getLong(0)
     val spanSec = (maxId * 100L) / 1000L + 61L // ingest span + re-ingest offset
     val latenessSec = math.max(3600L, 2L * spanSec)
+    // persisted: the stage write and the re-ingest wave both consume this
+    // frame (and for q70/q73 it carries the single-lang self-join) — the
+    // harness unpersists it when its stream stops
     val docs = base
       .select(col("doc_id").cast("long").as("doc_id"),
         timestamp_millis(lit(1704067200000L) + col("doc_id").cast("long") * 100L)
           .as("ingest_ts"),
         col("text"), col("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (docs, s"$latenessSec seconds")
   }
 
@@ -483,11 +502,12 @@ object Queries {
     * of them or the counts diverge from the batch oracle. */
   def streamingCurationParity(spark: SparkSession, dir: String): DataFrame = {
     val runId = streamRunCounter.getAndIncrement()
+    val ss = streamSession(spark)
     val stage = scratchDir(spark,
       s"q66_${Integer.toHexString(dir.hashCode)}_$runId")
     val (docs, lateness) = curationIngest(t(spark, dir).documents)
     docs.repartition(4).write.mode("overwrite").parquet(stage)
-    val stream = spark.readStream
+    val stream = ss.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(stage)
@@ -498,8 +518,8 @@ object Queries {
       sq.processAllAvailable()
       reIngestWave(docs, stage)
       sq.processAllAvailable()
-    } finally sq.stop()
-    spark.table(name)
+    } finally { sq.stop(); docs.unpersist(false) }
+    ss.table(name)
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).cast("long").as("sum_tokens"),
         min(col("n_tokens")).cast("long").as("min_tokens"),
@@ -526,18 +546,25 @@ object Queries {
     val runId = streamRunCounter.getAndIncrement()
     val stage = scratchDir(spark,
       s"${tag}_${Integer.toHexString(dir.hashCode)}_$runId")
+    // persisted: the minMax agg + every wave filter otherwise re-scan the
+    // full events parquet — nWaves+1 scans of the biggest table, all fixed
+    // harness cost (the operator under test reads only the staged files)
     val evs = t(spark, dir).events
       .filter(col("user_id") % 10 === sliceMod)
       .select(col("user_id").cast("long").as("user_id"),
         date_trunc("second", col("ts")).cast("timestamp").as("ts"),
         col("event_type"), col("value").cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minMax = evs.agg(min(col("ts")), max(col("ts")))
       .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
-    if (minMax._1 == null) // empty slice → the empty result the oracle yields
+    if (minMax._1 == null) { // empty slice → the empty result the oracle yields
+      evs.unpersist(false)
       return spark.emptyDataset[(Long, String, Long, Double)]
         .toDF("user_id", "session_start", "n_events", "sum_value")
+    }
     val (lo0, hi0) = (minMax._1.getTime, minMax._2.getTime)
-    val stream = spark.readStream
+    val ss = streamSession(spark)
+    val stream = ss.readStream
       .schema(evs.schema)
       .option("maxFilesPerTrigger", 256) // each wave lands as ONE trigger
       .parquet(stage)
@@ -561,8 +588,8 @@ object Queries {
           .write.mode("append").parquet(stage)
         sq.processAllAvailable()
       }
-    } finally sq.stop()
-    spark.table(name)
+    } finally { sq.stop(); evs.unpersist(false) }
+    ss.table(name)
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
         date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -592,18 +619,24 @@ object Queries {
     val runId = streamRunCounter.getAndIncrement()
     val stage = scratchDir(spark,
       s"q68_${Integer.toHexString(dir.hashCode)}_$runId")
+    // persisted for the same reason as fileSessionParity: the wave filters
+    // must not re-scan the events parquet once per wave
     val evs = t(spark, dir).events
       .filter(col("user_id") % 10 === 1)
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value").cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minMax = evs.agg(min(col("ts")), max(col("ts")))
       .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
-    if (minMax._1 == null) // empty slice → the empty result the oracle yields
+    if (minMax._1 == null) { // empty slice → the empty result the oracle yields
+      evs.unpersist(false)
       return spark.emptyDataset[(String, String, Long, Double)]
         .toDF("h", "event_type", "n", "sum_value")
+    }
     val (lo0, hi0) = (minMax._1.getTime, minMax._2.getTime)
-    val stream = spark.readStream
+    val ss = streamSession(spark)
+    val stream = ss.readStream
       .schema(evs.schema)
       .option("maxFilesPerTrigger", 256) // each wave lands as ONE trigger
       .parquet(stage)
@@ -625,8 +658,8 @@ object Queries {
           .write.mode("append").parquet(stage)
         sq.processAllAvailable()
       }
-    } finally sq.stop()
-    spark.table(name)
+    } finally { sq.stop(); evs.unpersist(false) }
+    ss.table(name)
       .filter(col("event_type") =!= "sentinel")
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("event_type"), col("n"),
@@ -652,28 +685,34 @@ object Queries {
     val hex = Integer.toHexString(dir.hashCode)
     val stageP = scratchDir(spark, s"q69p_${hex}_$runId")
     val stageC = scratchDir(spark, s"q69c_${hex}_$runId")
-    // ONE slice definition for both sides; the split is by event_type column
+    // ONE slice definition for both sides; the split is by event_type
+    // column. Persisted: the minMax agg + 3 waves x 2 sides would
+    // otherwise scan the events parquet seven times — all harness cost.
     val evs = t(spark, dir).events.filter(col("user_id") % 10 === 2)
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("user_id"),
         date_trunc("second", col("ts")).cast("timestamp").as("ts"),
         col("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minMax = evs.agg(min(col("ts")), max(col("ts")))
       .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
-    if (minMax._1 == null) // empty slice → the empty result the oracle yields
+    if (minMax._1 == null) { // empty slice → the empty result the oracle yields
+      evs.unpersist(false)
       return spark.emptyDataset[(Long, Long, Long)]
         .toDF("user_id", "purchase_id", "click_id")
+    }
     val (lo0, hi0) = (minMax._1.getTime, minMax._2.getTime)
     val purchases = evs.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
     val clicks = evs.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
+    val ss = streamSession(spark)
     val joined = graft.streaming.Streams.intervalJoin(
-      spark.readStream.schema(purchases.schema)
+      ss.readStream.schema(purchases.schema)
         .option("maxFilesPerTrigger", 256).parquet(stageP),
-      spark.readStream.schema(clicks.schema)
+      ss.readStream.schema(clicks.schema)
         .option("maxFilesPerTrigger", 256).parquet(stageC),
       keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
       before = "30 minutes", after = "0 seconds")
@@ -691,8 +730,8 @@ object Queries {
           .write.mode("append").parquet(stageC)
         sq.processAllAvailable()
       }
-    } finally sq.stop()
-    spark.table(name)
+    } finally { sq.stop(); evs.unpersist(false) }
+    ss.table(name)
       .select(col("user_id"), col("purchase_id"), col("click_id"))
       .orderBy("user_id", "purchase_id", "click_id")
   }
@@ -713,7 +752,8 @@ object Queries {
       s"q70_${Integer.toHexString(dir.hashCode)}_$runId")
     val (docs, lateness) = curationIngest(singleLangDocs(t(spark, dir).documents))
     docs.repartition(4).write.mode("overwrite").parquet(stage)
-    val stream = spark.readStream
+    val ss = streamSession(spark)
+    val stream = ss.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(stage)
@@ -724,8 +764,8 @@ object Queries {
       sq.processAllAvailable()
       reIngestWave(docs, stage)
       sq.processAllAvailable()
-    } finally sq.stop()
-    spark.table(name)
+    } finally { sq.stop(); docs.unpersist(false) }
+    ss.table(name)
       .groupBy("lang")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).cast("long").as("sum_tokens"))
@@ -772,8 +812,9 @@ object Queries {
     val chk = scratchDir(spark, s"${tag}_chk")
     val (docs, lateness) = curationIngest(singleLangDocs(t(spark, dir).documents))
     docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val ss = streamSession(spark)
     def start() = jobs.CorpusPipeline.curateStream(
-        spark.readStream.schema(docs.schema)
+        ss.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(stage),
         lateness = lateness)
       .writeStream.format("parquet")
@@ -791,7 +832,7 @@ object Queries {
     // outage window: ingest does not pause while the pipeline is down
     reIngestWave(docs, stage)
     val sq2 = start()
-    try sq2.processAllAvailable() finally sq2.stop()
+    try sq2.processAllAvailable() finally { sq2.stop(); docs.unpersist(false) }
     // batch read of the sink dir: Spark reads through _spark_metadata, so
     // only COMMITTED batches are visible
     spark.read.parquet(out)
