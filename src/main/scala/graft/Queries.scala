@@ -481,11 +481,15 @@ object Queries {
 
   /** Re-ingest wave: the same documents arriving again 60 s later — inside
     * the watermark horizon, so the stream's digest-dedup state must still
-    * remember and drop every one of them. */
+    * remember and drop every one of them. Coalesced to two files: the wave
+    * inherits the cached frame's partitioning otherwise (~32 near-empty
+    * files), and at maxFilesPerTrigger=1 each becomes its own micro-batch —
+    * pure per-trigger fixed cost with identical semantics. */
   private def reIngestWave(docs: DataFrame, stage: String): Unit =
     docs.filter(col("doc_id") % 20 === 0)
       .withColumn("ingest_ts",
         timestamp_millis(unix_millis(col("ingest_ts")) + 60000L))
+      .repartition(2)
       .write.mode("append").parquet(stage)
 
   /** Streaming curation parity (q66): the curation pipeline (quality gate +
@@ -576,7 +580,10 @@ object Queries {
       (0 until nWaves).foreach { i =>
         val wLo = lo0 + (hi0 - lo0 + 1) * i / nWaves
         val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / nWaves
+        // repartition(2): the cached slice would otherwise write one
+        // near-empty file per cache partition each wave
         evs.filter(unix_millis(col("ts")) >= wLo && unix_millis(col("ts")) < wHi)
+          .repartition(2)
           .write.mode("append").parquet(stage)
         sq.processAllAvailable()
       }
@@ -649,6 +656,7 @@ object Queries {
         val wLo = lo0 + (hi0 - lo0 + 1) * i / nWaves
         val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / nWaves
         evs.filter(unix_millis(col("ts")) >= wLo && unix_millis(col("ts")) < wHi)
+          .repartition(2)
           .write.mode("append").parquet(stage)
         sq.processAllAvailable()
       }
@@ -725,8 +733,10 @@ object Queries {
         val wLo = lo0 + (hi0 - lo0 + 1) * i / nWaves
         val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / nWaves
         purchases.filter(unix_millis(col("ts")) >= wLo && unix_millis(col("ts")) < wHi)
+          .repartition(2)
           .write.mode("append").parquet(stageP)
         clicks.filter(unix_millis(col("click_ts")) >= wLo && unix_millis(col("click_ts")) < wHi)
+          .repartition(2)
           .write.mode("append").parquet(stageC)
         sq.processAllAvailable()
       }
