@@ -250,7 +250,19 @@ object Bench {
             System.err.println(s"[bench] tera re-bench failed (keeping first pass): ${e.getMessage}")
           }
         }
-      } finally spark.sparkContext.removeSparkListener(listener)
+      } finally {
+        // listener events post asynchronously — wait for the stage log to
+        // go quiet before removing, or the final (often slowest) validate
+        // stage would nondeterministically vanish from tera_stages
+        val deadline = System.currentTimeMillis + 2000
+        var last = -1; var stable = 0
+        while (System.currentTimeMillis < deadline && stable < 2) {
+          val n = teraStages.synchronized(teraStages.size)
+          if (n == last) stable += 1 else { stable = 0; last = n }
+          Thread.sleep(100)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
     }
     // TestDFSIO-equivalent throughput legs (BASELINE.md's remaining metric
     // family): seconds to write / read SPARK_GRAFT_DFSIO_MB MiB of 1 KiB

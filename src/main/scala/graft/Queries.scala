@@ -464,7 +464,10 @@ object Queries {
     * only driver value here) so span + re-ingest offset always sit inside
     * it, at any scale. */
   private def curationIngest(base: DataFrame): (DataFrame, String) = {
-    val maxId = base.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    val maxRow = base.agg(max(col("doc_id").cast("long"))).head
+    // empty corpus → max() is null; 0 keeps the pipeline flowing (an empty
+    // stage streams zero rows and the aggregates match the oracle's)
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val spanSec = (maxId * 100L) / 1000L + 61L // ingest span + re-ingest offset
     val latenessSec = math.max(3600L, 2L * spanSec)
     // persisted: the stage write and the re-ingest wave both consume this
@@ -478,6 +481,27 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (docs, s"$latenessSec seconds")
   }
+
+  /** One time-ordered file wave per `sides` frame on SHARED global
+    * boundaries (all sides' watermarks advance together), each wave drained
+    * as its own trigger set before the next lands — the shape a production
+    * ingest has. Shared by the q67/q72, q68, and q69 harnesses so the
+    * boundary arithmetic and file coalescing cannot drift apart. */
+  private def writeWaves(sq: org.apache.spark.sql.streaming.StreamingQuery,
+                         lo0: Long, hi0: Long, nWaves: Int,
+                         sides: Seq[(DataFrame, String, String)]): Unit =
+    (0 until nWaves).foreach { i =>
+      val wLo = lo0 + (hi0 - lo0 + 1) * i / nWaves
+      val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / nWaves
+      sides.foreach { case (df, tsCol, stage) =>
+        // repartition(2): the cached slice would otherwise write one
+        // near-empty file per cache partition each wave
+        df.filter(unix_millis(col(tsCol)) >= wLo && unix_millis(col(tsCol)) < wHi)
+          .repartition(2)
+          .write.mode("append").parquet(stage)
+      }
+      sq.processAllAvailable()
+    }
 
   /** Re-ingest wave: the same documents arriving again 60 s later — inside
     * the watermark horizon, so the stream's digest-dedup state must still
@@ -577,16 +601,7 @@ object Queries {
     val sq = Streams.sessionize(stream, gapMillis = 1800 * 1000L)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      (0 until nWaves).foreach { i =>
-        val wLo = lo0 + (hi0 - lo0 + 1) * i / nWaves
-        val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / nWaves
-        // repartition(2): the cached slice would otherwise write one
-        // near-empty file per cache partition each wave
-        evs.filter(unix_millis(col("ts")) >= wLo && unix_millis(col("ts")) < wHi)
-          .repartition(2)
-          .write.mode("append").parquet(stage)
-        sq.processAllAvailable()
-      }
+      writeWaves(sq, lo0, hi0, nWaves, Seq((evs, "ts", stage)))
       // sentinel waves: advance the watermark past every (end + gap), then
       // trigger the timeout pass (watermarks update at end-of-batch)
       Seq(1, 2).foreach { k =>
@@ -651,15 +666,7 @@ object Queries {
     val sq = Streams.windowedCounts(stream)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      val nWaves = 3
-      (0 until nWaves).foreach { i =>
-        val wLo = lo0 + (hi0 - lo0 + 1) * i / nWaves
-        val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / nWaves
-        evs.filter(unix_millis(col("ts")) >= wLo && unix_millis(col("ts")) < wHi)
-          .repartition(2)
-          .write.mode("append").parquet(stage)
-        sq.processAllAvailable()
-      }
+      writeWaves(sq, lo0, hi0, nWaves = 3, Seq((evs, "ts", stage)))
       Seq(1, 2).foreach { k =>
         Seq((-1L, new java.sql.Timestamp(hi0 + k * 7200000L), "sentinel", 0.0))
           .toDF("user_id", "ts", "event_type", "value")
@@ -728,18 +735,8 @@ object Queries {
     val sq = joined.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      val nWaves = 3
-      (0 until nWaves).foreach { i =>
-        val wLo = lo0 + (hi0 - lo0 + 1) * i / nWaves
-        val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / nWaves
-        purchases.filter(unix_millis(col("ts")) >= wLo && unix_millis(col("ts")) < wHi)
-          .repartition(2)
-          .write.mode("append").parquet(stageP)
-        clicks.filter(unix_millis(col("click_ts")) >= wLo && unix_millis(col("click_ts")) < wHi)
-          .repartition(2)
-          .write.mode("append").parquet(stageC)
-        sq.processAllAvailable()
-      }
+      writeWaves(sq, lo0, hi0, nWaves = 3,
+        Seq((purchases, "ts", stageP), (clicks, "click_ts", stageC)))
     } finally { sq.stop(); evs.unpersist(false) }
     ss.table(name)
       .select(col("user_id"), col("purchase_id"), col("click_id"))

@@ -259,18 +259,25 @@ object SparkEntry {
     * aggregates survivor-independent quantities over the full corpus.) */
   private def streamCurationParityOracleSql(srcCte: String): String =
     s"""WITH $srcCte,
-      |t AS (SELECT doc_id, lang, text,
-      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
-      |  FROM src),
-      |q AS (SELECT doc_id, lang, text, w FROM t
-      |  WHERE len(w) >= 5
-      |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= 0.9
-      |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= 0.1),
+      |${curationGateCtes("src")},
       |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
       |qe AS (SELECT q.* FROM q JOIN e USING (doc_id))
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |CAST(sum(len(w)) AS BIGINT) AS sum_tokens
       |FROM qe GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Tokenize + quality-gate CTE pair (`t`, `q`) shared by EVERY
+    * streaming-curation oracle — curateStream's default thresholds written
+    * once, so a threshold change cannot silently desynchronize the q66
+    * gate from the q70/q73 one. */
+  private def curationGateCtes(src: String): String =
+    s"""t AS (SELECT *,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      |  FROM $src),
+      |q AS (SELECT * FROM t
+      |  WHERE len(w) >= 5
+      |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= 0.9
+      |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= 0.1)""".stripMargin
 
   /** Single-lang-texts source CTE shared by the q70/q73 oracles. */
   private val singleLangSrcCte =
@@ -821,13 +828,7 @@ object SparkEntry {
       // survivor per digest group regardless of which copy arrives first,
       // and n_tokens is a function of the text itself — deterministic over
       // the FULL corpus (no exclusions) under uncontrolled file arrival
-      """WITH t AS (SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
-        |  FROM documents),
-        |q AS (SELECT doc_id, text, w FROM t
-        |  WHERE len(w) >= 5
-        |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= 0.9
-        |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= 0.1),
+      s"""WITH ${curationGateCtes("documents")},
         |g AS (SELECT md5(text) AS dg, max(len(w)) AS n_tokens FROM q GROUP BY md5(text))
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,

@@ -93,7 +93,12 @@ object Compact {
     * index (a name diff, not an id-range check — next-fit bin ids can skip
     * numbers past an oversized file, and earlier generations' ids overlap)
     * and every superseded index dir. Runs only AFTER `_current` lands, so
-    * a crash anywhere earlier leaves the old generation fully readable. */
+    * a crash anywhere earlier leaves the old generation fully readable.
+    * Crash-atomicity is against FAILURES, not concurrent readers: a reader
+    * that resolved the old pointer just before the commit can race this
+    * sweep (the same window har's replace-the-archive workflow has) —
+    * re-compact offline, or defer the sweep until in-flight readers drain,
+    * when the archive serves live traffic. */
   private def cleanupSuperseded(fs: org.apache.hadoop.fs.FileSystem, qdst: Path,
                                 gen: Long, referenced: Set[String]): Unit =
     fs.listStatus(qdst).foreach { st =>

@@ -76,23 +76,40 @@ object DistCopy {
       System.err.println(s"[distcp] -p$flag unsupported here ($why); continuing without it")
 
   /** Apply the requested preserve flags to `dp`, returning those actually
-    * applied (plus `atCreate` — flags already honored at create time).
-    * Ordering: mutators that may bump times run first; permission then
-    * timestamps LAST, so nothing disturbs what was just set. */
+    * applied. `atCreate` flags (r/b, chosen at create time) are VERIFIED
+    * against the destination's status rather than assumed — a local FS
+    * silently accepts-and-ignores the create-time replication/block-size
+    * params, and the report must never claim an unapplied flag. `srcSt` is
+    * the caller's already-fetched source status (no second metadata RPC
+    * per file). Ordering: mutators that may bump times run first;
+    * permission then timestamps LAST, so nothing disturbs what was set. */
   private def applyPreserve(flags: String, sfs: FileSystem, sp: Path,
+                            srcSt: org.apache.hadoop.fs.FileStatus,
                             dfs: FileSystem, dp: Path,
                             atCreate: String): String = {
     if (flags.isEmpty) return ""
-    val st = sfs.getFileStatus(sp)
-    val applied = new StringBuilder(atCreate)
+    val st = srcSt
+    val applied = new StringBuilder
+    if (atCreate.nonEmpty) {
+      val dstSt = dfs.getFileStatus(dp)
+      if (atCreate.indexOf('r') >= 0) {
+        if (dstSt.getReplication == st.getReplication) applied.append('r')
+        else noteDegraded('r', s"create-time replication not honored on ${dfs.getScheme}")
+      }
+      if (atCreate.indexOf('b') >= 0) {
+        if (dstSt.getBlockSize == st.getBlockSize) applied.append('b')
+        else noteDegraded('b', s"create-time block size not honored on ${dfs.getScheme}")
+      }
+    }
     def attempt(flag: Char)(body: => Unit): Unit =
       if (flags.indexOf(flag) >= 0 && atCreate.indexOf(flag) < 0)
         try { body; applied.append(flag) }
         catch { case e: Exception =>
           noteDegraded(flag, s"${e.getClass.getSimpleName} on ${dfs.getScheme}")
         }
-    attempt('r') {
-      if (!dfs.setReplication(dp, st.getReplication))
+    attempt('r') { // verified, not assumed: local setReplication no-ops true
+      if (!dfs.setReplication(dp, st.getReplication) ||
+          dfs.getFileStatus(dp).getReplication != st.getReplication)
         throw new UnsupportedOperationException("FS declined setReplication")
     }
     attempt('b') { // only choosable at create; an existing file's layout is fixed
@@ -147,7 +164,7 @@ object DistCopy {
       // CopyMapper calls preserve for SKIPs too): a source whose
       // mtime/permissions changed since the last run converges here
       FileReport(rel, srcLen, "skip",
-        applyPreserve(preserve, sfs, sp, dfs, dp, atCreate = ""))
+        applyPreserve(preserve, sfs, sp, srcSt, dfs, dp, atCreate = ""))
     else {
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
@@ -199,7 +216,7 @@ object DistCopy {
       // remaining attribute preservation (CopyMapper's preserve step):
       // applied LAST so the validation re-read can't disturb what was set
       FileReport(rel, srcLen, "copy",
-        applyPreserve(preserve, sfs, sp, dfs, dp, atCreate))
+        applyPreserve(preserve, sfs, sp, srcSt, dfs, dp, atCreate))
     }
   }
 
