@@ -48,6 +48,29 @@ import java.util.concurrent.Executors
   * one opaque number.
   */
 object Bench {
+  /** Baseline-persistence rule for the scaling tracker. A REGRESSED query
+    * keeps its previous baseline ratio, so a persistent regression keeps
+    * flagging every round instead of becoming the new normal after one run;
+    * healthy queries track the current measurement. Improvements adopt at
+    * most 2x per run: a single lucky-fast sample would otherwise poison the
+    * baseline low and turn the steady-state ratio into a permanent false
+    * regression (observed: one 1.7 sample on a query whose steady ratio is
+    * ~3.6 flagged every later run, and the regression branch then pinned the
+    * poisoned value forever). A real large improvement still converges,
+    * halving the baseline each round. Queries absent from this run keep
+    * their old entry. */
+  private[graft] def ratchetBaseline(prev: Map[String, Double],
+                                     current: Map[String, Double],
+                                     regressed: Set[String]): Map[String, Double] =
+    prev ++ current.map { case (n, r) =>
+      val v = prev.get(n) match {
+        case Some(p) if regressed(n) => p
+        case Some(p)                 => math.max(r, p / 2)
+        case None                    => r
+      }
+      n -> v
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -610,26 +633,9 @@ object Bench {
       }
       try {
         import scala.jdk.CollectionConverters._
-        // Ratchet: a REGRESSED query keeps its previous baseline ratio, so a
-        // persistent regression keeps flagging every round instead of
-        // becoming the new normal after one run; healthy queries track the
-        // current measurement. Improvements adopt at most 2x per run: a
-        // single lucky-fast sample would otherwise poison the baseline low
-        // and turn the steady-state ratio into a permanent false regression
-        // (observed: one 1.7 sample on a query whose steady ratio is ~3.6
-        // flagged every later run, and the regression branch then pinned the
-        // poisoned value forever). A real large improvement still converges,
-        // halving the baseline each round. Queries absent from this run keep
-        // their old entry.
-        val current = scaling.asScala.toMap
-        val persisted = (prev ++ current.map { case (n, r) =>
-          val v = prev.get(n) match {
-            case Some(p) if scalingRegressions.contains(n) => p
-            case Some(p)                                   => math.max(r, p / 2)
-            case None                                      => r
-          }
-          n -> v
-        }).toSeq.sortBy(_._1)
+        val persisted =
+          ratchetBaseline(prev, scaling.asScala.toMap, scalingRegressions.toSet)
+            .toSeq.sortBy(_._1)
         val line = (("\"__dirs\":\"" + dirsTag + "\"") +: persisted
           .map { case (k, v) => "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) })
           .mkString("{", ",", "}")

@@ -1,0 +1,50 @@
+package graft.bench
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import graft.Bench.ratchetBaseline
+
+/** The scaling tracker's baseline-persistence rule, pinned against the two
+  * failure modes observed in practice: a regression becoming the new normal
+  * after one run, and a single lucky-fast sample poisoning the baseline low
+  * so a healthy query flags as a false regression forever. */
+class ScalingRatchetSpec extends AnyFlatSpec with Matchers {
+
+  "ratchetBaseline" should "keep the previous ratio for a regressed query" in {
+    ratchetBaseline(Map("q" -> 3.0), Map("q" -> 8.0), Set("q")) shouldBe Map("q" -> 3.0)
+  }
+
+  it should "track the measurement for a healthy query" in {
+    ratchetBaseline(Map("q" -> 3.0), Map("q" -> 3.4), Set.empty) shouldBe Map("q" -> 3.4)
+  }
+
+  it should "cap improvement adoption at 2x per run" in {
+    // lucky-fast sample: 3.6 -> 1.7 must not be adopted wholesale
+    ratchetBaseline(Map("q" -> 3.6), Map("q" -> 1.7), Set.empty) shouldBe Map("q" -> 1.8)
+  }
+
+  it should "self-heal from one lucky-fast sample within a round" in {
+    // round N: anomaly 1.7 against steady 3.6 -> baseline 1.8 (capped)
+    val poisoned = ratchetBaseline(Map("q" -> 3.6), Map("q" -> 1.7), Set.empty)
+    // round N+1: steady 3.6 again. 3.6 <= 2 * 1.8, so the tracker's
+    // suspicious() gate cannot flag it, and the baseline recovers fully.
+    val steady = 3.6
+    assert(steady <= 2 * poisoned("q"))
+    ratchetBaseline(poisoned, Map("q" -> steady), Set.empty) shouldBe Map("q" -> 3.6)
+  }
+
+  it should "converge on a genuine large improvement by halving" in {
+    // a real 8x improvement (16.0 -> 2.0) reaches the baseline in 3 rounds
+    val r1 = ratchetBaseline(Map("q" -> 16.0), Map("q" -> 2.0), Set.empty)
+    r1("q") shouldBe 8.0
+    val r2 = ratchetBaseline(r1, Map("q" -> 2.0), Set.empty)
+    r2("q") shouldBe 4.0
+    val r3 = ratchetBaseline(r2, Map("q" -> 2.0), Set.empty)
+    r3("q") shouldBe 2.0
+  }
+
+  it should "adopt first measurements and keep absent queries" in {
+    ratchetBaseline(Map("old" -> 2.5), Map("new" -> 1.7), Set.empty) shouldBe
+      Map("old" -> 2.5, "new" -> 1.7)
+  }
+}
