@@ -217,6 +217,25 @@ object Queries {
         numHashes = 64, bands = 16, threshold = 0.5, tokenHash = md5Hash32)
       .orderBy("id_a", "id_b")
 
+  /** Near-dup CLUSTERS: q25's candidate pairs closed under transitivity via
+    * distributed connected components (min-label propagation with pointer
+    * jumping — O(log diameter) rounds), with the canonical survivor = min
+    * doc_id per cluster. This is the step a production pipeline actually
+    * runs — dropping one side of each PAIR over-deletes on chains a–b, b–c.
+    * The edge set reuses q25's DuckDB-replayable md5 minhash, so the whole
+    * graph — and therefore the clustering — is hash-checked end to end
+    * (oracle: recursive-CTE min-label closure over the same edges). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(t(spark, dir).documents, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, tokenHash = md5Hash32)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val sz = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sz, Seq("component"))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(spark, dir).documents, "doc_id", "text", Dedup.Md5Words)
       .orderBy("id")

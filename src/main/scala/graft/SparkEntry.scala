@@ -362,7 +362,8 @@ object SparkEntry {
     "q70_stream_file_source" -> Queries.streamingFileSourceParity _,
     "q71_audio_meta"      -> Queries.audioMeta _,
     "q72_stream_file_sessions" -> Queries.streamingFileSessionParity _,
-    "q73_stream_file_sink" -> Queries.streamingFileSinkExactlyOnce _
+    "q73_stream_file_sink" -> Queries.streamingFileSinkExactlyOnce _,
+    "q74_dedup_clusters"  -> Queries.dedupClusters _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -844,6 +845,24 @@ object SparkEntry {
     // with a mid-stream kill + restart — a lost, duplicated, or resurrected
     // row diverges from this oracle
     "q73_stream_file_sink" -> streamCurationParityOracleSql(singleLangSrcCte),
+    // q74: q25's replayable minhash edges closed into components by a
+    // recursive-CTE min-label closure — transitive closure is fine for the
+    // oracle (component-squared rows at oracle SF), while the Spark side
+    // must get there in O(log diameter) distributed rounds
+    "q74_dedup_clusters" ->
+      s"""WITH RECURSIVE msrc AS (SELECT doc_id AS id, text FROM documents),
+         |${minhashPairCtes},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM mpairs WHERE agree >= 32
+         |  UNION ALL SELECT id_b, id_a FROM mpairs WHERE agree >= 32),
+         |reach AS (
+         |  SELECT s AS node, s AS lbl FROM edges
+         |  UNION
+         |  SELECT e.d AS node, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size FROM comp JOIN sz USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

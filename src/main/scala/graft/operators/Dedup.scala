@@ -242,6 +242,81 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected edge list — the clustering
+    * step that turns near-duplicate PAIRS (minhash/simhash/jaccard tiers
+    * above) into dedup GROUPS, so a pipeline can keep ONE canonical doc per
+    * group instead of dropping one side of every pair (pair-wise dropping
+    * over-deletes on transitive chains a–b, b–c).
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping.
+    * Every node starts labeled with itself; each round
+    *   (a) relaxes each label to the min over the node's closed
+    *       neighborhood (one shuffle: edge–label join + min-agg), then
+    *   (b) pointer-jumps: replaces each label by its label's label (one
+    *       self-join on the label table).
+    * Jumping roughly doubles the graph distance a label has travelled, so
+    * rounds are O(log diameter) on ANY graph — bare propagation is
+    * O(diameter), which on a 10⁶-doc duplicate chain would mean 10⁶
+    * shuffles. Per-round state is one (node, label) row per node and only
+    * labels travel between rounds, so a 10⁸-member component costs the
+    * same shuffle volume as 10⁸ singletons — nothing component-shaped is
+    * ever materialized in one place.
+    *
+    * Convergence is detected by an exact monotone argument rather than a
+    * change-join: labels never increase (relax takes a min; a jump assigns
+    * lbl(u) ≤ u = lbl(v) ≤ old lbl(v)), so the label SUM (widened to
+    * decimal(38,0) — overflow-free at any node count) strictly decreases
+    * until fixpoint, and an unchanged sum IS the fixpoint. That scalar is
+    * the only value the driver reads per round. Each round's labels are
+    * `localCheckpoint`ed: the plan would otherwise nest one join deeper
+    * per round and analysis cost would grow quadratically. (On a real
+    * cluster prefer a reliable `checkpoint` dir — localCheckpoint trades
+    * executor-loss recovery for speed; with ≤ ~40 rounds at planetary
+    * diameters, a lost executor costs one query retry.)
+    *
+    * Returns (node, component) where component = min node id of the
+    * component — deterministic, no tie-breaking.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 64): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    // Symmetrize + dedupe once; both are reused every round.
+    val und = sym.union(sym.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var prevSum: Option[java.math.BigDecimal] = None
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = und.join(labels.select(col("node").as("d"), col("lbl").as("nl")), Seq("d"))
+        .groupBy("s").agg(min(col("nl")).as("nbr"))
+      val relaxed = labels.join(nbrMin.select(col("s").as("node"), col("nbr")), Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+      // Jump: labels are always node ids present in the table (mins of node
+      // ids), so the lookup is total; left+coalesce guards the invariant.
+      val jumped = relaxed.join(
+          relaxed.select(col("node").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
+        .select(col("node"), coalesce(col("ll"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val sum = jumped.agg(
+          org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+      labels = jumped
+      val s = Option(sum) // None ⇔ empty graph — converged trivially
+      done = s == prevSum || s.isEmpty
+      prevSum = s
+      it += 1
+    }
+    und.unpersist()
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+
   /** Incremental dedup: rows of `batch` whose `key` does not appear in
     * `reference` — the "today's crawl vs the accumulated corpus" step of a
     * continuously ingested training pipeline.

@@ -241,4 +241,49 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("k", "v", "name").collect().map(_.toSeq).toSet
     assert(salted == plain)
   }
+
+  test("connectedComponents: long path, mixed components, noisy edge list") {
+    // a 200-node path (diameter 199 — bare propagation would need 199
+    // rounds; pointer jumping must close it within the 64-round cap),
+    // a triangle, an isolated pair, plus reversed duplicates + a self-loop
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val noise = Seq((300L, 301L), (301L, 302L), (302L, 300L), (400L, 401L),
+      (302L, 301L), (401L, 400L), (500L, 500L))
+    val edges = (path ++ noise).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 199L).foreach(v => assert(got(v) == 0L, s"node $v"))
+    Seq(300L, 301L, 302L).foreach(v => assert(got(v) == 300L))
+    Seq(400L, 401L).foreach(v => assert(got(v) == 400L))
+    // the self-loop-only node has no real edge → not a member of any component
+    assert(!got.contains(500L))
+    assert(got.size == 205)
+  }
+
+  test("connectedComponents matches union-find on a pseudo-random graph") {
+    // deterministic LCG edge list over 400 nodes, ~300 edges
+    var st = 12345L
+    def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+    val edges = (0 until 300).map { _ =>
+      (math.floorMod(next(), 400L), math.floorMod(next(), 400L))
+    }.filter { case (a, b) => a != b }
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    // union toward the smaller root, so each root stays its component's min
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = edges.flatMap(e => Seq(e._1, e._2)).distinct.groupBy(find)
+    val expectMap = roots.flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expectMap)
+  }
 }
