@@ -257,7 +257,8 @@ object Dedup {
     * Jumping roughly doubles the graph distance a label has travelled, so
     * rounds are O(log diameter) on ANY graph — bare propagation is
     * O(diameter), which on a 10⁶-doc duplicate chain would mean 10⁶
-    * shuffles. Per-round state is one (node, label) row per node and only
+    * sequential rounds. Each round costs three shuffles (edge–label join,
+    * min-agg, jump self-join). Per-round state is one (node, label) row per node and only
     * labels travel between rounds, so a 10⁸-member component costs the
     * same shuffle volume as 10⁸ singletons — nothing component-shaped is
     * ever materialized in one place.
@@ -275,7 +276,9 @@ object Dedup {
     * diameters, a lost executor costs one query retry.)
     *
     * Returns (node, component) where component = min node id of the
-    * component — deterministic, no tie-breaking.
+    * component — deterministic, no tie-breaking. Self-loops are discarded:
+    * a node appearing ONLY in self-loops is absent from the output (it is
+    * not in any 2+-node component).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 64): DataFrame = {
