@@ -249,57 +249,101 @@ object Dedup {
     * over-deletes on transitive chains a–b, b–c).
     *
     * Algorithm: distributed min-label propagation with pointer jumping.
-    * Every node starts labeled with itself; each round
-    *   (a) relaxes each label to the min over the node's closed
-    *       neighborhood (one shuffle: edge–label join + min-agg), then
+    * The edge table is symmetrized and seeded with one self-edge per node,
+    * so each round
+    *   (a) relaxes each label to the min over the node's CLOSED
+    *       neighborhood in a single edge–label join + min-agg (the
+    *       self-edge contributes the node's own label — no separate
+    *       label-merge join), then
     *   (b) pointer-jumps: replaces each label by its label's label (one
-    *       self-join on the label table).
+    *       self-join on the relaxed table; Spark's exchange reuse computes
+    *       the relax aggregation once even though it appears on both
+    *       sides).
     * Jumping roughly doubles the graph distance a label has travelled, so
     * rounds are O(log diameter) on ANY graph — bare propagation is
     * O(diameter), which on a 10⁶-doc duplicate chain would mean 10⁶
     * sequential rounds. Each round costs three shuffles (edge–label join,
-    * min-agg, jump self-join). Per-round state is one (node, label) row per node and only
-    * labels travel between rounds, so a 10⁸-member component costs the
-    * same shuffle volume as 10⁸ singletons — nothing component-shaped is
-    * ever materialized in one place.
+    * min-agg, jump self-join). Per-round state is one (node, label) row
+    * per node and only labels travel between rounds, so a 10⁸-member
+    * component costs the same shuffle volume as 10⁸ singletons — nothing
+    * component-shaped is ever materialized in one place. Each round's
+    * labels are `localCheckpoint`ed — MANDATORY, not an optimization: the
+    * jump references the relaxed table twice, so without truncation the
+    * logical plan doubles every round and plan traversal goes exponential
+    * (measured: an 8-round run OOMs the driver building an explain
+    * string). Live storage stays O(nodes + edges): once a round's
+    * checkpoint is materialized by the convergence action, the previous
+    * round's backing RDD is unpersisted explicitly — never more than two
+    * label snapshots plus the edge cache. (localCheckpoint trades
+    * executor-loss recovery for speed; at ≤ ~40 rounds for any physical
+    * diameter, a lost executor costs one query retry — prefer a reliable
+    * `checkpoint` dir if that matters.)
     *
     * Convergence is detected by an exact monotone argument rather than a
     * change-join: labels never increase (relax takes a min; a jump assigns
     * lbl(u) ≤ u = lbl(v) ≤ old lbl(v)), so the label SUM (widened to
     * decimal(38,0) — overflow-free at any node count) strictly decreases
     * until fixpoint, and an unchanged sum IS the fixpoint. That scalar is
-    * the only value the driver reads per round. Each round's labels are
-    * `localCheckpoint`ed: the plan would otherwise nest one join deeper
-    * per round and analysis cost would grow quadratically. (On a real
-    * cluster prefer a reliable `checkpoint` dir — localCheckpoint trades
-    * executor-loss recovery for speed; with ≤ ~40 rounds at planetary
-    * diameters, a lost executor costs one query retry.)
+    * the only value the driver reads per round.
     *
     * Returns (node, component) where component = min node id of the
-    * component — deterministic, no tie-breaking. Self-loops are discarded:
-    * a node appearing ONLY in self-loops is absent from the output (it is
-    * not in any 2+-node component).
+    * component — deterministic, no tie-breaking; the result is left
+    * checkpoint-cached (callers typically consume it more than once — size
+    * it as one long pair per node). Self-loops in the input are discarded: a
+    * node appearing ONLY in self-loops is absent from the output (it is
+    * in no 2+-node component). Id columns must be integral — a lossy cast
+    * (string ids hashing to null) would silently drop edges, so it is
+    * rejected loudly.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"connectedComponents: id column '$c' must be integral, got $dt " +
+          "(casting would null out unparseable ids and silently drop edges)")
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-    // Symmetrize + dedupe once; both are reused every round.
-    val und = sym.union(sym.select(col("d").as("s"), col("s").as("d")))
-      .filter(col("s") =!= col("d")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("s").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    // Cache the symmetrized edges for the duration of the build: they feed
+    // `und` twice (directly and via the self-edge node list), and without
+    // the cache each copy re-runs the whole upstream edge computation —
+    // for q74 that is an extra full minhash sketch pass (measured +50%).
+    val real = sym.union(sym.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d"))
+      .persist(lvl)
+    val nodes = real.select(col("s")).distinct()
+    // Symmetrized + self-edge-seeded + deduped once; reused every round.
+    val und = real.union(nodes.select(col("s"), col("s").as("d"))).distinct()
+      .persist(lvl)
+    // Initial labels read the self-edges back out of `und` — the eager
+    // checkpoint is the action that materializes both caches.
+    var labels = und.filter(col("s") === col("d"))
+      .select(col("s").as("node"), col("s").as("lbl"))
       .localCheckpoint(true)
+    real.unpersist() // und is materialized; the build cache is done
+    // Deterministic release of a localCheckpoint's persisted blocks: the
+    // checkpointed Dataset is backed by a LogicalRDD leaf whose RDD holds
+    // the storage. (Dataset.unpersist goes through the CacheManager and
+    // does not know about checkpoint RDDs; without this, snapshots linger
+    // until driver GC happens to collect the Dataset.)
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
     var prevSum: Option[java.math.BigDecimal] = None
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      val nbrMin = und.join(labels.select(col("node").as("d"), col("lbl").as("nl")), Seq("d"))
-        .groupBy("s").agg(min(col("nl")).as("nbr"))
-      val relaxed = labels.join(nbrMin.select(col("s").as("node"), col("nbr")), Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+      val relaxed = und
+        .join(labels.select(col("node").as("d"), col("lbl").as("nl")), Seq("d"))
+        .groupBy("s").agg(min(col("nl")).as("lbl"))
+        .select(col("s").as("node"), col("lbl"))
       // Jump: labels are always node ids present in the table (mins of node
       // ids), so the lookup is total; left+coalesce guards the invariant.
+      // The eager localCheckpoint both materializes the round and truncates
+      // the otherwise per-round-doubling plan (relaxed appears twice).
       val jumped = relaxed.join(
           relaxed.select(col("node").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
         .select(col("node"), coalesce(col("ll"), col("lbl")).as("lbl"))
@@ -307,6 +351,7 @@ object Dedup {
       val sum = jumped.agg(
           org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
+      release(labels) // jumped is materialized — release the old snapshot
       labels = jumped
       val s = Option(sum) // None ⇔ empty graph — converged trivially
       done = s == prevSum || s.isEmpty

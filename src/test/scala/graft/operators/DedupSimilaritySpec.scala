@@ -286,4 +286,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expectMap)
   }
+
+  test("connectedComponents releases per-round snapshots (storage stays O(1) tables)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // 64-node path → ~7 rounds; without the explicit release every round's
+    // localCheckpoint would linger in persistent storage until driver GC
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(edges, "a", "b")
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // at most the result's own checkpoint survives the call
+    assert(after.size <= 1, s"leaked ${after.size} persisted RDDs: $after")
+    assert(out.count() == 64)
+  }
+
+  test("connectedComponents rejects non-integral id columns loudly") {
+    val bad = Seq(("a", "b")).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(bad, "x", "y")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -24,8 +24,6 @@ class RocksDbStateSpec extends SparkSpec {
     ss
   }
 
-  private def ts(minute: Int) = new Timestamp(3600L * 1000 * 24 + minute * 60000L)
-
   test("sessionizer matches batch under the RocksDB state store") {
     import rocks.implicits._
     implicit val sc = rocks.sqlContext
