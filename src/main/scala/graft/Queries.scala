@@ -1196,4 +1196,97 @@ object Queries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("lang")
   }
+
+  /** KMV distinct-count sketch (q75): per event_type, the k-minimum-values
+    * estimate of distinct users at k=8 and k=64, next to the exact count.
+    * The two k values exercise both sketch branches across the gated scale
+    * factors: at sf0.001 each group has 15 distinct users (k=64 sketch never
+    * fills → exact branch; k=8 estimates), at sf0.01 it has 150 (both
+    * estimate). State is ≤ k longs per group however many users exist — the
+    * bounded-memory replacement for the reference's TreeMap UniqValueCount.
+    * The oracle replays the whole sketch: same md5 hashes, same k smallest
+    * per group via row_number, same single-division estimate. */
+  def kmvDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val h = Sketches.hash60(col("user_id"))
+    t(spark, dir).events
+      .groupBy("event_type")
+      .agg(Sketches.kmv(8)(h).as("kmin8"),
+        Sketches.kmv(64)(h).as("kmin64"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("event_type"),
+        Sketches.kmvEstimate(col("kmin8"), 8).as("est_k8"),
+        Sketches.kmvEstimate(col("kmin64"), 64).as("est_k64"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** Count-Min frequency sketch (q76): build a 4×16 counter grid over the
+    * document word stream, then point-estimate every vocabulary word against
+    * it next to its true count. Width 16 < |vocab| forces real collisions,
+    * so the one-sided error is visible: cm_est ≥ true_cnt always, strict for
+    * collided words. All-integer arithmetic — the oracle replays the build
+    * and the probes exactly. */
+  def cmsWordFreq(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(t(spark, dir))
+    val sketch = Sketches.countMin(w, col("word"), lit(1L), depth = 4, width = 16)
+    val truth = w.groupBy("word").agg(count(lit(1)).as("true_cnt"))
+    val est = Sketches.countMinEstimate(sketch, truth, col("word"), depth = 4, width = 16)
+    truth.join(est, col("word") === col("cm_key"))
+      .select(col("word"), col("true_cnt"), col("cm_est"),
+        (col("cm_est") - col("true_cnt")).as("overcount"))
+      .orderBy("word")
+  }
+
+  /** Histogram-quantile sketch (q77): per event_type, p50/p90/p99 of `value`
+    * from equi-width bin counts at scale 10 (error ≤ 0.1 by construction) —
+    * the bounded-state mergeable form of the reference's hold-and-sort
+    * WordMedian reducer. floor/ceil are engine-exact; the oracle replays the
+    * binning, the rank targets, and the bin-edge division verbatim. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Sketches.histogramQuantiles(t(spark, dir).events, Seq("event_type"),
+      col("value"), scale = 10,
+      probs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+
+  /** BM25 ranked retrieval (q78): top-10 documents for the corpus's three
+    * most frequent words (ties by word — a deterministic, SF-independent
+    * probe), raw-idf BM25 variant with rank-ordered score summation so every
+    * float op replays bit-identically (see Relevance scaladoc). */
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tb = t(spark, dir)
+    // probe terms: top-3 global words; vocab-sized frame, so the single-
+    // partition ranking window is over |vocab| rows, not the corpus
+    val terms = words(tb).groupBy("word").agg(count(lit(1)).as("c"))
+      .withColumn("term_rank",
+        row_number().over(Window.orderBy(col("c").desc, col("word"))))
+      .filter(col("term_rank") <= 3)
+      .select(col("word").as("term"), col("term_rank"))
+    val scored = Relevance.bm25(tb.documents, "doc_id", "text", terms, nTerms = 3)
+    // distributed top-k cut (TakeOrderedAndProject), then rank the 10 rows
+    scored.orderBy(col("score").desc, col("doc")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc"))).cast("long"))
+      .select(col("doc").as("doc_id"), col("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** Trailing-window features (q79): for every event, the same user's event
+    * count and value sum (exact, in cents) over the trailing hour — the
+    * point-in-time feature shape of a training-data pipeline (no lookahead
+    * leakage: frame ends at the current row). Frames are anchored on epoch
+    * MICROS so both engines resolve identical boundaries at the table's
+    * sub-second timestamp precision; the sum is integer cents, so sliding-
+    * frame accumulation order cannot matter. */
+  def trailingUserFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0)
+    t(spark, dir).events
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("trail_cnt"),
+        sum(col("cents")).over(w).as("trail_cents"))
+      .orderBy("event_id")
+  }
 }

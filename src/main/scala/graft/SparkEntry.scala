@@ -363,7 +363,12 @@ object SparkEntry {
     "q71_audio_meta"      -> Queries.audioMeta _,
     "q72_stream_file_sessions" -> Queries.streamingFileSessionParity _,
     "q73_stream_file_sink" -> Queries.streamingFileSinkExactlyOnce _,
-    "q74_dedup_clusters"  -> Queries.dedupClusters _
+    "q74_dedup_clusters"  -> Queries.dedupClusters _,
+    "q75_kmv_distinct"    -> Queries.kmvDistinctUsers _,
+    "q76_cms_word_freq"   -> Queries.cmsWordFreq _,
+    "q77_hist_quantile"   -> Queries.histQuantiles _,
+    "q78_bm25_topdocs"    -> Queries.bm25TopDocs _,
+    "q79_trailing_features" -> Queries.trailingUserFeatures _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -863,6 +868,104 @@ object SparkEntry {
          |  FROM comp GROUP BY cluster_id)
          |SELECT doc_id, cluster_id, cluster_size FROM comp JOIN sz USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // q75: full KMV replay — same 60-bit md5 hashes, same k smallest per
+    // group (row_number), same single-division estimate. The k-th smallest
+    // exists iff the group's distinct-hash count reaches k, mirroring the
+    // sketch's exact-when-unfilled branch.
+    "q75_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |s AS (SELECT event_type, count(*) AS n_hashes,
+        |    max(CASE WHEN rn = 8 THEN h END) AS h8,
+        |    max(CASE WHEN rn = 64 THEN h END) AS h64
+        |  FROM r GROUP BY event_type),
+        |x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT s.event_type,
+        |  CASE WHEN n_hashes < 8 THEN round(CAST(n_hashes AS DOUBLE), 6)
+        |       ELSE round(7.0 * power(2.0, 60.0) / h8, 6) END AS est_k8,
+        |  CASE WHEN n_hashes < 64 THEN round(CAST(n_hashes AS DOUBLE), 6)
+        |       ELSE round(63.0 * power(2.0, 60.0) / h64, 6) END AS est_k64,
+        |  exact_distinct
+        |FROM s JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+    // q76: full Count-Min replay — same per-row (depth, md5-bucket) cells,
+    // same summed grid, same min-over-depth probes; all-integer arithmetic
+    "q76_cms_word_freq" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |wf AS (SELECT word FROM w WHERE word <> ''),
+        |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |sk AS (SELECT d,
+        |    CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || word), 1, 15)) AS BIGINT) % 16 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM wf CROSS JOIN ds GROUP BY 1, 2),
+        |truth AS (SELECT word, CAST(count(*) AS BIGINT) AS true_cnt FROM wf GROUP BY word),
+        |probe AS (SELECT word, d,
+        |    CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || word), 1, 15)) AS BIGINT) % 16 AS bucket
+        |  FROM truth CROSS JOIN ds),
+        |est AS (SELECT word, min(coalesce(sk.cnt, 0)) AS cm_est
+        |  FROM probe LEFT JOIN sk USING (d, bucket) GROUP BY word)
+        |SELECT t.word, t.true_cnt, e.cm_est, e.cm_est - t.true_cnt AS overcount
+        |FROM truth t JOIN est e USING (word) ORDER BY word""".stripMargin,
+    // q77: histogram-quantile sketch replay — same floor bins, same windowed
+    // cumulative counts, same ceil rank targets, same bin-edge division.
+    // Float constants use e0 notation (DuckDB decimal literals are DECIMAL,
+    // not DOUBLE) so every op is the identical IEEE op Spark runs.
+    "q77_hist_quantile" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+        |    count(*) AS bin_cnt FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, bin_cnt,
+        |    sum(bin_cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(bin_cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM b)
+        |SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= ceil(0.5e0 * total) THEN bin END) + 1 AS DOUBLE) / 10.0e0 AS q_p50,
+        |  CAST(min(CASE WHEN cum >= ceil(0.9e0 * total) THEN bin END) + 1 AS DOUBLE) / 10.0e0 AS q_p90,
+        |  CAST(min(CASE WHEN cum >= ceil(0.99e0 * total) THEN bin END) + 1 AS DOUBLE) / 10.0e0 AS q_p99
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q78: BM25 raw-idf replay — probe terms derived in-query (top-3 words,
+    // SF-independent), every float op in the same explicit order as the
+    // Spark expression, per-term scores summed in term-rank order
+    "q78_bm25_topdocs" ->
+      """WITH w AS (SELECT doc_id AS doc, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents),
+        |wf AS (SELECT doc, word FROM w WHERE word <> ''),
+        |wc AS (SELECT word, count(*) AS c FROM wf GROUP BY word),
+        |terms AS (SELECT word AS term,
+        |    row_number() OVER (ORDER BY c DESC, word) AS term_rank FROM wc
+        |  QUALIFY term_rank <= 3),
+        |dl AS (SELECT doc, count(*) AS dl FROM wf GROUP BY doc),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc, term, term_rank, count(*) AS tf
+        |  FROM wf JOIN terms ON wf.word = terms.term GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (SELECT doc, term_rank,
+        |    ((CAST(n_docs AS DOUBLE) - df + 0.5e0) / (df + 0.5e0)) *
+        |    ((tf * 2.2e0) / (tf + (1.2e0 * (0.25e0 + (0.75e0 * (CAST(dl AS DOUBLE) / avgdl)))))) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc) CROSS JOIN corpus),
+        |sc AS (SELECT doc, round(
+        |    coalesce(max(CASE WHEN term_rank = 1 THEN s END), 0.0e0)
+        |    + coalesce(max(CASE WHEN term_rank = 2 THEN s END), 0.0e0)
+        |    + coalesce(max(CASE WHEN term_rank = 3 THEN s END), 0.0e0), 6) AS score
+        |  FROM s GROUP BY doc)
+        |SELECT doc AS doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
+        |FROM sc QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+    // q79: trailing-hour point-in-time features — frames anchored on epoch
+    // MICROS (both engines truncate the table's nano timestamps to micros
+    // identically), sums in exact integer cents
+    "q79_trailing_features" ->
+      """SELECT event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_cnt,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS trail_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text retrieval — BM25 scoring over a document corpus.
+  *
+  * The reference's text stack stops at boolean matching (Grep's per-line
+  * regex count, .../examples/Grep.java:73) and raw term counts; a curation
+  * pipeline also needs RANKED retrieval — "the documents most relevant to
+  * this probe query" — for eval-set mining and targeted corpus slicing.
+  *
+  * Scoring is the BM25 family with the RAW idf ratio (N − df + ½)/(df + ½)
+  * instead of its log: the log is monotone, so rankings are preserved
+  * within a term, and the raw form keeps every score a short fixed-order
+  * chain of IEEE ops that a SQL oracle replays bit-identically (the same
+  * trade q64's tf-idf scorer makes — `ln` is the one primitive whose
+  * cross-engine bit-equality we don't rely on). Per-term scores are summed
+  * in explicit term-rank order (s1 + s2 + s3), not by an unordered SUM, so
+  * float association cannot differ between engines.
+  *
+  * Scale shape: doc lengths and term frequencies are map-side-combined
+  * aggregations; the probe-term set (tiny) broadcasts into the tf join; the
+  * only per-corpus shuffle is the groupBy(doc) — no cross-doc state.
+  */
+object Relevance {
+
+  /** BM25 scores for `docs` (idCol, textCol) against a probe-term frame
+    * `terms` with columns (term, term_rank ∈ 1..nTerms). Returns one row per
+    * matching doc: (id, score) — docs sharing no probe term are dropped
+    * (score would be 0). k1/b are the standard defaults. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: DataFrame, nTerms: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nTerms >= 1, "need at least one probe term")
+    val words = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+    // per-doc length + corpus size; avgdl = sum(dl)/N is the one shared scalar
+    val dl = words.groupBy("doc").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    // tf restricted to probe terms (broadcast), df over the restricted tf
+    val tf = words.join(broadcast(terms), Seq("term"))
+      .groupBy("doc", "term", "term_rank").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc"), col("term_rank"),
+        // fixed op order, mirrored verbatim in the oracle SQL:
+        // idf_raw * ((tf * (k1+1)) / (tf + (k1 * ((1-b) + (b * (dl/avgdl))))))
+        (((col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + (lit(k1) * (lit(1.0 - b) +
+              (lit(b) * (col("dl").cast("double") / col("avgdl")))))))).as("s"))
+    // ordered sum: s1 + s2 + ... + s_n left-to-right (missing terms add 0.0)
+    val perRank = (1 to nTerms).map(r =>
+      coalesce(max(when(col("term_rank") === r, col("s"))), lit(0.0)))
+    val total = perRank.reduceLeft(_ + _)
+    scored.groupBy("doc").agg(round(total, 6).as("score"))
+  }
+}
