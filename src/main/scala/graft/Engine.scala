@@ -37,14 +37,28 @@ object Engine {
   /** Typed accessors for the driver-generated testdata tables (TESTDATA.md). */
   final class Tables(spark: SparkSession, dir: String) {
     def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
-    /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-      * rejects; read it as a long (legacy conf) and integer-divide to micros
-      * (a double division would lose precision above 2^53 ns). */
+    /** events.ts normalized to TimestampType regardless of how the driver
+      * generated the parquet column — the physical type has changed across
+      * testdata generations: TIMESTAMP(NANOS) (unreadable by the vectorized
+      * reader; the legacy conf surfaces it as a nanos long we integer-divide
+      * to micros — double division would lose precision above 2^53 ns) and
+      * TIMESTAMP(MICROS) without UTC adjustment (reads as TIMESTAMP_NTZ; the
+      * cast re-interprets the wall-clock in the session's UTC zone, the same
+      * instant the nanos path produced). Queries downstream always see
+      * TimestampType with identical epoch micros. */
     def events: DataFrame = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      table("events").withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val raw = table("events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw // already TimestampType
+      }
     }
     def region: DataFrame     = table("region")
     def nation: DataFrame     = table("nation")

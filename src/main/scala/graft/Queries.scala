@@ -1289,4 +1289,27 @@ object Queries {
         sum(col("cents")).over(w).as("trail_cents"))
       .orderBy("event_id")
   }
+
+  /** Document chunking (q80): sliding 64-token windows every 48 tokens —
+    * context-window shaping with 16 tokens of overlap so no span loses its
+    * left context. Chunks are carried as md5 of the space-joined tokens, so
+    * the oracle must replay the exact slice arithmetic AND the exact token
+    * stream to hash-match. Shuffle-free: explode over a per-doc index. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Packing.chunk(t(spark, dir).documents, "doc_id", "text", size = 64, stride = 48)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Sequence packing (q81): documents laid head-to-tail in doc_id order and
+    * chopped into 2048-token training sequences (concat-and-chop; documents
+    * may straddle boundaries). The global prefix sum is hierarchical — the
+    * single-partition window the naive form needs is replaced by bounded
+    * per-bucket windows plus a ≤4096-row base window (see Packing). */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir).documents
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long").as("n_tokens"))
+    Packing.packSequences(counts, "doc_id", "n_tokens", capacity = 2048)
+      .withColumnRenamed("id", "doc_id")
+  }
 }

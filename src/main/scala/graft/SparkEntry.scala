@@ -368,7 +368,9 @@ object SparkEntry {
     "q76_cms_word_freq"   -> Queries.cmsWordFreq _,
     "q77_hist_quantile"   -> Queries.histQuantiles _,
     "q78_bm25_topdocs"    -> Queries.bm25TopDocs _,
-    "q79_trailing_features" -> Queries.trailingUserFeatures _
+    "q79_trailing_features" -> Queries.trailingUserFeatures _,
+    "q80_doc_chunks"      -> Queries.docChunks _,
+    "q81_seq_pack"        -> Queries.seqPack _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -966,6 +968,41 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // q80: sliding-token-window chunking replay — same whitespace token
+    // stream, same ceil((n-size)/stride) last-start rule, same 1-based
+    // slice bounds, same md5 over the space-joined chunk
+    "q80_doc_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(0.0e0, ceil((n - 64) / 48.0e0)) AS BIGINT))) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS token_cnt,
+        |  md5(array_to_string(
+        |    toks[CAST(chunk_idx * 48 + 1 AS BIGINT):CAST(chunk_idx * 48 + 64 AS BIGINT)],
+        |    ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q81: concat-and-chop sequence packing replay — the oracle computes the
+    // SAME global exclusive prefix sum with a plain window (single-node
+    // DuckDB), the engine computes it hierarchically; positions must agree
+    // exactly for every derived seq/offset/span to hash-match
+    "q81_seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS cnt
+        |  FROM documents),
+        |p AS (SELECT doc_id, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM d WHERE cnt > 0)
+        |SELECT doc_id, CAST(cnt AS BIGINT) AS n_tokens,
+        |  CAST(floor(pos / 2048) AS BIGINT) AS seq_id,
+        |  CAST(pos % 2048 AS BIGINT) AS seq_offset,
+        |  CAST(floor((pos + cnt - 1) / 2048) - floor(pos / 2048) + 1 AS BIGINT) AS spans
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window shaping for LLM pretraining corpora: sliding token-window
+  * CHUNKING and concat-and-chop sequence PACKING.
+  *
+  * The reference's record shaping stops at line/record splitting
+  * (.../lib/input/NLineInputFormat.java:63 fixed line counts per split,
+  * .../lib/input/FixedLengthInputFormat.java:47 fixed byte records); a
+  * training-data pipeline shapes TOKEN windows instead: long documents are
+  * cut into model-context-sized chunks (with overlap so no span loses its
+  * left context), and short documents are packed head-to-tail into full
+  * sequences so no context slot is wasted. Both are deterministic column
+  * algebra here — no UDFs, no driver loops — and both replay in ANSI SQL.
+  *
+  * Scale shape: chunking is embarrassingly parallel (explode over a
+  * per-document index sequence — no shuffle at all). Packing needs ONE
+  * global exclusive prefix sum of token counts in document order; rather
+  * than a single-partition window (the classic scale-killer) it buckets
+  * doc ids by a width derived from max(doc_id), cumulates the ≤bucketTarget
+  * per-bucket totals in a bounded window, and broadcasts those bases back —
+  * two shuffles total, state bounded by the bucket count at any corpus size.
+  */
+object Packing {
+
+  /** Sliding token windows: cut each document's token stream into chunks of
+    * `size` tokens starting every `stride` tokens (overlap = size − stride).
+    * Chunk starts are 0, stride, 2·stride, …; the last chunk begins at the
+    * final start needed to cover the tail and may be shorter than `size`.
+    * Token-less documents produce no chunks.
+    *
+    * Output: (id, chunk_idx, token_cnt, chunk_md5) — the chunk is carried as
+    * an md5 of its space-joined tokens so the result stays narrow at any
+    * document length; callers that want the text re-slice from the same
+    * deterministic arithmetic. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val toks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+    // last start index k·stride with k = ceil((n−size)/stride) (0 when the
+    // doc fits in one chunk); stride ≤ size guarantees start < n
+    val k = greatest(lit(0L),
+      ceil((col("n") - size).cast("double") / lit(stride.toDouble)))
+    toks
+      .select(col("id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), k)).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * stride)
+      .select(col("id"), col("chunk_idx"),
+        least(lit(size.toLong), col("n") - col("start")).as("token_cnt"),
+        md5(array_join(slice(col("toks"), (col("start") + 1).cast("int"), lit(size)), " ")
+          .cast("binary")).as("chunk_md5"))
+  }
+
+  /** Concat-and-chop sequence packing: documents are laid head-to-tail in
+    * `idCol` order and the token stream is chopped at `capacity` boundaries
+    * (the standard pretraining packing — documents may straddle a boundary).
+    * For each document: the sequence its first token lands in, the offset
+    * within that sequence, and how many sequences it spans.
+    *
+    * The global exclusive prefix sum is computed hierarchically: ids bucket
+    * by `w = floor(maxId/bucketTarget)+1`, per-bucket totals (≤ bucketTarget
+    * + 1 rows, a bounded frame) cumulate in one small window, and each row
+    * adds its intra-bucket exclusive sum — so no window ever sees more than
+    * a bucket's rows on one partition. maxId rides the plan as a broadcast
+    * scalar; nothing is collected. Token-less documents are dropped (they
+    * occupy no slot).
+    *
+    * Output: (id, n_tokens, seq_id, seq_offset, spans), ordered by id. */
+  def packSequences(docs: DataFrame, idCol: String, cntCol: String,
+                    capacity: Long, bucketTarget: Int = 4096): DataFrame = {
+    require(capacity >= 1 && bucketTarget >= 1)
+    val base = docs
+      .select(col(idCol).cast("long").as("id"), col(cntCol).cast("long").as("cnt"))
+      .filter(col("cnt") > 0)
+    val w = base.agg(max(col("id")).as("max_id"))
+      .select((floor(col("max_id") / bucketTarget) + 1).as("w"))
+    val bucketed = base.crossJoin(broadcast(w))
+      .withColumn("bucket", floor(col("id") / col("w")))
+    // per-bucket totals -> exclusive running base per bucket (bounded frame:
+    // at most bucketTarget+1 rows flow through the unpartitioned window)
+    val bucketBases = bucketed.groupBy("bucket").agg(sum("cnt").as("btot"))
+      .withColumn("bbase",
+        coalesce(sum("btot").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "bbase")
+    val intra = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(bucketBases), Seq("bucket"))
+      .withColumn("pos", col("bbase") + coalesce(sum("cnt").over(intra), lit(0L)))
+      .select(col("id"), col("cnt").as("n_tokens"),
+        floor(col("pos") / capacity).as("seq_id"),
+        (col("pos") % capacity).as("seq_offset"),
+        (floor((col("pos") + col("cnt") - 1) / capacity)
+          - floor(col("pos") / capacity) + 1).as("spans"))
+      .orderBy("id")
+  }
+}

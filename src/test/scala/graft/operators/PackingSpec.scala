@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // chunk starts for a doc of n tokens at (size, stride), the operator's rule
+  private def starts(n: Int, size: Int, stride: Int): Seq[Int] = {
+    val k = math.max(0L, math.ceil((n - size).toDouble / stride).toLong).toInt
+    (0 to k).map(_ * stride)
+  }
+
+  test("chunk equals an in-memory recomputation across edge lengths") {
+    val docs = Seq(
+      1L -> "a b c",                                    // n < size: one chunk
+      2L -> (1 to 8).map(i => s"w$i").mkString(" "),    // n == size
+      3L -> (1 to 9).map(i => s"w$i").mkString(" "),    // n == size + 1
+      4L -> (1 to 30).map(i => s"t$i").mkString(" "),   // several chunks
+      5L -> "  x   y  ",                                // ragged whitespace
+      6L -> "")                                         // token-less: dropped
+    val (size, stride) = (8, 5)
+    val got = Packing.chunk(docs.toDF("doc_id", "text"), "doc_id", "text", size, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+
+    val exp = (for {
+      (id, text) <- docs
+      toks = text.split("\\s+").filter(_.nonEmpty).toSeq if toks.nonEmpty
+      (st, i) <- starts(toks.size, size, stride).zipWithIndex
+      piece = toks.slice(st, st + size)
+    } yield (id, i.toLong) -> ((piece.size.toLong, md5hex(piece.mkString(" "))))).toMap
+
+    assert(got == exp)
+    assert(!got.keySet.exists(_._1 == 6L)) // empty doc produced nothing
+  }
+
+  test("chunk windows tile the token stream: every token covered, overlap = size - stride") {
+    val n = 103; val (size, stride) = (16, 12)
+    val st = starts(n, size, stride)
+    // contiguous coverage of [0, n) with the designed overlap
+    assert(st.head == 0)
+    st.sliding(2).foreach { case Seq(a, b) => assert(b - a == stride && b < a + size) }
+    assert(st.last + size >= n)   // tail reached
+    assert(st.last < n)           // no chunk starts past the data
+  }
+
+  test("packSequences equals an in-memory concat-and-chop recomputation") {
+    val cap = 100L
+    val cnts = Seq(3L -> 40L, 7L -> 95L, 8L -> 10L, 12L -> 260L, 20L -> 55L,
+      21L -> 0L /* dropped */, 40L -> 1L)
+    val got = Packing.packSequences(cnts.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", capacity = cap)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+
+    var pos = 0L
+    val exp = cnts.filter(_._2 > 0).sortBy(_._1).map { case (id, c) =>
+      val seq = pos / cap; val off = pos % cap
+      val spans = (pos + c - 1) / cap - seq + 1
+      pos += c
+      id -> ((c, seq, off, spans))
+    }
+    assert(got.toSeq == exp)
+    // spot-check the straddle: doc 12 starts at pos 145 -> seq 1 offset 45,
+    // ends at pos 404 -> spans sequences 1..4
+    assert(got.toMap.apply(12L) == ((260L, 1L, 45L, 4L)))
+  }
+
+  test("packSequences positions are invariant under the bucket width") {
+    // sparse, skewed ids exercise multi-bucket prefix sums; the hierarchical
+    // sum must equal the single-bucket (bucketTarget >= maxId) result exactly
+    val rnd = new scala.util.Random(81)
+    val cnts = (1 to 500).map(_ => (rnd.nextInt(1000000).toLong, 1L + rnd.nextInt(300)))
+      .distinctBy(_._1).map { case (id, c) => (id, c.toLong) }
+    val df = cnts.toDF("doc_id", "n_tokens")
+    def run(bt: Int) = Packing.packSequences(df, "doc_id", "n_tokens",
+        capacity = 2048, bucketTarget = bt)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val coarse = run(8)        // 8 wide buckets: intra-bucket windows do the work
+    val fine = run(2000000)    // width 1: every id its own bucket, all work in the base window
+    assert(fine == coarse)
+  }
+}
