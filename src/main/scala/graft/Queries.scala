@@ -1312,4 +1312,13 @@ object Queries {
     Packing.packSequences(counts, "doc_id", "n_tokens", capacity = 2048)
       .withColumnRenamed("id", "doc_id")
   }
+
+  /** LM familiarity scoring (q82): every document scored by the mean
+    * floor(log2(corpus frequency)) of its bigrams — the cheap LM-perplexity
+    * quality-gate shape, in exact integer arithmetic (bit-length, not a
+    * float log) so the oracle replays it bit-identically. */
+  def lmFamiliarityScores(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.lmFamiliarity(t(spark, dir).documents, "doc_id", "text", n = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
 }

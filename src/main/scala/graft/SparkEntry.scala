@@ -370,7 +370,8 @@ object SparkEntry {
     "q78_bm25_topdocs"    -> Queries.bm25TopDocs _,
     "q79_trailing_features" -> Queries.trailingUserFeatures _,
     "q80_doc_chunks"      -> Queries.docChunks _,
-    "q81_seq_pack"        -> Queries.seqPack _
+    "q81_seq_pack"        -> Queries.seqPack _,
+    "q82_lm_familiarity"  -> Queries.lmFamiliarityScores _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1003,6 +1004,24 @@ object SparkEntry {
         |  CAST(pos % 2048 AS BIGINT) AS seq_offset,
         |  CAST(floor((pos + cnt - 1) / 2048) - floor(pos / 2048) + 1 AS BIGINT) AS spans
         |FROM p ORDER BY doc_id""".stripMargin,
+    // q82: LM familiarity replay — same bigram stream, same integer
+    // bit-length magnitude (length(bin(c)) - 1 = floor(log2(c)), never a
+    // float log), one final division + round(6)
+    "q82_lm_familiarity" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM d WHERE len(toks) >= 2),
+        |m AS (SELECT gram, CAST(length(bin(count(*))) - 1 AS BIGINT) AS mag
+        |  FROM g GROUP BY gram),
+        |s AS (SELECT doc_id, count(*) AS n_grams, sum(mag) AS mag_sum
+        |  FROM g JOIN m USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(mag_sum AS BIGINT) AS mag_sum,
+        |  round(CAST(mag_sum AS DOUBLE) / n_grams, 6) AS familiarity
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

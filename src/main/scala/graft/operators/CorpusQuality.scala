@@ -213,4 +213,36 @@ object CorpusQuality {
         (col("n_overlap").cast("double") / col("n_shingles") >= threshold)
           .cast("long").as("contaminated"))
   }
+
+  /** N-gram LM familiarity scoring — the cheap LM-quality-filter shape
+    * (score documents by how typical their n-grams are of a corpus, the
+    * role CCNet fills with a KenLM perplexity gate): a document's score is
+    * the mean magnitude of its n-grams' corpus frequencies.
+    *
+    * Magnitude is floor(log2(count)), computed EXACTLY as
+    * `length(bin(count)) - 1` — an integer bit-length, not a float log — so
+    * the whole score is integer arithmetic until one final division +
+    * round(6) and an oracle replays it bit-identically (the same trade the
+    * raw-idf scorers make: log is monotone, rankings are preserved).
+    *
+    * Shape at scale: the n-gram frequency table is built by ONE map-side-
+    * combined count; scoring joins grams back on the gram key — the
+    * inverted-index join shape (never pairwise), with the frequency side
+    * aggregated before it shuffles. Documents with fewer than n tokens
+    * score no row (they have no n-grams). */
+  def lmFamiliarity(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2): DataFrame = {
+    require(n >= 1)
+    val grams = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("gram"))
+    val mags = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .select(col("gram"), (length(bin(col("c"))) - 1).cast("long").as("mag"))
+    grams.join(mags, Seq("gram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum("mag").as("mag_sum"))
+      .select(col("id"), col("n_grams"), col("mag_sum"),
+        round(col("mag_sum").cast("double") / col("n_grams"), 6).as("familiarity"))
+  }
 }

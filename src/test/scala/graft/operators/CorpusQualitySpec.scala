@@ -172,4 +172,35 @@ class CorpusQualitySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
     assert(got == Map(1L -> (3L, 2L, 1L), 2L -> (3L, 0L, 0L), 3L -> (1L, 1L, 1L)))
   }
+
+  test("lmFamiliarity equals an in-memory recomputation (integer log2 magnitudes)") {
+    val docs = Seq(
+      (1L, "the cat sat"),        // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),        // "the cat" again -> corpus count 2
+      (3L, "the cat sat the cat sat"), // repeats its own bigrams + "sat the"
+      (4L, "unique words only here"),
+      (5L, "solo"))               // no bigrams -> no row
+    val got = CorpusQuality.lmFamiliarity(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    // in-memory: corpus bigram counts, mag = floor(log2(c)) via bitLength
+    val bi = docs.flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).toSeq.sliding(2).filter(_.size == 2)
+        .map(p => id -> p.mkString(" "))
+    }
+    val cnt = bi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def mag(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    val exp = bi.groupBy(_._1).view.mapValues { gs =>
+      val mags = gs.map { case (_, g) => mag(cnt(g)) }
+      val s = mags.sum
+      (gs.size.toLong, s,
+        BigDecimal(s.toDouble / gs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got == exp)
+    assert(!got.contains(5L)) // no bigrams, no row
+    // all-unique bigrams score 0 (count 1 -> magnitude 0); repeated corpus
+    // bigrams score higher — the familiarity ordering a quality gate needs
+    assert(got(4L)._3 == 0.0)
+    assert(got(1L)._3 > got(4L)._3)
+  }
 }
