@@ -1321,4 +1321,16 @@ object Queries {
     CorpusQuality.lmFamiliarity(t(spark, dir).documents, "doc_id", "text", n = 2)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
+
+  /** Temperature mixture resampling (q83): rebalance the per-language pool
+    * toward a 200-doc training mix with stratum weight ∝ sqrt(count) —
+    * low-resource languages keep a larger share than their raw frequency.
+    * Integer weights/denominator/takes + the q55 md5 membership rule make
+    * every taken row (hence every aggregate) oracle-replayable. */
+  def temperatureMixtureReport(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.temperatureMixture(t(spark, dir).documents, col("lang"),
+        col("doc_id").cast("string"), targetTotal = 200L)
+      .groupBy(col("__stratum").as("lang"), col("c"), col("w"), col("n_target"))
+      .agg(count(lit(1)).as("n_taken"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("lang")
 }

@@ -371,7 +371,8 @@ object SparkEntry {
     "q79_trailing_features" -> Queries.trailingUserFeatures _,
     "q80_doc_chunks"      -> Queries.docChunks _,
     "q81_seq_pack"        -> Queries.seqPack _,
-    "q82_lm_familiarity"  -> Queries.lmFamiliarityScores _
+    "q82_lm_familiarity"  -> Queries.lmFamiliarityScores _,
+    "q83_temp_mixture"    -> Queries.temperatureMixtureReport _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1022,6 +1023,30 @@ object SparkEntry {
         |  CAST(mag_sum AS BIGINT) AS mag_sum,
         |  round(CAST(mag_sum AS DOUBLE) / n_grams, 6) AS familiarity
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q83: temperature mixture replay — exact integer sqrt weights (with the
+    // k^2-1 floor correction), integer denominator, one replayable division
+    // for the take, then the q55 md5 membership rule per row
+    "q83_temp_mixture" ->
+      """WITH s AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |w AS (SELECT lang, c,
+        |    CASE WHEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)
+        |           * CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) > c
+        |      THEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) - 1
+        |      ELSE CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) END AS w
+        |  FROM s),
+        |d AS (SELECT CAST(sum(w) AS BIGINT) AS denom FROM w),
+        |p AS (SELECT lang, c, w,
+        |    least(c, CAST(floor(CAST(200 * w AS DOUBLE) / denom) AS BIGINT)) AS n_target
+        |  FROM w CROSS JOIN d),
+        |k AS (SELECT doc_id, n_chars, lang, c, w, n_target
+        |  FROM documents JOIN p USING (lang)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    < (CAST(n_target AS DOUBLE) * 4294967296.0e0) / c)
+        |SELECT lang, CAST(c AS BIGINT) AS c, CAST(w AS BIGINT) AS w,
+        |  CAST(n_target AS BIGINT) AS n_target,
+        |  CAST(count(*) AS BIGINT) AS n_taken,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM k GROUP BY lang, c, w, n_target ORDER BY lang""".stripMargin,
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

@@ -125,6 +125,43 @@ object CorpusQuality {
     df.filter(TextFunctions.md5Hash32(key).cast("double") < frac * lit(4294967296.0))
   }
 
+  /** Temperature-scaled mixture resampling — the data-mixing step that
+    * rebalances a multi-source pool into a training mix by sampling stratum
+    * s with weight ∝ count(s)^α at α = 1/2 (the standard "temperature"
+    * upweighting of low-resource strata), targeting `targetTotal` rows.
+    *
+    * Everything before the final per-row threshold is INTEGER arithmetic:
+    * the weight is an exact integer sqrt (floor(sqrt(c)) with a one-step
+    * correction where the correctly-rounded double sqrt lands above the
+    * true root), the denominator is an integer sum (no float reduction
+    * order), and the per-stratum take n_s = min(c_s, floor(T·w_s/Σw)) does
+    * one replayable division. Membership is then the q55 rule — a pure
+    * md5 function of the key against n_s/c_s — so re-runs, retries, and
+    * incremental appends select consistently at any scale.
+    *
+    * Returns the sampled rows with (__stratum, c, w, n_target) attached
+    * (per-stratum broadcast values; callers project what they need). */
+  def temperatureMixture(df: DataFrame, stratum: Column, key: Column,
+                         targetTotal: Long): DataFrame = {
+    require(targetTotal >= 0)
+    def isqrt(c: Column): Column = {
+      val s = floor(sqrt(c.cast("double"))).cast("long")
+      when(s * s > c, s - lit(1L)).otherwise(s)
+    }
+    val strata = df.groupBy(stratum.as("__stratum")).agg(count(lit(1)).as("c"))
+      .withColumn("w", isqrt(col("c")))
+    val denom = strata.agg(sum(col("w")).as("denom"))
+    val plan = strata.crossJoin(broadcast(denom))
+      .select(col("__stratum"), col("c"), col("w"),
+        least(col("c"),
+          floor((lit(targetTotal) * col("w")).cast("double") / col("denom"))
+            .cast("long")).as("n_target"))
+    df.withColumn("__stratum", stratum)
+      .join(broadcast(plan), Seq("__stratum"))
+      .filter(TextFunctions.md5Hash32(key).cast("double") <
+        (col("n_target").cast("double") * lit(4294967296.0)) / col("c"))
+  }
+
   /** Per-document document-frequency profile of its units: how many of a
     * document's units are corpus-common vs rare. The measurement companion
     * to `removeFrequentUnits` (same explode/count plan, aggregated instead

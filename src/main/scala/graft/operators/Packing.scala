@@ -77,9 +77,15 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, cntCol: String,
                     capacity: Long, bucketTarget: Int = 4096): DataFrame = {
     require(capacity >= 1 && bucketTarget >= 1)
+    // (id, cnt) is referenced three times below (maxId scalar, bucket
+    // totals, the positioned rows themselves); persist the two-long
+    // projection so whatever produced cnt — typically a full tokenize of
+    // the corpus text — runs ONCE, not per reference (the same trade q25
+    // makes for its minhash signatures). ~16 B/doc at any corpus size.
     val base = docs
       .select(col(idCol).cast("long").as("id"), col(cntCol).cast("long").as("cnt"))
       .filter(col("cnt") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = base.agg(max(col("id")).as("max_id"))
       .select((floor(col("max_id") / bucketTarget) + 1).as("w"))
     val bucketed = base.crossJoin(broadcast(w))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Pins the Tables-accessor contract against driver testdata regeneration.
+  *
+  * The driver has regenerated `/root/testdata` between rounds with CHANGED
+  * physical types (events.ts went TIMESTAMP(NANOS) → TIMESTAMP(MICROS)/NTZ,
+  * which silently broke analysis of every events query until Tables.events
+  * learned to normalize). This spec fails loudly and attributably the next
+  * time the contract the queries rely on shifts. */
+class TestdataCompatSpec extends SparkSpec {
+
+  private lazy val tables = new Engine.Tables(spark, sf)
+
+  test("events.ts normalizes to TimestampType whatever the parquet physical type") {
+    val f = tables.events.schema("ts")
+    assert(f.dataType == TimestampType,
+      s"Tables.events must yield TimestampType ts, got ${f.dataType}")
+  }
+
+  test("events carries the columns the query tier depends on") {
+    val cols = tables.events.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(cols("event_id") == LongType || cols("event_id") == IntegerType)
+    assert(cols.contains("user_id") && cols.contains("event_type"))
+    assert(cols("value") == DoubleType)
+    assert(cols.contains("props")) // q20 JSON extraction
+  }
+
+  test("documents and embeddings carry the LLM-pipeline columns") {
+    val d = tables.documents.schema.fieldNames.toSet
+    assert(Set("doc_id", "text", "lang", "source").subsetOf(d),
+      s"documents schema drifted: $d")
+    val e = tables.embeddings.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(e.keySet.contains("vec_id"))
+    assert(e("embedding") == ArrayType(FloatType, containsNull = true) ||
+      e("embedding") == ArrayType(FloatType, containsNull = false),
+      s"embedding column drifted: ${e("embedding")}")
+  }
+
+  test("TPC-H-ish date columns read as a timestamp family (oracle strings depend on it)") {
+    Seq(tables.lineitem.schema("l_shipdate").dataType,
+        tables.orders.schema("o_orderdate").dataType).foreach { t =>
+      assert(t == TimestampType || t == TimestampNTZType, s"got $t")
+    }
+  }
+}

@@ -203,4 +203,49 @@ class CorpusQualitySpec extends SparkSpec {
     assert(got(4L)._3 == 0.0)
     assert(got(1L)._3 > got(4L)._3)
   }
+
+  test("temperatureMixture takes floor(T*sqrt(c)/sum) per stratum via the md5 rule") {
+    // strata: a=100 docs, b=25, c=4 -> integer sqrt weights 10, 5, 2 (denom 17)
+    val docs = (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 125).map(i => (i.toLong, "b")) ++ (126 to 129).map(i => (i.toLong, "c"))
+    val df = docs.toDF("doc_id", "lang")
+    val got = CorpusQuality.temperatureMixture(df, col("lang"),
+        col("doc_id").cast("string"), targetTotal = 34L)
+      .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("__stratum")),
+        r.getLong(r.fieldIndex("n_target")))).toSeq
+
+    // expected takes: floor(34*10/17)=20, floor(34*5/17)=10, floor(34*2/17)=4=c
+    val nTarget = Map("a" -> 20L, "b" -> 10L, "c" -> 4L)
+    assert(got.map(t => t._2 -> t._3).toMap == nTarget)
+    // membership replays the md5 rule exactly (in-memory recompute)
+    def u32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val counts = Map("a" -> 100L, "b" -> 25L, "c" -> 4L)
+    val exp = docs.filter { case (id, g) =>
+      u32(id.toString).toDouble < (nTarget(g).toDouble * 4294967296.0) / counts(g)
+    }.map(_._1).toSet
+    assert(got.map(_._1).toSet == exp)
+    // low-resource stratum keeps a LARGER share than its raw frequency
+    val shareC = nTarget("c").toDouble / counts("c")
+    val shareA = nTarget("a").toDouble / counts("a")
+    assert(shareC > shareA)
+  }
+
+  test("temperatureMixture integer sqrt corrects the k^2-1 boundary") {
+    // 3 docs -> isqrt(3) must be 1 (floor path), 4 -> 2, and a stratum of
+    // 48 docs -> isqrt 6 (6*6=36 <= 48 < 49); huge targets cap at c
+    val docs = (1 to 3).map(i => (i.toLong, "x")) ++
+      (4 to 7).map(i => (i.toLong, "y")) ++ (8 to 55).map(i => (i.toLong, "z"))
+    val ws = CorpusQuality.temperatureMixture(docs.toDF("doc_id", "lang"),
+        col("lang"), col("doc_id").cast("string"), targetTotal = 1000000L)
+      .select("__stratum", "w", "n_target", "c").distinct()
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ws("x") == ((1L, 3L, 3L)))   // w=isqrt(3)=1, capped at c=3
+    assert(ws("y") == ((2L, 4L, 4L)))   // w=isqrt(4)=2, capped at c=4
+    assert(ws("z") == ((6L, 48L, 48L))) // w=isqrt(48)=6, capped at c=48
+  }
 }
