@@ -50,10 +50,17 @@ object Engine {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = table("events")
       raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
-          raw.withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.LongType =>
+          // A long ts is epoch nanos (the observed TIMESTAMP(NANOS) case) or
+          // could be plain epoch micros in a future generation. Classify by
+          // VALUE, not assumption: 4e15 is ~2096 as micros but Feb 1970 as
+          // nanos, so any instant between those dates classifies correctly
+          // in either unit — a silent 1000x skew is impossible in the
+          // window real event data can occupy.
+          import org.apache.spark.sql.functions._
+          raw.withColumn("ts", timestamp_micros(
+            when(col("ts") > lit(4000000000000000L), expr("ts DIV 1000"))
+              .otherwise(col("ts"))))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts",
             org.apache.spark.sql.functions.col("ts").cast("timestamp"))

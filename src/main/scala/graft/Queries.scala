@@ -1277,18 +1277,10 @@ object Queries {
     * MICROS so both engines resolve identical boundaries at the table's
     * sub-second timestamp precision; the sum is integer cents, so sliding-
     * frame accumulation order cannot matter. */
-  def trailingUserFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("tus"))
-      .rangeBetween(-3600000000L, 0)
-    t(spark, dir).events
-      .withColumn("tus", unix_micros(col("ts")))
-      .withColumn("cents", floor(col("value") * 100).cast("long"))
-      .select(col("event_id"),
-        count(lit(1)).over(w).as("trail_cnt"),
-        sum(col("cents")).over(w).as("trail_cents"))
+  def trailingUserFeatures(spark: SparkSession, dir: String): DataFrame =
+    Sessions.trailingFeatures(t(spark, dir).events,
+        "event_id", "user_id", "ts", "value")
       .orderBy("event_id")
-  }
 
   /** Document chunking (q80): sliding 64-token windows every 48 tokens —
     * context-window shaping with 16 tokens of overlap so no span loses its

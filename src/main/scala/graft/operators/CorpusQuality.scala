@@ -265,8 +265,12 @@ object CorpusQuality {
     * Shape at scale: the n-gram frequency table is built by ONE map-side-
     * combined count; scoring joins grams back on the gram key — the
     * inverted-index join shape (never pairwise), with the frequency side
-    * aggregated before it shuffles. Documents with fewer than n tokens
-    * score no row (they have no n-grams). */
+    * aggregated before it shuffles. The gram stream is derived twice (once
+    * per side of the join) — deliberate, the same trade q52's boilerplate
+    * pass documents: the stream is O(corpus tokens), far too large to
+    * persist blindly, and re-deriving it costs one extra tokenize pass,
+    * while the frequency side collapses to O(vocab) before shuffling.
+    * Documents with fewer than n tokens score no row (no n-grams). */
   def lmFamiliarity(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 2): DataFrame = {
     require(n >= 1)

@@ -82,6 +82,11 @@ object Packing {
     // projection so whatever produced cnt — typically a full tokenize of
     // the corpus text — runs ONCE, not per reference (the same trade q25
     // makes for its minhash signatures). ~16 B/doc at any corpus size.
+    // Lifecycle: intentionally not unpersisted — the returned plan is lazy
+    // and still references the cache. Repeated calls over the SAME input
+    // dedupe in the CacheManager (canonicalized-plan equality), so steady-
+    // state bench/driver reruns hold one entry, not one per call; distinct
+    // inputs hold one entry each, evictable LRU like q25's signatures.
     val base = docs
       .select(col(idCol).cast("long").as("id"), col(cntCol).cast("long").as("cnt"))
       .filter(col("cnt") > 0)

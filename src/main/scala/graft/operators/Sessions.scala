@@ -39,4 +39,28 @@ object Sessions {
     df.withColumn("session_idx",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Trailing-window point-in-time features: for every event, the same
+    * user's event count and value sum (exact, in integer cents) over the
+    * trailing `windowMicros` — the no-lookahead feature shape of a
+    * training-data pipeline (the frame ends AT the current row, so a model
+    * trained on these never sees the future). Frames are anchored on epoch
+    * MICROS so any engine resolves identical boundaries at the table's
+    * sub-second timestamp precision; both frame ends are inclusive.
+    *
+    * One shuffle on the user key; the range frame is a per-partition
+    * two-pointer scan (no per-row rescan). */
+  def trailingFeatures(events: DataFrame, idCol: String, userCol: String,
+                       tsCol: String, valueCol: String,
+                       windowMicros: Long = 3600000000L): DataFrame = {
+    require(windowMicros >= 0)
+    val w = Window.partitionBy(userCol).orderBy(col("__tus"))
+      .rangeBetween(-windowMicros, 0)
+    events
+      .withColumn("__tus", unix_micros(col(tsCol)))
+      .withColumn("__cents", floor(col(valueCol) * 100).cast("long"))
+      .select(col(idCol),
+        count(lit(1)).over(w).as("trail_cnt"),
+        sum(col("__cents")).over(w).as("trail_cents"))
+  }
 }

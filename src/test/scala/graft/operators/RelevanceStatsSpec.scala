@@ -115,12 +115,8 @@ class RelevanceStatsSpec extends SparkSpec {
       ("e3", "u1", ts(3600), 4.00), ("e4", "u1", ts(3601), 8.00),
       ("e5", "u1", ts(7300), 16.00), ("e6", "u2", ts(100), 32.00))
     val df = rows.toDF("event_id", "user_id", "ts", "value")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("tus")).rangeBetween(-3600000000L, 0)
-    val got = df.withColumn("tus", unix_micros(col("ts")))
-      .withColumn("cents", floor(col("value") * 100).cast("long"))
-      .select(col("event_id"), count(lit(1)).over(w).as("cnt"),
-        sum("cents").over(w).as("cents"))
+    // exercises the PRODUCTION operator (q79's body), not a re-implementation
+    val got = Sessions.trailingFeatures(df, "event_id", "user_id", "ts", "value")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // e3 at 3600s: frame [0s, 3600s] is inclusive at both ends -> e1,e2,e3
     assert(got("e3") == ((3L, 700L)))
