@@ -1325,4 +1325,20 @@ object Queries {
       .groupBy(col("__stratum").as("lang"), col("c"), col("w"), col("n_target"))
       .agg(count(lit(1)).as("n_taken"), sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("lang")
+
+  /** Chunk-level duplication rate (q84): how much intra-corpus redundancy
+    * survives at TRAINING granularity — documents may be unique while their
+    * 64-token chunks repeat (templates, boilerplate spans). Per source:
+    * chunks, distinct chunk hashes, dup_frac. The source column rides
+    * through the chunker (no corpus-sized join back on id). */
+  def chunkDupRate(spark: SparkSession, dir: String): DataFrame =
+    Packing.chunk(t(spark, dir).documents, "doc_id", "text",
+        size = 64, stride = 48, carry = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_md5")).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 6)
+          .as("dup_frac"))
+      .orderBy("source")
 }

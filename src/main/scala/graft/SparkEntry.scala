@@ -372,7 +372,8 @@ object SparkEntry {
     "q80_doc_chunks"      -> Queries.docChunks _,
     "q81_seq_pack"        -> Queries.seqPack _,
     "q82_lm_familiarity"  -> Queries.lmFamiliarityScores _,
-    "q83_temp_mixture"    -> Queries.temperatureMixtureReport _
+    "q83_temp_mixture"    -> Queries.temperatureMixtureReport _,
+    "q84_chunk_dup_rate"  -> Queries.chunkDupRate _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1047,6 +1048,26 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_taken,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM k GROUP BY lang, c, w, n_target ORDER BY lang""".stripMargin,
+    // q84: chunk-dedup replay — the q80 chunk stream (same slice arithmetic,
+    // same md5) grouped per source with exact distinct-hash counting
+    "q84_chunk_dup_rate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, source, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, source, toks, n,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(0.0e0, ceil((n - 64) / 48.0e0)) AS BIGINT))) AS chunk_idx
+        |  FROM n),
+        |h AS (SELECT source,
+        |    md5(array_to_string(
+        |      toks[CAST(chunk_idx * 48 + 1 AS BIGINT):CAST(chunk_idx * 48 + 64 AS BIGINT)],
+        |      ' ')) AS chunk_md5
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct,
+        |  round(1.0e0 - CAST(count(DISTINCT chunk_md5) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

@@ -33,16 +33,19 @@ object Packing {
     * final start needed to cover the tail and may be shorter than `size`.
     * Token-less documents produce no chunks.
     *
-    * Output: (id, chunk_idx, token_cnt, chunk_md5) — the chunk is carried as
-    * an md5 of its space-joined tokens so the result stays narrow at any
-    * document length; callers that want the text re-slice from the same
-    * deterministic arithmetic. */
+    * Output: (id, [carry...], chunk_idx, token_cnt, chunk_md5) — the chunk
+    * is carried as an md5 of its space-joined tokens so the result stays
+    * narrow at any document length; callers that want the text re-slice
+    * from the same deterministic arithmetic. `carry` columns ride through
+    * unchanged (e.g. source/lang for per-stratum chunk accounting) —
+    * cheaper than a corpus-sized join back on id. */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-            size: Int, stride: Int): DataFrame = {
+            size: Int, stride: Int, carry: Seq[String] = Nil): DataFrame = {
     require(size >= 1 && stride >= 1 && stride <= size,
       s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val carryCols = carry.map(col)
     val toks = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id") +: carryCols :+ tokens(col(textCol)).as("toks"): _*)
       .withColumn("n", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
       .filter(col("n") > 0)
     // last start index k·stride with k = ceil((n−size)/stride) (0 when the
@@ -50,13 +53,13 @@ object Packing {
     val k = greatest(lit(0L),
       ceil((col("n") - size).cast("double") / lit(stride.toDouble)))
     toks
-      .select(col("id"), col("toks"), col("n"),
-        explode(sequence(lit(0L), k)).as("chunk_idx"))
+      .select(col("id") +: carryCols :+ col("toks") :+ col("n") :+
+        explode(sequence(lit(0L), k)).as("chunk_idx"): _*)
       .withColumn("start", col("chunk_idx") * stride)
-      .select(col("id"), col("chunk_idx"),
-        least(lit(size.toLong), col("n") - col("start")).as("token_cnt"),
+      .select(col("id") +: carryCols :+ col("chunk_idx") :+
+        least(lit(size.toLong), col("n") - col("start")).as("token_cnt") :+
         md5(array_join(slice(col("toks"), (col("start") + 1).cast("int"), lit(size)), " ")
-          .cast("binary")).as("chunk_md5"))
+          .cast("binary")).as("chunk_md5"): _*)
   }
 
   /** Concat-and-chop sequence packing: documents are laid head-to-tail in

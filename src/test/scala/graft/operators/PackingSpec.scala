@@ -40,6 +40,21 @@ class PackingSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == 6L)) // empty doc produced nothing
   }
 
+  test("chunk carries pass-through columns unchanged and identical text chunks hash equal") {
+    val docs = Seq(
+      (1L, "web", "a b c d e f"), (2L, "web", "a b c d e f"), // same text
+      (3L, "book", "a b c d e f"), (4L, "book", "x y z"))
+    val got = Packing.chunk(docs.toDF("doc_id", "source", "text"),
+        "doc_id", "text", size = 4, stride = 3, carry = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(4)))
+    assert(got.forall { case (id, src, _, _) =>
+      src == docs.find(_._1 == id).get._2 }) // carry intact per row
+    // duplicate-text docs produce identical chunk hash sequences
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
+    assert(byDoc(1L) != byDoc(4L))
+  }
+
   test("chunk windows tile the token stream: every token covered, overlap = size - stride") {
     val n = 103; val (size, stride) = (16, 12)
     val st = starts(n, size, stride)
