@@ -1331,6 +1331,21 @@ object Queries {
     * 64-token chunks repeat (templates, boilerplate spans). Per source:
     * chunks, distinct chunk hashes, dup_frac. The source column rides
     * through the chunker (no corpus-sized join back on id). */
+  /** Packed-segment map (q85): the materialized writer table for q81's
+    * packing — every (document, sequence) intersection with its token range
+    * and sequence offset, all integer arithmetic derived from the packed
+    * rows. Sequence writers shard on seq_id with no coordination. */
+  def packedSegments(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir).documents
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long").as("n_tokens"))
+    Packing.packSegments(
+        Packing.packSequences(counts, "doc_id", "n_tokens", capacity = 2048),
+        capacity = 2048)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "seq_id")
+  }
+
   def chunkDupRate(spark: SparkSession, dir: String): DataFrame =
     Packing.chunk(t(spark, dir).documents, "doc_id", "text",
         size = 64, stride = 48, carry = Seq("source"))

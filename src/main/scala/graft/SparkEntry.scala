@@ -373,7 +373,8 @@ object SparkEntry {
     "q81_seq_pack"        -> Queries.seqPack _,
     "q82_lm_familiarity"  -> Queries.lmFamiliarityScores _,
     "q83_temp_mixture"    -> Queries.temperatureMixtureReport _,
-    "q84_chunk_dup_rate"  -> Queries.chunkDupRate _
+    "q84_chunk_dup_rate"  -> Queries.chunkDupRate _,
+    "q85_packed_segments" -> Queries.packedSegments _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1068,6 +1069,29 @@ object SparkEntry {
         |  CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct,
         |  round(1.0e0 - CAST(count(DISTINCT chunk_md5) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    // q85: packed-segment replay — the q81 prefix sum extended by a span
+    // explode; every doc/sequence intersection in pure integer arithmetic
+    "q85_packed_segments" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS cnt
+        |  FROM documents),
+        |p AS (SELECT doc_id, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM d WHERE cnt > 0),
+        |e AS (SELECT doc_id, cnt, pos,
+        |    CAST(floor(pos / 2048) AS BIGINT) AS first_seq,
+        |    CAST(floor((pos + cnt - 1) / 2048) - floor(pos / 2048) + 1 AS BIGINT) AS spans
+        |  FROM p),
+        |x AS (SELECT doc_id, cnt, pos, first_seq,
+        |    unnest(generate_series(0, spans - 1)) AS j FROM e),
+        |y AS (SELECT doc_id, cnt, pos, first_seq + j AS seq_id FROM x)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(pos, seq_id * 2048) - pos AS BIGINT) AS doc_from,
+        |  CAST(greatest(pos, seq_id * 2048) - seq_id * 2048 AS BIGINT) AS seq_off,
+        |  CAST(least(pos + cnt, (seq_id + 1) * 2048)
+        |    - greatest(pos, seq_id * 2048) AS BIGINT) AS n_tok
+        |FROM y ORDER BY doc_id, seq_id""".stripMargin,
     "q71_audio_meta" ->
       // closed-form replay of the synthesized WAV set: the Spark side must
       // round-trip RIFF encode -> header parse -> full PCM decode to match;

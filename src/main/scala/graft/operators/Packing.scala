@@ -118,4 +118,36 @@ object Packing {
           - floor(col("pos") / capacity) + 1).as("spans"))
       .orderBy("id")
   }
+
+  /** The per-segment materialization of [[packSequences]] — the table a
+    * training pipeline actually writes: for every (document, sequence) pair
+    * the document touches, which token range of the document lands at which
+    * offset of the sequence. Derived from the packed rows by pure integer
+    * arithmetic (explode over the span index; intersection of the doc's
+    * global token interval with the sequence's): writers for different
+    * sequences need no coordination, a reader of sequence s selects its
+    * segments by the s key alone, and segment lengths per sequence sum to
+    * `capacity` on every full sequence (padding-free packing, the metric
+    * PackingSpec pins).
+    *
+    * Input must be [[packSequences]] output (id, n_tokens, seq_id,
+    * seq_offset, spans). Output: (id, seq_id, doc_from, seq_off, n_tok) —
+    * doc tokens [doc_from, doc_from + n_tok) land at sequence offset
+    * seq_off. */
+  def packSegments(packed: DataFrame, capacity: Long): DataFrame = {
+    require(capacity >= 1)
+    val p = (col("seq_id") * capacity) + col("seq_offset") // global start
+    packed
+      .select(col("id"), col("n_tokens"), col("seq_id").as("first_seq"),
+        p.as("p"), col("spans"))
+      .select(col("id"), col("n_tokens"), col("p"), col("first_seq"),
+        explode(sequence(lit(0L), col("spans") - 1)).as("j"))
+      .withColumn("seq_id", col("first_seq") + col("j"))
+      .select(col("id"), col("seq_id"),
+        (greatest(col("p"), col("seq_id") * capacity) - col("p")).as("doc_from"),
+        (greatest(col("p"), col("seq_id") * capacity)
+          - col("seq_id") * capacity).as("seq_off"),
+        (least(col("p") + col("n_tokens"), (col("seq_id") + 1) * capacity)
+          - greatest(col("p"), col("seq_id") * capacity)).as("n_tok"))
+  }
 }

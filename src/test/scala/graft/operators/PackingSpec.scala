@@ -87,6 +87,44 @@ class PackingSpec extends SparkSpec {
     assert(got.toMap.apply(12L) == ((260L, 1L, 45L, 4L)))
   }
 
+  test("packSegments reconstructs every doc exactly and fills full sequences to capacity") {
+    val cap = 100L
+    val cnts = Seq(1L -> 40L, 2L -> 95L, 3L -> 10L, 4L -> 260L, 5L -> 55L, 6L -> 1L)
+    val packed = Packing.packSequences(cnts.toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", capacity = cap)
+    val segs = Packing.packSegments(packed, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // every doc's segments cover [0, cnt) contiguously in seq order
+    val byDoc = segs.groupBy(_._1)
+    cnts.foreach { case (id, c) =>
+      val ss = byDoc(id).sortBy(_._2).toSeq
+      assert(ss.head._3 == 0L) // doc_from starts at 0
+      assert(ss.map(_._5).sum == c, s"doc $id token coverage")
+      ss.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 == a._3 + a._5) // contiguous doc ranges
+          assert(b._2 == a._2 + 1)    // consecutive sequences
+          assert(b._4 == 0L)          // continuation lands at sequence start
+        case _ => ()
+      }
+    }
+    // within a sequence, segments tile [0, capacity) with no gaps or overlap;
+    // all but the last sequence are filled exactly to capacity
+    val bySeq = segs.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, ss) =>
+      val sorted = ss.sortBy(_._4).toSeq
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 == a._4 + a._5, s"seq $s gap/overlap")
+        case _ => ()
+      }
+      assert(sorted.head._4 == 0L)
+      if (s != lastSeq)
+        assert(sorted.map(_._5).sum == cap, s"seq $s not filled to capacity")
+    }
+  }
+
   test("packSequences positions are invariant under the bucket width") {
     // sparse, skewed ids exercise multi-bucket prefix sums; the hierarchical
     // sum must equal the single-bucket (bucketTarget >= maxId) result exactly
