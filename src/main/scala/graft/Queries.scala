@@ -1326,6 +1326,32 @@ object Queries {
       .agg(count(lit(1)).as("n_taken"), sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("lang")
 
+  /** Incremental packing (q86): pack the corpus in TWO id-ordered batches —
+    * the second continued from the first's high-water token position (the
+    * bounded scalar a real pipeline stores with its output) — and gate the
+    * union against the SAME full-repack oracle as q81. Proves append-only
+    * packing never requires touching already-written sequences. */
+  def incrementalPack(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir).documents
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // batch boundary at half the id range; the first batch's total token
+    // count is the high-water mark (one bounded scalar, like a stored
+    // checkpoint value)
+    val stats = counts.agg(max(col("doc_id")).as("m")).head
+    val splitId = if (stats.isNullAt(0)) 0L else stats.getLong(0) / 2
+    val first = counts.filter(col("doc_id") <= splitId)
+    val rest = counts.filter(col("doc_id") > splitId)
+    val hwRow = first.filter(col("n_tokens") > 0)
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head
+    val highWater = hwRow.getLong(0)
+    Packing.packSequences(first, "doc_id", "n_tokens", capacity = 2048)
+      .unionAll(Packing.packSequences(rest, "doc_id", "n_tokens",
+        capacity = 2048, basePos = highWater))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level duplication rate (q84): how much intra-corpus redundancy
     * survives at TRAINING granularity — documents may be unique while their
     * 64-token chunks repeat (templates, boilerplate spans). Per source:

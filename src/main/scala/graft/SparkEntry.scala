@@ -374,7 +374,8 @@ object SparkEntry {
     "q82_lm_familiarity"  -> Queries.lmFamiliarityScores _,
     "q83_temp_mixture"    -> Queries.temperatureMixtureReport _,
     "q84_chunk_dup_rate"  -> Queries.chunkDupRate _,
-    "q85_packed_segments" -> Queries.packedSegments _
+    "q85_packed_segments" -> Queries.packedSegments _,
+    "q86_incremental_pack" -> Queries.incrementalPack _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -995,6 +996,22 @@ object SparkEntry {
     // DuckDB), the engine computes it hierarchically; positions must agree
     // exactly for every derived seq/offset/span to hash-match
     "q81_seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS cnt
+        |  FROM documents),
+        |p AS (SELECT doc_id, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM d WHERE cnt > 0)
+        |SELECT doc_id, CAST(cnt AS BIGINT) AS n_tokens,
+        |  CAST(floor(pos / 2048) AS BIGINT) AS seq_id,
+        |  CAST(pos % 2048 AS BIGINT) AS seq_offset,
+        |  CAST(floor((pos + cnt - 1) / 2048) - floor(pos / 2048) + 1 AS BIGINT) AS spans
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // q86: incremental (two-batch, basePos-continued) packing must equal the
+    // FULL repack — the oracle is deliberately q81's full-corpus prefix sum,
+    // so any drift in the continued positions hash-mismatches
+    "q86_incremental_pack" ->
       """WITH d AS (SELECT doc_id,
         |    len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS cnt
         |  FROM documents),

@@ -47,7 +47,6 @@ object Packing {
     val toks = docs
       .select(col(idCol).as("id") +: carryCols :+ tokens(col(textCol)).as("toks"): _*)
       .withColumn("n", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
-      .filter(col("n") > 0)
     // last start index k·stride with k = ceil((n−size)/stride) (0 when the
     // doc fits in one chunk); stride ≤ size guarantees start < n
     val k = greatest(lit(0L),
@@ -60,6 +59,13 @@ object Packing {
         least(lit(size.toLong), col("n") - col("start")).as("token_cnt") :+
         md5(array_join(slice(col("toks"), (col("start") + 1).cast("int"), lit(size)), " ")
           .cast("binary")).as("chunk_md5"): _*)
+      // token-less docs are dropped HERE, after the explode: their single
+      // chunk_idx-0 row has token_cnt = 0, every real chunk has ≥ 1 (start
+      // < n). A pre-explode filter(n > 0) gets pushed below the tokenize
+      // projection and re-derives split() in the predicate — a second full
+      // tokenize per row (plan-asserted away in PackingSpec); this
+      // predicate cannot sink past the Generate and is pure arithmetic.
+      .filter(col("token_cnt") > 0)
   }
 
   /** Concat-and-chop sequence packing: documents are laid head-to-tail in
@@ -76,10 +82,18 @@ object Packing {
     * scalar; nothing is collected. Token-less documents are dropped (they
     * occupy no slot).
     *
+    * `basePos` continues packing from a prior run's high-water token
+    * position (the incremental-append case: new corpus batches extend the
+    * packed stream without touching already-written sequences) — pack of
+    * the whole equals pack of any id-ordered prefix followed by a basePos-
+    * continued pack of the rest, a property PackingSpec pins and q86 gates
+    * against the full-repack oracle.
+    *
     * Output: (id, n_tokens, seq_id, seq_offset, spans), ordered by id. */
   def packSequences(docs: DataFrame, idCol: String, cntCol: String,
-                    capacity: Long, bucketTarget: Int = 4096): DataFrame = {
-    require(capacity >= 1 && bucketTarget >= 1)
+                    capacity: Long, bucketTarget: Int = 4096,
+                    basePos: Long = 0L): DataFrame = {
+    require(capacity >= 1 && bucketTarget >= 1 && basePos >= 0)
     // (id, cnt) is referenced three times below (maxId scalar, bucket
     // totals, the positioned rows themselves); persist the two-long
     // projection so whatever produced cnt — typically a full tokenize of
@@ -110,7 +124,8 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
       .join(broadcast(bucketBases), Seq("bucket"))
-      .withColumn("pos", col("bbase") + coalesce(sum("cnt").over(intra), lit(0L)))
+      .withColumn("pos",
+        lit(basePos) + col("bbase") + coalesce(sum("cnt").over(intra), lit(0L)))
       .select(col("id"), col("cnt").as("n_tokens"),
         floor(col("pos") / capacity).as("seq_id"),
         (col("pos") % capacity).as("seq_offset"),

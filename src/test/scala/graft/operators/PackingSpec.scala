@@ -125,6 +125,48 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packSequences basePos makes batched packing equal a full repack") {
+    val cap = 50L
+    val cnts = (1 to 60).map(i => (i.toLong, 1L + (i * 7) % 40))
+    val df = cnts.toDF("doc_id", "n_tokens")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val full = rows(Packing.packSequences(df, "doc_id", "n_tokens", cap))
+    // three arbitrary id-ordered batches, each continued from the previous
+    // high-water token position
+    val cuts = Seq(0L, 17L, 42L, 60L)
+    var base = 0L
+    val batched = cuts.sliding(2).flatMap { case Seq(lo, hi) =>
+      val slice = df.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      val out = rows(Packing.packSequences(slice, "doc_id", "n_tokens", cap,
+        basePos = base))
+      base += cnts.filter { case (id, _) => id > lo && id <= hi }.map(_._2).sum
+      out
+    }.toSeq
+    assert(batched == full)
+  }
+
+  test("chunk and packSequences plans tokenize once (no re-derived split in hot paths)") {
+    // q80's chunk: the whole operator is one scan + one Generate; exactly
+    // ONE split() in the optimized plan (the tokenize-once rule the q24/q25
+    // round-2 fix established). Parquet-backed source — a LocalRelation
+    // would constant-fold the tokenize away and make the grep vacuous.
+    val docs = new graft.Engine.Tables(spark, sf).documents
+    val chunkPlan = Packing.chunk(docs, "doc_id", "text", 4, 3)
+      .queryExecution.optimizedPlan.toString
+    assert(chunkPlan.sliding("split(".length).count(_ == "split(") == 1, chunkPlan)
+    // packSequences: the persisted (id, cnt) projection appears as an
+    // InMemoryRelation in the executed plan, so tokenize runs once across
+    // the three plan references
+    val counts = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val packPlan = Packing.packSequences(counts, "doc_id", "n_tokens", 64)
+      .queryExecution.executedPlan.toString
+    assert(packPlan.contains("InMemoryTableScan") || packPlan.contains("TableCacheQueryStage"),
+      packPlan.take(2000))
+  }
+
   test("packSequences positions are invariant under the bucket width") {
     // sparse, skewed ids exercise multi-bucket prefix sums; the hierarchical
     // sum must equal the single-bucket (bucketTarget >= maxId) result exactly
