@@ -1352,6 +1352,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Streaming chunking parity (q87): `Packing.chunk` on the PRODUCTION
+    * file-source ingest path — documents arrive as parquet file waves via
+    * `readStream` and are chunked in-flight (stateless, so no watermark and
+    * no state store; the chunk rows land in the sink as each micro-batch
+    * commits). The check aggregates per chunk_idx — a pure function of the
+    * SET of documents, independent of arrival order and file packing — and
+    * must equal the batch formulation replayed by the oracle. Extends the
+    * q70 stateless-streaming claim to the context-window tier. */
+  def streamingChunkParity(spark: SparkSession, dir: String): DataFrame = {
+    val runId = streamRunCounter.getAndIncrement()
+    val ss = streamSession(spark)
+    val stage = scratchDir(spark,
+      s"q87_${Integer.toHexString(dir.hashCode)}_$runId")
+    val docs = t(spark, dir).documents.select(col("doc_id"), col("text"))
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = ss.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(stage)
+    val name = s"q87_stream_$runId"
+    val sq = Packing.chunk(stream, "doc_id", "text", size = 64, stride = 48)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    ss.table(name)
+      .groupBy("chunk_idx")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("token_cnt")).cast("long").as("sum_tokens"),
+        countDistinct(col("chunk_md5")).as("n_distinct"))
+      .orderBy("chunk_idx")
+  }
+
   /** Chunk-level duplication rate (q84): how much intra-corpus redundancy
     * survives at TRAINING granularity — documents may be unique while their
     * 64-token chunks repeat (templates, boilerplate spans). Per source:

@@ -375,7 +375,8 @@ object SparkEntry {
     "q83_temp_mixture"    -> Queries.temperatureMixtureReport _,
     "q84_chunk_dup_rate"  -> Queries.chunkDupRate _,
     "q85_packed_segments" -> Queries.packedSegments _,
-    "q86_incremental_pack" -> Queries.incrementalPack _
+    "q86_incremental_pack" -> Queries.incrementalPack _,
+    "q87_stream_chunks"   -> Queries.streamingChunkParity _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1008,6 +1009,28 @@ object SparkEntry {
         |  CAST(pos % 2048 AS BIGINT) AS seq_offset,
         |  CAST(floor((pos + cnt - 1) / 2048) - floor(pos / 2048) + 1 AS BIGINT) AS spans
         |FROM p ORDER BY doc_id""".stripMargin,
+    // q87: streaming chunking parity — the oracle is the BATCH chunk replay
+    // (q80's CTE) aggregated per chunk_idx; the Spark side must reproduce it
+    // from file-source micro-batches
+    "q87_stream_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(0.0e0, ceil((n - 64) / 48.0e0)) AS BIGINT))) AS chunk_idx
+        |  FROM n),
+        |h AS (SELECT chunk_idx,
+        |    CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS token_cnt,
+        |    md5(array_to_string(
+        |      toks[CAST(chunk_idx * 48 + 1 AS BIGINT):CAST(chunk_idx * 48 + 64 AS BIGINT)],
+        |      ' ')) AS chunk_md5
+        |  FROM c)
+        |SELECT chunk_idx, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(token_cnt) AS BIGINT) AS sum_tokens,
+        |  CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct
+        |FROM h GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin,
     // q86: incremental (two-batch, basePos-continued) packing must equal the
     // FULL repack — the oracle is deliberately q81's full-corpus prefix sum,
     // so any drift in the continued positions hash-mismatches
