@@ -1300,7 +1300,7 @@ object Queries {
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
     val counts = t(spark, dir).documents
       .select(col("doc_id"),
-        org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long").as("n_tokens"))
+        plans.TextExpressions.token_count(col("text")).as("n_tokens"))
     Packing.packSequences(counts, "doc_id", "n_tokens", capacity = 2048)
       .withColumnRenamed("id", "doc_id")
   }
@@ -1334,7 +1334,7 @@ object Queries {
   def incrementalPack(spark: SparkSession, dir: String): DataFrame = {
     val counts = t(spark, dir).documents
       .select(col("doc_id"),
-        org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long").as("n_tokens"))
+        plans.TextExpressions.token_count(col("text")).as("n_tokens"))
     // batch boundary at half the id range; the first batch's total token
     // count is the high-water mark (one bounded scalar, like a stored
     // checkpoint value)
@@ -1395,7 +1395,7 @@ object Queries {
   def packedSegments(spark: SparkSession, dir: String): DataFrame = {
     val counts = t(spark, dir).documents
       .select(col("doc_id"),
-        org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long").as("n_tokens"))
+        plans.TextExpressions.token_count(col("text")).as("n_tokens"))
     Packing.packSegments(
         Packing.packSequences(counts, "doc_id", "n_tokens", capacity = 2048),
         capacity = 2048)

@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.functions._
+
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bothCounts(strings: Seq[String]) = {
+    val df = strings.toDF("text")
+    df.select(TextExpressions.token_count(col("text")).as("native"),
+        size(tokens(col("text"))).cast("long").as("idiom"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("token_count equals size(tokens(_)) on adversarial inputs") {
+    val cases = Seq(
+      "", " ", "   \t\n\r\f  ",          // empty / all-whitespace -> 0
+      "a", " a", "a ", "  a  b  ",             // boundary whitespace
+      "a b c", "a\tb\nc\rd\fef",         // every \s separator byte
+      "a b",                              // NBSP is NOT Java \s: one token
+      "héllo wörld 你好",              // multi-byte UTF-8 tokens
+      "你\n好",                        // multi-byte split by newline
+      "x" * 10000,                             // long single token
+      ("y " * 5000).trim)                      // many tokens
+    bothCounts(cases).zip(cases).foreach { case ((native, idiom), s) =>
+      assert(native == idiom, s"mismatch on ${s.take(40).replace("\n", "\\n")}")
+    }
+    assert(bothCounts(Seq("a b")).head._1 == 1L) // NBSP stays inside the token
+  }
+
+  test("token_count equals size(tokens(_)) on fuzz strings, codegen and interpreted") {
+    val rnd = new scala.util.Random(87)
+    val alphabet = " \t\n\r\f aAzZ09é 你ὠ0".toCharArray
+    val fuzz = (1 to 500).map { _ =>
+      (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    bothCounts(fuzz).foreach { case (native, idiom) => assert(native == idiom) }
+    // interpreted (non-codegen) path: evaluate through a filter on a
+    // wholestage-disabled session clone
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.codegen.wholeStage", "false")
+    ss.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    import ss.implicits._
+    val got = fuzz.toDF("text")
+      .select(TextExpressions.token_count(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    val exp = fuzz.map(_.split("\\s+").count(_.nonEmpty).toLong)
+    assert(got == exp)
+  }
+
+  test("token_count handles null and non-string inputs per contract") {
+    val df = Seq(Some("a b"), None).toDF("text")
+    val got = df.select(TextExpressions.token_count(col("text"))).collect()
+    assert(got(0).getLong(0) == 2L && got(1).isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(TextExpressions.token_count(col("x"))).collect()
+    }
+  }
+}
