@@ -1297,13 +1297,18 @@ object Queries {
     * may straddle boundaries). The global prefix sum is hierarchical — the
     * single-partition window the naive form needs is replaced by bounded
     * per-bucket windows plus a ≤4096-row base window (see Packing). */
-  def seqPack(spark: SparkSession, dir: String): DataFrame = {
-    val counts = t(spark, dir).documents
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(docTokenCounts(spark, dir), "doc_id", "n_tokens",
+        capacity = 2048)
+      .withColumnRenamed("id", "doc_id")
+
+  /** The (doc_id, n_tokens) weights q81/q85/q86 pack — ONE definition so
+    * the three queries can never desynchronize from each other or from the
+    * shared full-repack oracle. Native TokenCount: no token arrays. */
+  private def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
       .select(col("doc_id"),
         plans.TextExpressions.token_count(col("text")).as("n_tokens"))
-    Packing.packSequences(counts, "doc_id", "n_tokens", capacity = 2048)
-      .withColumnRenamed("id", "doc_id")
-  }
 
   /** LM familiarity scoring (q82): every document scored by the mean
     * floor(log2(corpus frequency)) of its bigrams — the cheap LM-perplexity
@@ -1332,20 +1337,25 @@ object Queries {
     * union against the SAME full-repack oracle as q81. Proves append-only
     * packing never requires touching already-written sequences. */
   def incrementalPack(spark: SparkSession, dir: String): DataFrame = {
-    val counts = t(spark, dir).documents
-      .select(col("doc_id"),
-        plans.TextExpressions.token_count(col("text")).as("n_tokens"))
-    // batch boundary at half the id range; the first batch's total token
-    // count is the high-water mark (one bounded scalar, like a stored
-    // checkpoint value)
+    val counts = docTokenCounts(spark, dir)
+    // batch boundary at half the id range (one bounded scalar)
     val stats = counts.agg(max(col("doc_id")).as("m")).head
     val splitId = if (stats.isNullAt(0)) 0L else stats.getLong(0) / 2
     val first = counts.filter(col("doc_id") <= splitId)
     val rest = counts.filter(col("doc_id") > splitId)
-    val hwRow = first.filter(col("n_tokens") > 0)
-      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head
+    val packedFirst = Packing.packSequences(first, "doc_id", "n_tokens",
+      capacity = 2048)
+    // the high-water mark is read from the FIRST PACK'S OWN OUTPUT — the
+    // end position of its last document (positions are contiguous, so the
+    // max end IS the batch's total token count). Exactly what a real
+    // pipeline stores alongside its written sequences, and this scalar
+    // materializes packSequences' internal (id, cnt) cache, so the union
+    // below reuses it instead of re-tokenizing the first half.
+    val hwRow = packedFirst.agg(coalesce(
+      max(col("seq_id") * 2048L + col("seq_offset") + col("n_tokens")),
+      lit(0L))).head
     val highWater = hwRow.getLong(0)
-    Packing.packSequences(first, "doc_id", "n_tokens", capacity = 2048)
+    packedFirst
       .unionAll(Packing.packSequences(rest, "doc_id", "n_tokens",
         capacity = 2048, basePos = highWater))
       .withColumnRenamed("id", "doc_id")
@@ -1383,26 +1393,23 @@ object Queries {
       .orderBy("chunk_idx")
   }
 
+  /** Packed-segment map (q85): the materialized writer table for q81's
+    * packing — every (document, sequence) intersection with its token range
+    * and sequence offset, all integer arithmetic derived from the packed
+    * rows. Sequence writers shard on seq_id with no coordination. */
+  def packedSegments(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSegments(
+        Packing.packSequences(docTokenCounts(spark, dir), "doc_id", "n_tokens",
+          capacity = 2048),
+        capacity = 2048)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "seq_id")
+
   /** Chunk-level duplication rate (q84): how much intra-corpus redundancy
     * survives at TRAINING granularity — documents may be unique while their
     * 64-token chunks repeat (templates, boilerplate spans). Per source:
     * chunks, distinct chunk hashes, dup_frac. The source column rides
     * through the chunker (no corpus-sized join back on id). */
-  /** Packed-segment map (q85): the materialized writer table for q81's
-    * packing — every (document, sequence) intersection with its token range
-    * and sequence offset, all integer arithmetic derived from the packed
-    * rows. Sequence writers shard on seq_id with no coordination. */
-  def packedSegments(spark: SparkSession, dir: String): DataFrame = {
-    val counts = t(spark, dir).documents
-      .select(col("doc_id"),
-        plans.TextExpressions.token_count(col("text")).as("n_tokens"))
-    Packing.packSegments(
-        Packing.packSequences(counts, "doc_id", "n_tokens", capacity = 2048),
-        capacity = 2048)
-      .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id", "seq_id")
-  }
-
   def chunkDupRate(spark: SparkSession, dir: String): DataFrame =
     Packing.chunk(t(spark, dir).documents, "doc_id", "text",
         size = 64, stride = 48, carry = Seq("source"))

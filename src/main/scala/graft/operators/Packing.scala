@@ -43,6 +43,9 @@ object Packing {
             size: Int, stride: Int, carry: Seq[String] = Nil): DataFrame = {
     require(size >= 1 && stride >= 1 && stride <= size,
       s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val reserved = Set("id", "toks", "n", "chunk_idx", "start", "token_cnt", "chunk_md5")
+    require(carry.forall(c => !reserved.contains(c)),
+      s"carry columns collide with chunk's internals: ${carry.filter(reserved)}")
     val carryCols = carry.map(col)
     val toks = docs
       .select(col(idCol).as("id") +: carryCols :+ tokens(col(textCol)).as("toks"): _*)

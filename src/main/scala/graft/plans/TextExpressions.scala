@@ -56,14 +56,15 @@ case class TokenCount(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val cnt = ctx.freshName("cnt")
       val inTok = ctx.freshName("inTok")
+      val ws = ctx.freshName("ws")
       s"""
          |int $n = $s.numBytes();
          |long $cnt = 0L;
          |boolean $inTok = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  byte $b = $s.getByte($i);
-         |  boolean ws = $b == 0x20 || ($b >= 0x09 && $b <= 0x0D);
-         |  if (ws) { $inTok = false; }
+         |  boolean $ws = $b == 0x20 || ($b >= 0x09 && $b <= 0x0D);
+         |  if ($ws) { $inTok = false; }
          |  else if (!$inTok) { $cnt++; $inTok = true; }
          |}
          |${ev.value} = $cnt;
