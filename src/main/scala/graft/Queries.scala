@@ -1254,12 +1254,13 @@ object Queries {
   def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tb = t(spark, dir)
-    // probe terms: top-3 global words; vocab-sized frame, so the single-
-    // partition ranking window is over |vocab| rows, not the corpus
+    // probe terms: top-3 global words via a distributed top-k
+    // (TakeOrderedAndProject — per-partition heaps, no vocab-wide sort);
+    // only the 3 survivors pass through a ranking window
     val terms = words(tb).groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(3)
       .withColumn("term_rank",
         row_number().over(Window.orderBy(col("c").desc, col("word"))))
-      .filter(col("term_rank") <= 3)
       .select(col("word").as("term"), col("term_rank"))
     val scored = Relevance.bm25(tb.documents, "doc_id", "text", terms, nTerms = 3)
     // distributed top-k cut (TakeOrderedAndProject), then rank the 10 rows

@@ -54,6 +54,29 @@ class RelevanceStatsSpec extends SparkSpec {
     }
   }
 
+  test("q78 probe derivation is a distributed top-k, not a vocab-wide window") {
+    // The probe terms come from ranking the WHOLE vocabulary by count; at
+    // web scale that frame is ~10^9 rows. The plan must therefore cut it
+    // with TakeOrderedAndProject (per-partition heaps) — a single-partition
+    // Sort over the vocab frame is the scale-killer this pins against.
+    val q = graft.Queries.bm25TopDocs(spark, sf)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"expected a distributed top-k in:\n$physical")
+    // the only window operators allowed are over already-limited frames
+    // (the 3 probe rows, the 10 result rows) — each must sit ABOVE a
+    // GlobalLimit in the plan tree, never directly over the vocab aggregate
+    val opt = q.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, GlobalLimit}
+    opt.foreach {
+      case w: LWindow =>
+        val limited = w.child.collectFirst { case g: GlobalLimit => g }
+        assert(limited.nonEmpty,
+          s"window over an unlimited frame:\n${w.treeString}")
+      case _ =>
+    }
+  }
+
   test("bm25 ranks a rare-term doc above a common-term doc despite lower tf") {
     val terms = Seq(("cat", 1), ("the", 2)).toDF("term", "term_rank")
     val scores = Relevance.bm25(docs.toDF("doc_id", "text"), "doc_id", "text",
