@@ -1339,8 +1339,11 @@ object Queries {
     * packing never requires touching already-written sequences. */
   def incrementalPack(spark: SparkSession, dir: String): DataFrame = {
     val counts = docTokenCounts(spark, dir)
-    // batch boundary at half the id range (one bounded scalar)
-    val stats = counts.agg(max(col("doc_id")).as("m")).head
+    // batch boundary at half the id range (one bounded scalar). Cast in the
+    // plan: testdata parquet physical types have drifted across driver
+    // generations, and Row.getLong on an INT32-regenerated doc_id would
+    // throw where the cast is free.
+    val stats = counts.agg(max(col("doc_id").cast("long")).as("m")).head
     val splitId = if (stats.isNullAt(0)) 0L else stats.getLong(0) / 2
     val first = counts.filter(col("doc_id") <= splitId)
     val rest = counts.filter(col("doc_id") > splitId)

@@ -32,7 +32,7 @@ object SparkEntry {
       (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}").mkString("(", " AND ", ")")
     }.mkString(" OR ")
     s"""toksrc AS (
-       |  SELECT id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  SELECT id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
        |  FROM msrc),
        |shm AS (
        |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
@@ -62,7 +62,7 @@ object SparkEntry {
   private def curationOracleSql: String = {
     val cfg = graft.Queries.CurationCfg
     s"""WITH t AS (SELECT doc_id, lang, text,
-       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
        |  FROM documents),
        |q AS (SELECT doc_id, lang, text, w FROM t
        |  WHERE len(w) >= ${cfg.minTokens}
@@ -118,7 +118,7 @@ object SparkEntry {
       val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
       s"(CASE WHEN b$b > 0 THEN $v ELSE 0 END)"
     }.mkString(" + ")
-    s"""w AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+    s"""w AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
        |  FROM documents),
        |wc AS (SELECT id, w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY id, w),
        |hw AS (SELECT id, cnt,
@@ -272,7 +272,7 @@ object SparkEntry {
     * gate from the q70/q73 one. */
   private def curationGateCtes(src: String): String =
     s"""t AS (SELECT *,
-      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      |    list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
       |  FROM $src),
       |q AS (SELECT * FROM t
       |  WHERE len(w) >= 5
@@ -387,7 +387,7 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same tables, same column names, same order). */
   def oracleSql: Map[String, String] = Map(
     "q01_wordcount" ->
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents)
         |SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE word <> ''
         |GROUP BY word ORDER BY word""".stripMargin,
     "q02_grep_topk" ->
@@ -395,13 +395,13 @@ object SparkEntry {
         |SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM m
         |GROUP BY m ORDER BY cnt DESC, m ASC LIMIT 20""".stripMargin,
     "q03_word_mean" ->
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents)
         |SELECT round(avg(length(word)), 6) AS mean_len FROM w WHERE word <> ''""".stripMargin,
     "q04_word_median" ->
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents)
         |SELECT round(median(CAST(length(word) AS BIGINT)), 6) AS median_len FROM w WHERE word <> ''""".stripMargin,
     "q05_word_stddev" ->
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents)
         |SELECT round(stddev_pop(length(word)), 6) AS stddev_len FROM w WHERE word <> ''""".stripMargin,
     "q06_sort_lineitem" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
@@ -454,7 +454,7 @@ object SparkEntry {
         | || chr(9) || CAST(c_nationkey AS VARCHAR)) AS value
         |FROM customer ORDER BY key, value""".stripMargin,
     "q15_keyfield_sort" ->
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents),
         |wc AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word)
         |SELECT word || ' ' || CAST(cnt AS VARCHAR) AS line FROM wc
         |ORDER BY cnt DESC, word ASC""".stripMargin,
@@ -494,7 +494,7 @@ object SparkEntry {
         |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q24_jaccard_pairs" ->
-      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS w
         |  FROM documents WHERE doc_id < 100),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
         |  i -> w[i] || ' ' || w[i + 1]))) AS sh FROM d),
@@ -507,7 +507,7 @@ object SparkEntry {
         |WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.03
         |ORDER BY id_a, id_b""".stripMargin,
     "q28_langid" ->
-      """WITH t AS (SELECT lang, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+      """WITH t AS (SELECT lang, list_distinct(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS w
         |  FROM documents),
         |s AS (SELECT lang,
         |  len(list_intersect(w, ['the','a','of','and'])) AS s_en,
@@ -523,7 +523,7 @@ object SparkEntry {
         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n FROM p
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
     "q29_text_quality" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS w
         |  FROM documents)
         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
         |CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
@@ -532,7 +532,7 @@ object SparkEntry {
         |round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) AS stopword_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
     "q30_lang_token_stats" ->
-      """WITH w AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      """WITH w AS (SELECT lang, unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
         |CAST(count(DISTINCT word) AS BIGINT) AS n_uniq_tokens,
         |round(avg(length(word)), 6) AS avg_token_len
@@ -542,7 +542,7 @@ object SparkEntry {
       s"""WITH $simhashSigCtes
          |SELECT id, simhash FROM sig ORDER BY id""".stripMargin,
     "q27_fingerprint" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
         |  FROM documents)
         |SELECT doc_id, CAST(('0x' || list_reduce(list_prepend('0', toks),
         |  (a, w) -> substring(md5(a || chr(1) || w), 1, 15))) AS BIGINT) AS fp
@@ -565,7 +565,7 @@ object SparkEntry {
     "q33_pipe_upper" ->
       // translate() (ASCII-only) mirrors `tr a-z A-Z` exactly; upper() would be
       // Unicode-aware and silently diverge on a non-ASCII corpus.
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents),
         |u AS (SELECT translate(word, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS word
         |  FROM w WHERE word <> '')
         |SELECT substr(word, 1, 1) AS initial,
@@ -614,7 +614,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q45_streamjob" ->
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents),
         |u AS (SELECT translate(word, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS word
         |  FROM w WHERE word <> '')
         |SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM u
@@ -645,7 +645,7 @@ object SparkEntry {
         |CAST((16 + doc_id % 16) * (12 + doc_id % 8) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY media_id""".stripMargin,
     "q51_repetition" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS w
         |  FROM documents),
         |g AS (SELECT doc_id, n, unnest(CASE WHEN len(w) >= n
         |    THEN [array_to_string(w[i:i+n-1], ' ') for i in range(1, len(w) - n + 2)]
@@ -657,7 +657,7 @@ object SparkEntry {
         |round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_frac
         |FROM c GROUP BY doc_id, n ORDER BY doc_id, n""".stripMargin,
     "q52_boilerplate" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS w
         |  FROM documents),
         |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
         |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
@@ -754,7 +754,7 @@ object SparkEntry {
       ivfExactRecallOracleSql(mod = 33, nlist = 16, nprobe = 12, iters = 2,
         k = 5, dim = 64),
     "q62_decontamination" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS w
         |  FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 2
         |    THEN [w[i] || ' ' || w[i + 1] for i in range(1, len(w))]
@@ -772,7 +772,7 @@ object SparkEntry {
     "q64_top_rare_terms" ->
       // score arithmetic written EXACTLY as the Spark side computes it
       // (tf * (N / df), two IEEE ops) so the rank cut replays bit-identically
-      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
@@ -902,7 +902,7 @@ object SparkEntry {
     // q76: full Count-Min replay — same per-row (depth, md5-bucket) cells,
     // same summed grid, same min-over-depth probes; all-integer arithmetic
     "q76_cms_word_freq" ->
-      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word FROM documents),
         |wf AS (SELECT word FROM w WHERE word <> ''),
         |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
         |sk AS (SELECT d,
@@ -938,7 +938,7 @@ object SparkEntry {
     // SF-independent), every float op in the same explicit order as the
     // Spark expression, per-term scores summed in term-rank order
     "q78_bm25_topdocs" ->
-      """WITH w AS (SELECT doc_id AS doc, unnest(string_split_regex(text, '\s+')) AS word
+      """WITH w AS (SELECT doc_id AS doc, unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word
         |  FROM documents),
         |wf AS (SELECT doc, word FROM w WHERE word <> ''),
         |wc AS (SELECT word, count(*) AS c FROM wf GROUP BY word),
@@ -979,7 +979,7 @@ object SparkEntry {
     // slice bounds, same md5 over the space-joined chunk
     "q80_doc_chunks" ->
       """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '') AS toks
         |  FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
         |c AS (SELECT doc_id, toks, n,
@@ -998,7 +998,7 @@ object SparkEntry {
     // exactly for every derived seq/offset/span to hash-match
     "q81_seq_pack" ->
       """WITH d AS (SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS cnt
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '')) AS cnt
         |  FROM documents),
         |p AS (SELECT doc_id, cnt,
         |    coalesce(sum(cnt) OVER (ORDER BY doc_id
@@ -1014,7 +1014,7 @@ object SparkEntry {
     // from file-source micro-batches
     "q87_stream_chunks" ->
       """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '') AS toks
         |  FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
         |c AS (SELECT doc_id, toks, n,
@@ -1036,7 +1036,7 @@ object SparkEntry {
     // so any drift in the continued positions hash-mismatches
     "q86_incremental_pack" ->
       """WITH d AS (SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS cnt
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '')) AS cnt
         |  FROM documents),
         |p AS (SELECT doc_id, cnt,
         |    coalesce(sum(cnt) OVER (ORDER BY doc_id
@@ -1052,7 +1052,7 @@ object SparkEntry {
     // float log), one final division + round(6)
     "q82_lm_familiarity" ->
       """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '') AS toks
         |  FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
         |    i -> toks[i] || ' ' || toks[i+1])) AS gram
@@ -1093,7 +1093,7 @@ object SparkEntry {
     // same md5) grouped per source with exact distinct-hash counting
     "q84_chunk_dup_rate" ->
       """WITH d AS (SELECT doc_id, source,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '') AS toks
         |  FROM documents),
         |n AS (SELECT doc_id, source, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
         |c AS (SELECT doc_id, source, toks, n,
@@ -1113,7 +1113,7 @@ object SparkEntry {
     // explode; every doc/sequence intersection in pure integer arithmetic
     "q85_packed_segments" ->
       """WITH d AS (SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS cnt
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '')) AS cnt
         |  FROM documents),
         |p AS (SELECT doc_id, cnt,
         |    coalesce(sum(cnt) OVER (ORDER BY doc_id

@@ -54,13 +54,22 @@ object Packing {
     // doc fits in one chunk); stride ≤ size guarantees start < n
     val k = greatest(lit(0L),
       ceil((col("n") - size).cast("double") / lit(stride.toDouble)))
+    // slice's start argument is an int: a document whose chunk starts past
+    // 2^31 tokens would wrap the cast and silently hash the WRONG slice
+    // while chunk_idx/token_cnt (long arithmetic) stayed plausible — fail
+    // loudly instead of diverging (no real document is ~2 GiB of tokens,
+    // but silent wrong-hash is the one failure mode dedup can't detect).
+    val sliceStart = when(col("start") < Int.MaxValue,
+        (col("start") + 1).cast("int"))
+      .otherwise(raise_error(format_string(
+        "chunk: document %s starts a chunk beyond 2^31-1 tokens", col("id"))))
     toks
       .select(col("id") +: carryCols :+ col("toks") :+ col("n") :+
         explode(sequence(lit(0L), k)).as("chunk_idx"): _*)
       .withColumn("start", col("chunk_idx") * stride)
       .select(col("id") +: carryCols :+ col("chunk_idx") :+
         least(lit(size.toLong), col("n") - col("start")).as("token_cnt") :+
-        md5(array_join(slice(col("toks"), (col("start") + 1).cast("int"), lit(size)), " ")
+        md5(array_join(slice(col("toks"), sliceStart, lit(size)), " ")
           .cast("binary")).as("chunk_md5"): _*)
       // token-less docs are dropped HERE, after the explode: their single
       // chunk_idx-0 row has token_cnt = 0, every real chunk has ≥ 1 (start
@@ -96,7 +105,6 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, cntCol: String,
                     capacity: Long, bucketTarget: Int = 4096,
                     basePos: Long = 0L): DataFrame = {
-    require(capacity >= 1 && bucketTarget >= 1 && basePos >= 0)
     // (id, cnt) is referenced three times below (maxId scalar, bucket
     // totals, the positioned rows themselves); persist the two-long
     // projection so whatever produced cnt — typically a full tokenize of
@@ -105,12 +113,39 @@ object Packing {
     // Lifecycle: intentionally not unpersisted — the returned plan is lazy
     // and still references the cache. Repeated calls over the SAME input
     // dedupe in the CacheManager (canonicalized-plan equality), so steady-
-    // state bench/driver reruns hold one entry, not one per call; distinct
-    // inputs hold one entry each, evictable LRU like q25's signatures.
-    val base = docs
+    // state bench/driver reruns hold one entry, not one per call. A
+    // long-lived INCREMENTAL driver feeds a DISTINCT input per batch, and
+    // disk-spilled MEMORY_AND_DISK blocks are not LRU-evicted — such
+    // callers must use [[packSequencesReleasable]] (or manage
+    // spark.catalog.clearCache() themselves) or storage grows per batch.
+    packPositioned(cacheBase(docs, idCol, cntCol), capacity, bucketTarget,
+      basePos)
+  }
+
+  /** [[packSequences]] for long-lived incremental drivers: the same output
+    * frame plus a `release` thunk that drops the operator's internal
+    * (id, cnt) cache. Each append batch is a distinct input plan, so the
+    * per-call cache inside [[packSequences]] would otherwise accumulate one
+    * MEMORY_AND_DISK entry per batch for the lifetime of the session. Call
+    * `release()` after the terminal action on the returned frame (the frame
+    * is lazy — releasing first would just re-run the tokenize). */
+  def packSequencesReleasable(docs: DataFrame, idCol: String, cntCol: String,
+                              capacity: Long, bucketTarget: Int = 4096,
+                              basePos: Long = 0L): (DataFrame, () => Unit) = {
+    val base = cacheBase(docs, idCol, cntCol)
+    (packPositioned(base, capacity, bucketTarget, basePos),
+      () => { base.unpersist(blocking = false); () })
+  }
+
+  private def cacheBase(docs: DataFrame, idCol: String, cntCol: String): DataFrame =
+    docs
       .select(col(idCol).cast("long").as("id"), col(cntCol).cast("long").as("cnt"))
       .filter(col("cnt") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def packPositioned(base: DataFrame, capacity: Long,
+                             bucketTarget: Int, basePos: Long): DataFrame = {
+    require(capacity >= 1 && bucketTarget >= 1 && basePos >= 0)
     val w = base.agg(max(col("id")).as("max_id"))
       .select((floor(col("max_id") / bucketTarget) + 1).as("w"))
     val bucketed = base.crossJoin(broadcast(w))

@@ -31,6 +31,11 @@ class TestdataCompatSpec extends SparkSpec {
     val d = tables.documents.schema.fieldNames.toSet
     assert(Set("doc_id", "text", "lang", "source").subsetOf(d),
       s"documents schema drifted: $d")
+    // q86 and the packing tier read doc_id scalars after a cast("long") in
+    // the plan; the cast is only sound from an integral physical type
+    val idType = tables.documents.schema("doc_id").dataType
+    assert(idType == LongType || idType == IntegerType,
+      s"doc_id drifted to non-integral $idType")
     val e = tables.embeddings.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(e.keySet.contains("vec_id"))
     assert(e("embedding") == ArrayType(FloatType, containsNull = true) ||

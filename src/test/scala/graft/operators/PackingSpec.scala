@@ -146,6 +146,25 @@ class PackingSpec extends SparkSpec {
     assert(batched == full)
   }
 
+  test("packSequencesReleasable drops its internal cache on release") {
+    val df = (1 to 40).map(i => (i.toLong, 1L + i % 9)).toDF("doc_id", "n_tokens")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (packed, release) = Packing.packSequencesReleasable(
+      df, "doc_id", "n_tokens", capacity = 32)
+    assert(packed.count() > 0) // terminal action populates the cache
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "expected the (id, cnt) cache entry to exist")
+    release()
+    // unpersist(blocking = false) completes asynchronously
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (spark.sparkContext.getPersistentRDDs.keySet.intersect(during).nonEmpty
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.intersect(during).isEmpty,
+      "cache entry survived release()")
+    // and the frame still answers (recomputed, not poisoned)
+    assert(packed.count() > 0)
+  }
+
   test("chunk and packSequences plans tokenize once (no re-derived split in hot paths)") {
     // q80's chunk: the whole operator is one scan + one Generate; exactly
     // ONE split() in the optimized plan (the tokenize-once rule the q24/q25
