@@ -1414,6 +1414,24 @@ object Queries {
     * 64-token chunks repeat (templates, boilerplate spans). Per source:
     * chunks, distinct chunk hashes, dup_frac. The source column rides
     * through the chunker (no corpus-sized join back on id). */
+  /** End-to-end composed training-data pipeline (q88): quality gate → exact
+    * dedup → cluster dedup (CC over minhash pairs, canonical min-id doc per
+    * cluster) → chunk (64/48) → pack (2048) → segment map, WRITTEN as
+    * parquet partitioned by seq_bucket and read back — the oracle replays
+    * the whole chain as one CTE stack (q65 gates + q74 closure + q80 chunk
+    * arithmetic + q81 prefix sum + q85 segments), so any cross-stage drift
+    * anywhere in the composition hash-mismatches. The md5 token hash makes
+    * the sketch stage (and so the cluster structure) DuckDB-replayable. */
+  def pipelineSegments(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir(spark, s"q88_${Integer.toHexString(dir.hashCode)}")
+    jobs.CorpusPipeline.curateToSequences(t(spark, dir).documents, out,
+        CurationCfg)
+      .select(col("doc_id"), col("chunk_idx"), col("seq_id"), col("seq_off"),
+        col("chunk_from"), col("n_tok"),
+        col("seq_bucket").cast("long").as("seq_bucket"))
+      .orderBy("doc_id", "chunk_idx", "seq_id")
+  }
+
   def chunkDupRate(spark: SparkSession, dir: String): DataFrame =
     Packing.chunk(t(spark, dir).documents, "doc_id", "text",
         size = 64, stride = 48, carry = Seq("source"))

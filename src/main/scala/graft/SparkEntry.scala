@@ -105,6 +105,66 @@ object SparkEntry {
        |ORDER BY lang""".stripMargin
   }
 
+  /** DuckDB replay of the ENTIRE composed pipeline (q88), raw corpus to
+    * written training-sequence segments: the q65 quality gates + exact
+    * dedup, minhash pairs over the survivors (`minhashPairCtes`), the q74
+    * recursive-CTE component closure (keep the min-label canonical doc),
+    * q80's chunk arithmetic, q81's prefix-sum packing over uid = doc_id·2^20
+    * + chunk_idx, and q85's segment intersection — one CTE stack, so a
+    * drift at ANY stage boundary of the Spark composition hash-mismatches. */
+  private def pipelineSegmentsOracleSql: String = {
+    val cfg = graft.Queries.CurationCfg
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+       |  FROM documents),
+       |q AS (SELECT doc_id, text, w FROM t
+       |  WHERE len(w) >= ${cfg.minTokens}
+       |    AND round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w), 6) <= ${cfg.maxStopwordRatio}
+       |    AND round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) >= ${cfg.minUniqRatio}),
+       |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+       |qe AS (SELECT q.* FROM q JOIN e USING (doc_id)),
+       |msrc AS (SELECT doc_id AS id, text FROM qe),
+       |${minhashPairCtes},
+       |edges AS (SELECT id_a AS s, id_b AS d FROM mpairs WHERE agree / 64.0 >= ${cfg.nearDupThreshold}
+       |  UNION ALL SELECT id_b, id_a FROM mpairs WHERE agree / 64.0 >= ${cfg.nearDupThreshold}),
+       |reach AS (
+       |  SELECT s AS node, s AS lbl FROM edges
+       |  UNION
+       |  SELECT g.d AS node, r.lbl FROM reach r JOIN edges g ON g.s = r.node),
+       |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       |kept AS (SELECT qe.doc_id, qe.w FROM qe
+       |  WHERE NOT EXISTS (SELECT 1 FROM comp
+       |    WHERE comp.node = qe.doc_id AND comp.lbl <> qe.doc_id)),
+       |nn AS (SELECT doc_id, len(w) AS n FROM kept WHERE len(w) > 0),
+       |ch AS (SELECT doc_id, n,
+       |    unnest(generate_series(0,
+       |      CAST(greatest(0.0e0, ceil((n - 64) / 48.0e0)) AS BIGINT))) AS chunk_idx
+       |  FROM nn),
+       |cu AS (SELECT doc_id, chunk_idx,
+       |    least(64, n - chunk_idx * 48) AS cnt,
+       |    doc_id * 1048576 + chunk_idx AS uid
+       |  FROM ch),
+       |p AS (SELECT doc_id, chunk_idx, cnt,
+       |    coalesce(sum(cnt) OVER (ORDER BY uid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+       |  FROM cu),
+       |ee AS (SELECT doc_id, chunk_idx, cnt, pos,
+       |    CAST(floor(pos / 2048) AS BIGINT) AS first_seq,
+       |    CAST(floor((pos + cnt - 1) / 2048) - floor(pos / 2048) + 1 AS BIGINT) AS spans
+       |  FROM p),
+       |x AS (SELECT doc_id, chunk_idx, cnt, pos, first_seq,
+       |    unnest(generate_series(0, spans - 1)) AS j FROM ee),
+       |y AS (SELECT doc_id, chunk_idx, cnt, pos, first_seq + j AS seq_id FROM x)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(greatest(pos, seq_id * 2048) - seq_id * 2048 AS BIGINT) AS seq_off,
+       |  CAST(greatest(pos, seq_id * 2048) - pos AS BIGINT) AS chunk_from,
+       |  CAST(least(pos + cnt, (seq_id + 1) * 2048)
+       |    - greatest(pos, seq_id * 2048) AS BIGINT) AS n_tok,
+       |  CAST(floor(seq_id / 1024) AS BIGINT) AS seq_bucket
+       |FROM y ORDER BY doc_id, chunk_idx, seq_id""".stripMargin
+  }
+
   /** Shared CTE chain replaying `Dedup.simhash(..., Md5Words)`: token counts,
     * two 32-bit md5 hash words, 64 weighted bit sums, sign assembly. Bit 63
     * is assembled via (-(2^63-1) - 1) so every literal stays in BIGINT range
@@ -376,7 +436,8 @@ object SparkEntry {
     "q84_chunk_dup_rate"  -> Queries.chunkDupRate _,
     "q85_packed_segments" -> Queries.packedSegments _,
     "q86_incremental_pack" -> Queries.incrementalPack _,
-    "q87_stream_chunks"   -> Queries.streamingChunkParity _
+    "q87_stream_chunks"   -> Queries.streamingChunkParity _,
+    "q88_pipeline_segments" -> Queries.pipelineSegments _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1031,6 +1092,9 @@ object SparkEntry {
         |  CAST(sum(token_cnt) AS BIGINT) AS sum_tokens,
         |  CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct
         |FROM h GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin,
+    // q88: the composed end-to-end pipeline vs the one-CTE-stack replay of
+    // every stage (gates, dedup closure, chunk, pack, segments)
+    "q88_pipeline_segments" -> pipelineSegmentsOracleSql,
     // q86: incremental (two-batch, basePos-continued) packing must equal the
     // FULL repack — the oracle is deliberately q81's full-corpus prefix sum,
     // so any drift in the continued positions hash-mismatches

@@ -129,8 +129,16 @@ object TextFunctions {
 
   /** Per-document quality metrics as a struct:
     * n_tokens, n_uniq, uniq_ratio, avg_token_len, stopword_ratio. */
-  def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Column =
+    qualityMetricsOfTokens(tokens(text), stopwords)
+
+  /** [[qualityMetrics]] over an already-materialized token array — the
+    * composed-pipeline form: a chain that projects `tokens(text)` once feeds
+    * that attribute here, to its sketches, and to its chunker, so the whole
+    * plan tokenizes a document exactly once. Pass a plain attribute where
+    * the caller reuses `toks` elsewhere (a computed expression re-evaluates
+    * inside each lambda below). */
+  def qualityMetricsOfTokens(toks: Column, stopwords: Seq[String]): Column = {
     val n = size(toks).cast("long")
     val nUniq = size(array_distinct(toks)).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))

@@ -1,7 +1,7 @@
 package graft.jobs
 
 import graft.functions.TextFunctions._
-import graft.operators.{CorpusQuality, Dedup}
+import graft.operators.{CorpusQuality, Dedup, Packing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,13 @@ object CorpusPipeline {
                           tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                             graft.functions.TextFunctions.tokenHash32)
 
+  /** The quality-gate predicate over the `q` metrics struct — one definition
+    * shared by every pipeline form so the gates can never drift apart. */
+  private def qualityGate(cfg: Config): org.apache.spark.sql.Column =
+    col("q.n_tokens") >= cfg.minTokens &&
+      col("q.stopword_ratio") <= cfg.maxStopwordRatio &&
+      col("q.uniq_ratio") >= cfg.minUniqRatio
+
   /** Stages 0-1b: PII scrub → quality score+filter → repetition gate.
     * Output keeps every input column plus the `q` metrics struct. */
   private def qualityGated(docs: DataFrame, cfg: Config): DataFrame = {
@@ -44,9 +51,7 @@ object CorpusPipeline {
       if (cfg.scrubPii) docs.withColumn("text", redactPii(col("text"))) else docs
     // 1. quality gate — single codegen'd projection + filter
     val scored = scrubbed.withColumn("q", qualityMetrics(col("text"), stopwords))
-      .filter(col("q.n_tokens") >= cfg.minTokens &&
-        col("q.stopword_ratio") <= cfg.maxStopwordRatio &&
-        col("q.uniq_ratio") >= cfg.minUniqRatio)
+      .filter(qualityGate(cfg))
     // 1b. repetition gate — anti-join against the over-repetitive doc set
     //     (one (doc, gram) shuffle; skipped entirely when disabled)
     if (cfg.maxTop2gramFrac >= 1.0) scored
@@ -131,6 +136,127 @@ object CorpusPipeline {
     }
   }
 
+  /** The COMPLETE training-data pipeline, raw corpus to written training
+    * sequences, as one composed job:
+    *
+    *   quality gate → exact dedup → near-dup CLUSTER dedup (connected
+    *   components over MinHash pairs; the canonical min-id document per
+    *   cluster survives) → sliding-window chunking (chunkSize/chunkStride)
+    *   → sequence packing (capacity) → per-(chunk, sequence) segment map
+    *   → parquet partitioned by sequence bucket.
+    *
+    * Returns the written segment table read back from `outDir`: one row per
+    * (chunk, sequence) intersection — chunk tokens [chunk_from, chunk_from +
+    * n_tok) land at offset seq_off of seq_id. A sequence writer reads its
+    * shard by seq_bucket = floor(seq_id / seqsPerBucket) alone.
+    *
+    * Plan hygiene — the properties the composed form exists to hold (each
+    * is individually easy, jointly they rot; spec-pinned):
+    *  - ONE tokenize: `tokens(text)` is projected once into `toks`; the
+    *    quality gate (qualityMetricsOfTokens), the MinHash sketch
+    *    (minhashCandidatePairsOfTokens), the chunker (chunkTokens) and the
+    *    packer's token counts all consume that attribute. No stage
+    *    re-derives split().
+    *  - Bounded caches, released before return: the exact-dedup survivor
+    *    frame (with toks) backs the sketch, the survivor join and the
+    *    chunker — persisted for the duration of the write, unpersisted in
+    *    a finally. The packer's internal (id, cnt) cache is taken through
+    *    [[Packing.packSequencesReleasable]], the sketch's signature cache
+    *    through [[Dedup.minhashCandidatePairsOfTokensReleasable]] (dropped
+    *    the moment the component closure — checkpoint-backed — returns);
+    *    both released the same way.
+    *  - Cluster dedup, not pair dedup: dropping one side of each PAIR
+    *    over-deletes on chains a-b, b-c; components keep exactly one
+    *    canonical doc per near-dup cluster (min id — deterministic).
+    *  - Chunk ids pack in (doc_id, chunk_idx) order via uid = doc_id·2^20 +
+    *    chunk_idx, guarded against overflow (doc_id < 2^43, chunk_idx <
+    *    2^20 ≈ 50M tokens/doc at stride 48) — a violation raises rather
+    *    than silently interleaving chunks.
+    *
+    * Scale shape: every stage is the operator library's own (sketch
+    * shuffles carry ≤ 520 B/doc, CC is O(log diameter) rounds, chunking is
+    * shuffle-free, packing's prefix sum is hierarchical); the write
+    * repartitions on (seq_bucket, row-hash spread) so one task writes one
+    * output partition's files. */
+  def curateToSequences(docs: DataFrame, outDir: String,
+                        cfg: Config = Config(),
+                        chunkSize: Int = 64, chunkStride: Int = 48,
+                        capacity: Long = 2048,
+                        seqsPerBucket: Long = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val (segs, release) = segmentPlan(docs, cfg, chunkSize, chunkStride,
+      capacity, seqsPerBucket)
+    try graft.sources.Sinks.partitionedParquet(segs, outDir, Seq("seq_bucket"))
+    finally release()
+    spark.read.parquet(outDir)
+  }
+
+  /** The lazy segment frame behind [[curateToSequences]], plus the thunk
+    * releasing its stage caches — exposed for plan inspection (the
+    * one-tokenize and cache-lifecycle specs assert on this frame). Jobs use
+    * [[curateToSequences]], which writes, releases, and reads back. NOTE:
+    * cluster dedup runs EAGERLY in here (connected components is a
+    * multi-round loop); only the chunk→pack→segment tail is lazy. */
+  private[graft] def segmentPlan(docs: DataFrame, cfg: Config,
+                                 chunkSize: Int, chunkStride: Int,
+                                 capacity: Long, seqsPerBucket: Long)
+      : (DataFrame, () => Unit) = {
+    require(seqsPerBucket >= 1)
+    val stopwords = graft.Queries.Stopwords
+    val scrubbed =
+      if (cfg.scrubPii) docs.withColumn("text", redactPii(col("text"))) else docs
+    // THE tokenize — the chain's only split(); everything downstream reads
+    // the `toks` attribute. Exact dedup runs BELOW the quality gate: the
+    // two commute (the gate is a pure function of text, and a digest group
+    // shares one text), and the dedup aggregation is the optimizer barrier
+    // that keeps it that way — a filter directly above this projection
+    // would be rewritten through it, re-deriving split() once per gate
+    // term (measured: 56 split() nodes in the optimized plan). Above the
+    // aggregation the gate references plain attributes and stays
+    // tokenize-free. The dedup shuffle carries (doc_id, 32-char digest,
+    // toks) — the text column is digested away before the exchange.
+    val base = scrubbed.select(col("doc_id").cast("long").as("doc_id"),
+      md5(col("text").cast("binary")).as("__digest"),
+      tokens(col("text")).as("toks"))
+    val gated = Dedup.exactDedup(base, Seq(col("__digest")), col("doc_id"))
+      .withColumn("q", qualityMetricsOfTokens(col("toks"), stopwords))
+      .filter(qualityGate(cfg))
+    val exact = gated.select(col("doc_id"), col("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pairs, releaseSigs) = Dedup.minhashCandidatePairsOfTokensReleasable(
+      exact, "doc_id", "toks",
+      threshold = cfg.nearDupThreshold, tokenHash = cfg.tokenHash)
+    // non-canonical cluster members (node ≠ its component's min label).
+    // connectedComponents consumes the pairs eagerly and returns a
+    // checkpoint-backed frame, so the sketch's signature cache can be
+    // released as soon as it returns.
+    val losers =
+      try Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      finally releaseSigs()
+    val kept = exact.join(losers, Seq("doc_id"), "left_anti")
+    val chunks = Packing.chunkTokens(kept, "doc_id", "toks",
+      chunkSize, chunkStride)
+    val uidOk = col("id") >= 0 && col("id") < (1L << 43) &&
+      col("chunk_idx") < (1L << 20)
+    val withUid = chunks.select(
+      when(uidOk, shiftleft(col("id"), 20) + col("chunk_idx"))
+        .otherwise(raise_error(format_string(
+          "curateToSequences: chunk uid overflow (doc %d, chunk %d)",
+          col("id"), col("chunk_idx")))).as("uid"),
+      col("token_cnt"))
+    val (packed, releasePack) = Packing.packSequencesReleasable(
+      withUid, "uid", "token_cnt", capacity)
+    val segs = Packing.packSegments(packed, capacity)
+      .select(shiftright(col("id"), 20).as("doc_id"),
+        col("id").bitwiseAND(lit((1L << 20) - 1)).as("chunk_idx"),
+        col("seq_id"), col("seq_off"),
+        col("doc_from").as("chunk_from"), col("n_tok"),
+        floor(col("seq_id") / seqsPerBucket).cast("long").as("seq_bucket"))
+    (segs, () => { releasePack(); exact.unpersist(blocking = false); () })
+  }
+
   /** Curate + write partitioned by annotated language. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           cfg: Config = Config()): DataFrame = {
@@ -153,9 +279,7 @@ object CorpusPipeline {
                    lateness: String = "1 hour"): DataFrame = {
     val stopwords = graft.Queries.Stopwords
     val scored = docs.withColumn("q", qualityMetrics(col("text"), stopwords))
-      .filter(col("q.n_tokens") >= cfg.minTokens &&
-        col("q.stopword_ratio") <= cfg.maxStopwordRatio &&
-        col("q.uniq_ratio") >= cfg.minUniqRatio)
+      .filter(qualityGate(cfg))
       .withColumn("__digest", md5(col("text").cast("binary")))
     graft.streaming.Streams.dedupStream(scored, Seq("__digest"),
         tsCol = "ingest_ts", lateness = lateness)

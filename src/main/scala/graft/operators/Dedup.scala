@@ -55,13 +55,25 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3,
-                        tokenHash: Column => Column = tokenHash32): DataFrame = {
-    val (as, bs) = permParams(numHashes)
+                        tokenHash: Column => Column = tokenHash32): DataFrame =
     // Tokenize ONCE into a named column before shingling: passing the token
     // expression straight into the shingle transform re-tokenizes the text
     // per shingle index (the q25 295 s pathology; see shinglesOfTokens).
+    minhashSignaturesOfTokens(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks")),
+      "id", "__toks", numHashes, shingleN, tokenHash)
+
+  /** [[minhashSignatures]] over an ALREADY-TOKENIZED corpus — the composed-
+    * pipeline entry point: a chain that has materialized `tokens(text)` once
+    * (e.g. for its quality gate) sketches from that column instead of
+    * re-deriving split() in a second plan branch. `toksCol` must be a plain
+    * attribute, not a computed expression (see shinglesOfTokens). */
+  def minhashSignaturesOfTokens(df: DataFrame, idCol: String, toksCol: String,
+                                numHashes: Int = 64, shingleN: Int = 3,
+                                tokenHash: Column => Column = tokenHash32): DataFrame = {
+    val (as, bs) = permParams(numHashes)
     val hs = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"), col(toksCol).as("__toks"))
       .select(col("id"),
         explode(array_distinct(shinglesOfTokens(col("__toks"), shingleN))).as("s"))
       .select(col("id"), tokenHash(col("s")).as("h"))
@@ -99,7 +111,39 @@ object Dedup {
                             numHashes: Int = 64, bands: Int = 16,
                             threshold: Double = 0.5,
                             maxBucket: Int = 1000,
-                            tokenHash: Column => Column = tokenHash32): DataFrame = {
+                            tokenHash: Column => Column = tokenHash32): DataFrame =
+    candidatePairsFromSigs(
+      minhashSignatures(df, idCol, textCol, numHashes, tokenHash = tokenHash),
+      numHashes, bands, threshold, maxBucket)._1
+
+  /** [[minhashCandidatePairs]] over an already-tokenized corpus (see
+    * [[minhashSignaturesOfTokens]]) — identical pairs, no second tokenize. */
+  def minhashCandidatePairsOfTokens(df: DataFrame, idCol: String, toksCol: String,
+                                    numHashes: Int = 64, bands: Int = 16,
+                                    threshold: Double = 0.5,
+                                    maxBucket: Int = 1000,
+                                    tokenHash: Column => Column = tokenHash32): DataFrame =
+    minhashCandidatePairsOfTokensReleasable(df, idCol, toksCol, numHashes,
+      bands, threshold, maxBucket, tokenHash)._1
+
+  /** [[minhashCandidatePairsOfTokens]] plus a thunk releasing the internal
+    * signature cache (~520 B/doc, persisted because the pair plan references
+    * it four times). A composed job that consumes the pairs EAGERLY — e.g.
+    * closes them into components, whose output is checkpoint-backed — should
+    * release as soon as that action completes; one-shot callers can rely on
+    * the retained-cache policy ([[minhashCandidatePairs]] scaladoc). */
+  def minhashCandidatePairsOfTokensReleasable(
+      df: DataFrame, idCol: String, toksCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      tokenHash: Column => Column = tokenHash32): (DataFrame, () => Unit) =
+    candidatePairsFromSigs(
+      minhashSignaturesOfTokens(df, idCol, toksCol, numHashes, tokenHash = tokenHash),
+      numHashes, bands, threshold, maxBucket)
+
+  private def candidatePairsFromSigs(rawSigs: DataFrame, numHashes: Int,
+                                     bands: Int, threshold: Double,
+                                     maxBucket: Int): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Parameter sanity: the (bands, rows) s-curve should put its steep section
@@ -118,7 +162,7 @@ object Dedup {
     // of the bucket join, both signature joins); persist so the shingle
     // explosion + 64-way min aggregation runs once. ~520 B/doc — at 100 TB
     // input this is n_docs * 0.5 KB, safely cacheable/spillable.
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, tokenHash = tokenHash)
+    val sigs = rawSigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Explode band buckets; kill skewed buckets before the self-join.
     val bucketed = sigs
@@ -140,12 +184,13 @@ object Dedup {
       when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
         .otherwise(0)
     }.reduce(_ + _)
-    pairs
+    val out = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (agree.cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    (out, () => { sigs.unpersist(blocking = false); () })
   }
 
   /** Hash-word providers for `simhash`: token → fixed-width hash words whose

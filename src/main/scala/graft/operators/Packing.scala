@@ -40,7 +40,18 @@ object Packing {
     * unchanged (e.g. source/lang for per-stratum chunk accounting) —
     * cheaper than a corpus-sized join back on id. */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-            size: Int, stride: Int, carry: Seq[String] = Nil): DataFrame = {
+            size: Int, stride: Int, carry: Seq[String] = Nil): DataFrame =
+    chunkTokens(
+      docs.select(col(idCol).as("id") +: carry.map(col) :+
+        tokens(col(textCol)).as("toks"): _*),
+      "id", "toks", size, stride, carry)
+
+  /** [[chunk]] over an ALREADY-TOKENIZED corpus: a composed pipeline that has
+    * materialized `tokens(text)` once (quality gate, sketches) chunks from
+    * that attribute instead of re-deriving split() — the optimized plan of
+    * the whole chain then tokenizes each document exactly once. */
+  def chunkTokens(docs: DataFrame, idCol: String, toksCol: String,
+                  size: Int, stride: Int, carry: Seq[String] = Nil): DataFrame = {
     require(size >= 1 && stride >= 1 && stride <= size,
       s"need 1 <= stride <= size, got size=$size stride=$stride")
     val reserved = Set("id", "toks", "n", "chunk_idx", "start", "token_cnt", "chunk_md5")
@@ -48,7 +59,7 @@ object Packing {
       s"carry columns collide with chunk's internals: ${carry.filter(reserved)}")
     val carryCols = carry.map(col)
     val toks = docs
-      .select(col(idCol).as("id") +: carryCols :+ tokens(col(textCol)).as("toks"): _*)
+      .select(col(idCol).as("id") +: carryCols :+ col(toksCol).as("toks"): _*)
       .withColumn("n", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
     // last start index k·stride with k = ceil((n−size)/stride) (0 when the
     // doc fits in one chunk); stride ≤ size guarantees start < n
