@@ -1397,6 +1397,60 @@ object Queries {
       .orderBy("chunk_idx")
   }
 
+  /** Chunk-tier streaming file SINK (q89): `Packing.chunk` on the production
+    * file-source ingest path, written through a CHECKPOINTED parquet
+    * `writeStream` — killed after its second micro-batch, handed a duplicate
+    * re-ingest wave during the outage, restarted from the checkpoint — the
+    * q73 exit-path proof composed with the stateless context-window tier
+    * (the last open cell of the streaming matrix: q87 proved chunk-on-ingest
+    * to a memory sink; this writes CHUNKS to files exactly-once across a
+    * process restart). Chunking holds NO state, so the re-ingested
+    * every-20th documents are chunked AGAIN by design — the oracle counts
+    * their chunks twice (corpus ⊎ wave) — while the kill/restart must add
+    * or lose nothing beyond that: the sink's _spark_metadata commit log
+    * hides orphan part files from the killed attempt, and the source WAL
+    * replays the in-flight batch exactly once. Any lost, doubled, or
+    * resurrected FILE diverges the per-chunk_idx counts. */
+  def streamingChunkFileSink(spark: SparkSession, dir: String): DataFrame = {
+    val runId = streamRunCounter.getAndIncrement()
+    val tag = s"q89_${Integer.toHexString(dir.hashCode)}_$runId"
+    val stage = scratchDir(spark, s"${tag}_src")
+    val out = scratchDir(spark, s"${tag}_out")
+    val chk = scratchDir(spark, s"${tag}_chk")
+    val docs = t(spark, dir).documents.select(col("doc_id"), col("text"))
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val ss = streamSession(spark)
+    def start() = Packing.chunk(
+        ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        "doc_id", "text", size = 64, stride = 48)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    val sq1 = start()
+    try {
+      // kill after two committed micro-batches, staged files still unread;
+      // if the host races ahead the restart still re-proves checkpoint
+      // recovery (the result is kill-point independent)
+      val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+      while (sq1.isActive && System.nanoTime() < deadline &&
+             Option(sq1.lastProgress).forall(_.batchId < 1)) Thread.sleep(20)
+    } finally sq1.stop()
+    // outage window: ingest does not pause while the pipeline is down —
+    // every 20th document lands AGAIN as a new file wave
+    docs.filter(col("doc_id") % 20 === 0).repartition(2)
+      .write.mode("append").parquet(stage)
+    val sq2 = start()
+    try sq2.processAllAvailable() finally sq2.stop()
+    // batch read through _spark_metadata: only committed batches visible
+    spark.read.parquet(out)
+      .groupBy("chunk_idx")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("token_cnt")).cast("long").as("sum_tokens"),
+        countDistinct(col("chunk_md5")).as("n_distinct"))
+      .orderBy("chunk_idx")
+  }
+
   /** Packed-segment map (q85): the materialized writer table for q81's
     * packing — every (document, sequence) intersection with its token range
     * and sequence offset, all integer arithmetic derived from the packed

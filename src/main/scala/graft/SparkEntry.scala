@@ -437,7 +437,8 @@ object SparkEntry {
     "q85_packed_segments" -> Queries.packedSegments _,
     "q86_incremental_pack" -> Queries.incrementalPack _,
     "q87_stream_chunks"   -> Queries.streamingChunkParity _,
-    "q88_pipeline_segments" -> Queries.pipelineSegments _
+    "q88_pipeline_segments" -> Queries.pipelineSegments _,
+    "q89_stream_chunk_sink" -> Queries.streamingChunkFileSink _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1095,6 +1096,31 @@ object SparkEntry {
     // q88: the composed end-to-end pipeline vs the one-CTE-stack replay of
     // every stage (gates, dedup closure, chunk, pack, segments)
     "q88_pipeline_segments" -> pipelineSegmentsOracleSql,
+    // q89: chunk-tier streaming FILE sink with kill/restart — the oracle is
+    // the batch chunk replay over corpus ⊎ the every-20th re-ingest wave
+    // (stateless chunking processes the duplicates by design); the
+    // kill/restart must contribute exactly zero beyond that
+    "q89_stream_chunk_sink" ->
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '') AS toks
+        |  FROM src),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(0.0e0, ceil((n - 64) / 48.0e0)) AS BIGINT))) AS chunk_idx
+        |  FROM n),
+        |h AS (SELECT chunk_idx,
+        |    CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS token_cnt,
+        |    md5(array_to_string(
+        |      toks[CAST(chunk_idx * 48 + 1 AS BIGINT):CAST(chunk_idx * 48 + 64 AS BIGINT)],
+        |      ' ')) AS chunk_md5
+        |  FROM c)
+        |SELECT chunk_idx, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(token_cnt) AS BIGINT) AS sum_tokens,
+        |  CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct
+        |FROM h GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin,
     // q86: incremental (two-batch, basePos-continued) packing must equal the
     // FULL repack — the oracle is deliberately q81's full-corpus prefix sum,
     // so any drift in the continued positions hash-mismatches
