@@ -509,7 +509,16 @@ object Queries {
   private def writeWaves(sq: org.apache.spark.sql.streaming.StreamingQuery,
                          lo0: Long, hi0: Long, nWaves: Int,
                          sides: Seq[(DataFrame, String, String)]): Unit =
-    (0 until nWaves).foreach { i =>
+    writeWaveRange(Some(sq), lo0, hi0, nWaves, 0 until nWaves, sides)
+
+  /** One staged-file wave per index in `waves` (of a global [lo0, hi0] span
+    * split `nWaves` ways — the boundaries don't move when a caller stages
+    * different wave subsets across a kill/restart). `sq` = None stages the
+    * files with NO query running (an outage window). */
+  private def writeWaveRange(sq: Option[org.apache.spark.sql.streaming.StreamingQuery],
+                             lo0: Long, hi0: Long, nWaves: Int, waves: Range,
+                             sides: Seq[(DataFrame, String, String)]): Unit =
+    waves.foreach { i =>
       val wLo = lo0 + (hi0 - lo0 + 1) * i / nWaves
       val wHi = lo0 + (hi0 - lo0 + 1) * (i + 1) / nWaves
       sides.foreach { case (df, tsCol, stage) =>
@@ -519,7 +528,7 @@ object Queries {
           .repartition(2)
           .write.mode("append").parquet(stage)
       }
-      sq.processAllAvailable()
+      sq.foreach(_.processAllAvailable())
     }
 
   /** Re-ingest wave: the same documents arriving again 60 s later — inside
@@ -1449,6 +1458,84 @@ object Queries {
         sum(col("token_cnt")).cast("long").as("sum_tokens"),
         countDistinct(col("chunk_md5")).as("n_distinct"))
       .orderBy("chunk_idx")
+  }
+
+  /** STATEFUL streaming exit (q90): the flatMapGroupsWithState sessionizer
+    * written through a checkpointed parquet sink, killed between waves with
+    * an open in-flight batch, fed an outage wave while nothing runs, and
+    * restarted from the checkpoint. q73 proved the exit path for the
+    * dropDuplicatesWithinWatermark state store; this proves it for the OTHER
+    * stateful path a production pipeline restarts — explicit
+    * flatMapGroupsWithState session state. Sessions whose events straddle
+    * the kill (wave 1 before, waves 2-3 after) only merge if the restored
+    * state still holds their open segments; the sink's commit log hides any
+    * partial output of the killed batch; sentinel waves then advance the
+    * watermark so every session closes. Oracle = the q67 batch gap
+    * formulation over the user_id % 10 = 7 slice — a lost, doubled, or
+    * split session diverges. */
+  def streamingSessionFileSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.Streams
+    val runId = streamRunCounter.getAndIncrement()
+    val tag = s"q90_${Integer.toHexString(dir.hashCode)}_$runId"
+    val stage = scratchDir(spark, s"${tag}_src")
+    val out = scratchDir(spark, s"${tag}_out")
+    val chk = scratchDir(spark, s"${tag}_chk")
+    val evs = t(spark, dir).events
+      .filter(col("user_id") % 10 === 7)
+      .select(col("user_id").cast("long").as("user_id"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+        col("event_type"), col("value").cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minMax = evs.agg(min(col("ts")), max(col("ts")))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    if (minMax._1 == null) {
+      evs.unpersist(false)
+      return spark.emptyDataset[(Long, String, Long, Double)]
+        .toDF("user_id", "session_start", "n_events", "sum_value")
+    }
+    val (lo0, hi0) = (minMax._1.getTime, minMax._2.getTime)
+    val ss = streamSession(spark)
+    def start() = Streams.sessionize(
+        ss.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", 256) // each wave = one trigger
+          .parquet(stage).as[Streams.Event],
+        gapMillis = 1800 * 1000L)
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    val sides = Seq((evs: DataFrame, "ts", stage))
+    val sq1 = start()
+    try {
+      // wave 0 committed; wave 1's files land with NO processAllAvailable —
+      // stop() can catch its micro-batch mid-flight (WAL + state-store
+      // version rollback must replay it exactly once after restart)
+      writeWaveRange(Some(sq1), lo0, hi0, 4, 0 until 1, sides)
+      writeWaveRange(None, lo0, hi0, 4, 1 until 2, sides)
+    } finally sq1.stop()
+    // outage window: wave 2 lands while the pipeline is down
+    writeWaveRange(None, lo0, hi0, 4, 2 until 3, sides)
+    val sq2 = start()
+    try {
+      writeWaveRange(Some(sq2), lo0, hi0, 4, 3 until 4, sides)
+      // sentinels: advance the watermark past every (end + gap), then the
+      // timeout pass fires (watermarks update at end-of-batch)
+      Seq(1, 2).foreach { k =>
+        Seq((-1L, new java.sql.Timestamp(hi0 + k * 3600000L), "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+          .write.mode("append").parquet(stage)
+        sq2.processAllAvailable()
+      }
+    } finally { sq2.stop(); evs.unpersist(false) }
+    // batch read through _spark_metadata: only committed batches visible
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Packed-segment map (q85): the materialized writer table for q81's

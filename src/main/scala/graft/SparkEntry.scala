@@ -438,7 +438,8 @@ object SparkEntry {
     "q86_incremental_pack" -> Queries.incrementalPack _,
     "q87_stream_chunks"   -> Queries.streamingChunkParity _,
     "q88_pipeline_segments" -> Queries.pipelineSegments _,
-    "q89_stream_chunk_sink" -> Queries.streamingChunkFileSink _
+    "q89_stream_chunk_sink" -> Queries.streamingChunkFileSink _,
+    "q90_stream_session_sink" -> Queries.streamingSessionFileSink _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1096,6 +1097,24 @@ object SparkEntry {
     // q88: the composed end-to-end pipeline vs the one-CTE-stack replay of
     // every stage (gates, dedup closure, chunk, pack, segments)
     "q88_pipeline_segments" -> pipelineSegmentsOracleSql,
+    // q90: stateful (flatMapGroupsWithState) streaming exit with
+    // kill/restart — the q67 batch gap formulation over slice 7; sessions
+    // straddling the kill only merge if the restored state held their open
+    // segments
+    "q90_stream_session_sink" ->
+      """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts, value
+        |  FROM events WHERE user_id % 10 = 7),
+        |x AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     // q89: chunk-tier streaming FILE sink with kill/restart — the oracle is
     // the batch chunk replay over corpus ⊎ the every-20th re-ingest wave
     // (stateless chunking processes the duplicates by design); the
