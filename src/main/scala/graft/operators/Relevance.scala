@@ -29,10 +29,27 @@ object Relevance {
   /** BM25 scores for `docs` (idCol, textCol) against a probe-term frame
     * `terms` with columns (term, term_rank ∈ 1..nTerms). Returns one row per
     * matching doc: (id, score) — docs sharing no probe term are dropped
-    * (score would be 0). k1/b are the standard defaults. */
+    * (score would be 0). k1/b are the standard defaults. The single-query
+    * special case of [[bm25PerQuery]]. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: DataFrame, nTerms: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25PerQuery(docs, idCol, textCol,
+      terms.withColumn("query_id", lit(0L)), nTerms, k1, b)
+      .drop("query_id")
+
+  /** BM25 over a SET of probe queries — the eval-mining shape: `probes` has
+    * (query_id, term, term_rank ∈ 1..nTerms), and every query is scored in
+    * ONE pass over the corpus. The token explosion, per-doc lengths, and
+    * avgdl are computed once and shared; the (tiny) probe table broadcasts
+    * into the tf join keyed by (query_id, term), so adding probe sets adds
+    * broadcast rows, never corpus scans. df is counted per (query_id, term)
+    * over the restricted tf — matching docs per term, identical across
+    * queries sharing a term, BEFORE any top-k cut (the df-after-limit trap
+    * RelevanceStatsSpec pins against). Returns (query_id, doc, score). */
+  def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
+                   probes: DataFrame, nTerms: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(nTerms >= 1, "need at least one probe term")
     val words = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
@@ -42,14 +59,14 @@ object Relevance {
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     // tf restricted to probe terms (broadcast), df over the restricted tf
-    val tf = words.join(broadcast(terms), Seq("term"))
-      .groupBy("doc", "term", "term_rank").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = words.join(broadcast(probes), Seq("term"))
+      .groupBy("query_id", "doc", "term", "term_rank").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("query_id", "term").agg(count(lit(1)).as("df"))
     val scored = tf
-      .join(broadcast(df_), Seq("term"))
+      .join(broadcast(df_), Seq("query_id", "term"))
       .join(dl, Seq("doc"))
       .crossJoin(broadcast(corpus))
-      .select(col("doc"), col("term_rank"),
+      .select(col("query_id"), col("doc"), col("term_rank"),
         // fixed op order, mirrored verbatim in the oracle SQL:
         // idf_raw * ((tf * (k1+1)) / (tf + (k1 * ((1-b) + (b * (dl/avgdl))))))
         (((col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -60,6 +77,6 @@ object Relevance {
     val perRank = (1 to nTerms).map(r =>
       coalesce(max(when(col("term_rank") === r, col("s"))), lit(0.0)))
     val total = perRank.reduceLeft(_ + _)
-    scored.groupBy("doc").agg(round(total, 6).as("score"))
+    scored.groupBy("query_id", "doc").agg(round(total, 6).as("score"))
   }
 }

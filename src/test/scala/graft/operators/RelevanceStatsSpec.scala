@@ -54,6 +54,41 @@ class RelevanceStatsSpec extends SparkSpec {
     }
   }
 
+  test("bm25PerQuery scores N probe sets in one pass, equal to N single runs") {
+    val probesA = Seq(("the", 1), ("cat", 2))
+    val probesB = Seq(("dog", 1), ("unrelated", 2), ("the", 3))
+    val multi = probesA.map { case (t, r) => (10L, t, r) } ++
+      probesB.map { case (t, r) => (20L, t, r) }
+    val docsDf = docs.toDF("doc_id", "text")
+    val got = Relevance.bm25PerQuery(docsDf, "doc_id", "text",
+        multi.toDF("query_id", "term", "term_rank"), nTerms = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // per-query results equal the single-probe operator run per set
+    def single(ps: Seq[(String, Int)]) =
+      Relevance.bm25(docsDf, "doc_id", "text", ps.toDF("term", "term_rank"),
+          nTerms = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expA = single(probesA); val expB = single(probesB)
+    assert(got.keys.count(_._1 == 10L) == expA.size)
+    assert(got.keys.count(_._1 == 20L) == expB.size)
+    expA.foreach { case (d, s) => assert(got((10L, d)) == s, s"A doc $d") }
+    expB.foreach { case (d, s) => assert(got((20L, d)) == s, s"B doc $d") }
+    assert(got.size == expA.size + expB.size)
+    // one corpus pass for N probe sets: the multi-probe plan reads the
+    // corpus relation exactly as often as the single-probe plan (adding a
+    // probe set adds broadcast rows, never another corpus scan)
+    def relScans(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.optimizedPlan.toString
+      p.sliding("LocalRelation".length).count(_ == "LocalRelation")
+    }
+    val nMulti = relScans(Relevance.bm25PerQuery(docsDf, "doc_id", "text",
+      multi.toDF("query_id", "term", "term_rank"), nTerms = 3))
+    val nSingle = relScans(Relevance.bm25(docsDf, "doc_id", "text",
+      probesA.toDF("term", "term_rank"), nTerms = 3))
+    assert(nMulti == nSingle,
+      s"multi-probe multiplies corpus scans: $nMulti vs $nSingle")
+  }
+
   test("q78 probe derivation is a distributed top-k, not a vocab-wide window") {
     // The probe terms come from ranking the WHOLE vocabulary by count; at
     // web scale that frame is ~10^9 rows. The plan must therefore cut it
