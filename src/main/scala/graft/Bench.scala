@@ -537,6 +537,101 @@ object Bench {
         }
     }
 
+    // Synthetic-scale soak legs: the 100 TB story of the dedup/packing tier
+    // rests on two complexity claims no sf0.1 query exercises — connected
+    // components converges in O(log diameter) rounds, and the hierarchical
+    // prefix sum never concentrates more than ~maxId/bucketTarget rows in
+    // one window partition. These legs measure both on synthetic inputs one
+    // to two orders of magnitude past sf0.1 (10^6-node chain = the
+    // worst-case diameter; 10^7 docs through the packer), converting the
+    // argument into a per-round number. Each leg VALIDATES its result
+    // (component structure, token conservation, bucket bound) — a fast
+    // wrong answer fails the leg.
+    // SPARK_GRAFT_SOAK: "0" disables, "1" (default) runs with the full
+    // suite, "force" runs even under SPARK_GRAFT_ONLY (dev: soak alone).
+    // SPARK_GRAFT_SOAK_CC_N sizes the chain: default 2^17 (18 rounds,
+    // ~20 s/round-loop) keeps the per-round driver bench affordable; the
+    // one-off 10^6-node deep soak (20 rounds, 108.7 s — recorded in
+    // PLANS.md) is SPARK_GRAFT_SOAK_CC_N=1000000.
+    val soakMode = sys.env.getOrElse("SPARK_GRAFT_SOAK", "1")
+    if (soakMode != "0" && (only.isEmpty || soakMode == "force")) {
+      import org.apache.spark.sql.functions._
+      // house stall defense: first pass recorded as-is; a pass slower than
+      // the re-bench threshold is re-measured once back-to-back (per memory:
+      // this host shows 2-4x stall windows) and the minimum reported
+      def soakLeg(name: String)(once: () => Double): Unit =
+        guarded(Seq(name)) {
+          spark.sparkContext.setJobDescription(name)
+          try {
+            val first = once()
+            firstPass.put(name, first); recordRun(name, first)
+            val best = if (rebenchSec > 0 && first > rebenchSec * 4) {
+              spark.sparkContext.setJobDescription(s"rebench:$name")
+              val again = once()
+              recordRun(name, again)
+              math.min(first, again)
+            } else first
+            results.put(name, best)
+          } finally spark.sparkContext.setJobDescription(null)
+        }
+      val ccN = sys.env.getOrElse("SPARK_GRAFT_SOAK_CC_N", "131072").toLong
+      soakLeg("soak_cc_chain") { () =>
+        // one chain 0-1-2-…-(n-1): a single component of diameter n-1 —
+        // the adversarial shape for label propagation (one giant near-dup
+        // cluster), converging only via pointer jumping. Wall is dominated
+        // by round count × per-round shuffle latency, and round count is
+        // the measurement: it must track log2(diameter), not the diameter.
+        val n = ccN
+        val edges = spark.range(0, n - 1)
+          .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+        val c0 = System.nanoTime()
+        val (cc, rounds) = graft.operators.Dedup
+          .connectedComponentsWithRounds(edges, "src", "dst")
+        val agg = cc.agg(count(lit(1)), countDistinct(col("component")),
+          max(col("component"))).head
+        val sec = (System.nanoTime() - c0) / 1e9
+        require(agg.getLong(0) == n && agg.getLong(1) == 1L
+            && agg.getLong(2) == 0L,
+          s"CC soak wrong structure: ${agg.toString}")
+        // rounds must stay logarithmic in the diameter — 2·log2(n)+2 leaves
+        // slack for the propagation constant and the confirming round
+        val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 2
+        require(rounds <= bound,
+          s"CC soak took $rounds rounds on a $n-node chain (bound $bound)")
+        val r = rounds.toDouble
+        results.put("soak_cc_chain_rounds", r)
+        firstPass.putIfAbsent("soak_cc_chain_rounds", r)
+        recordRun("soak_cc_chain_rounds", r)
+        sec
+      }
+      soakLeg("soak_pack_10m") { () =>
+        val n = 10000000L
+        val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          (lit(1L) + pmod(col("id") * 2654435761L, lit(997L))).as("n_tokens"))
+        val p0 = System.nanoTime()
+        val (packed, release) = graft.operators.Packing
+          .packSequencesReleasable(docs, "doc_id", "n_tokens", capacity = 2048)
+        val stats = packed.agg(count(lit(1)),
+          max(col("seq_id") * 2048L + col("seq_offset") + col("n_tokens")),
+          sum(col("n_tokens"))).head
+        val sec = (System.nanoTime() - p0) / 1e9
+        release()
+        // conservation: every doc packed, positions contiguous — the max
+        // end position equals the total token count exactly
+        require(stats.getLong(0) == n && stats.getLong(1) == stats.getLong(2),
+          s"pack soak broke conservation: ${stats.toString}")
+        // the hierarchical prefix sum's bound: no bucket (= no window
+        // partition) holds more rows than the derived width — the same
+        // floor(maxId/4096)+1 the operator computes internally
+        val w = (n - 1) / 4096 + 1
+        val maxBucket = docs.groupBy(floor(col("doc_id") / w).as("b"))
+          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head.getLong(0)
+        require(maxBucket <= w,
+          s"pack soak bucket bound violated: $maxBucket > $w")
+        sec
+      }
+    }
+
     // Per-query scaling probe: time each query once at sf0.01 and report the
     // main-dir/sf0.01 ratio. ~10x data should cost ~10x at worst for linear
     // operators; a ratio far above ~15 is a latent quadratic. Diagnostic
@@ -656,10 +751,11 @@ object Bench {
     val firsts = firstPass.asScala.toSeq.filter(_._2 > 0).sortBy(_._1)
     // mrbench_*_min/max are order statistics over the SAME runs mrbench_*_avg
     // summarizes — summing them would triple-count the micro-job loops; the
-    // gridmix percentiles are latency statistics, not sequential work.
+    // gridmix percentiles are latency statistics, not sequential work; the
+    // soak rounds entry is a COUNT, not seconds.
     def additive(name: String): Boolean =
       !(name.startsWith("mrbench") && (name.endsWith("_min") || name.endsWith("_max"))) &&
-        !name.startsWith("gridmix")
+        !name.startsWith("gridmix") && !name.endsWith("_rounds")
     val total = entries.filter(e => e._2 > 0 && additive(e._1)).map(_._2).sum
     val firstTotal = firsts.filter(e => additive(e._1)).map(_._2).sum
     // Median over every recorded measurement of each entry (single-sample

@@ -341,7 +341,17 @@ object Dedup {
     * rejected loudly.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 64): DataFrame = {
+                          maxIter: Int = 64): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds the
+    * build ran (including the final confirming round whose label sum was
+    * unchanged) — the observable the O(log diameter) claim is measured by:
+    * the soak bench pins rounds ≈ log₂(diameter) on a synthetic
+    * million-node chain, turning the complexity argument into a number. */
+  def connectedComponentsWithRounds(edges: DataFrame, srcCol: String,
+                                    dstCol: String,
+                                    maxIter: Int = 64): (DataFrame, Int) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     Seq(srcCol, dstCol).foreach { c =>
       val dt = edges.schema(c).dataType
@@ -407,7 +417,7 @@ object Dedup {
     if (!done)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("node"), col("lbl").as("component"))
+    (labels.select(col("node"), col("lbl").as("component")), it)
   }
 
   /** Incremental dedup: rows of `batch` whose `key` does not appear in
