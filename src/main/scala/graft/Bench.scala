@@ -557,15 +557,17 @@ object Bench {
     if (soakMode != "0" && (only.isEmpty || soakMode == "force")) {
       import org.apache.spark.sql.functions._
       // house stall defense: first pass recorded as-is; a pass slower than
-      // the re-bench threshold is re-measured once back-to-back (per memory:
-      // this host shows 2-4x stall windows) and the minimum reported
-      def soakLeg(name: String)(once: () => Double): Unit =
+      // the leg's OWN threshold (~2x its quiet-window wall — the 4 s query
+      // threshold would re-run the CC leg every time) is re-measured once
+      // back-to-back (per memory: this host shows 2-4x stall windows) and
+      // the minimum reported
+      def soakLeg(name: String, slowSec: Double)(once: () => Double): Unit =
         guarded(Seq(name)) {
           spark.sparkContext.setJobDescription(name)
           try {
             val first = once()
             firstPass.put(name, first); recordRun(name, first)
-            val best = if (rebenchSec > 0 && first > rebenchSec * 4) {
+            val best = if (rebenchSec > 0 && first > slowSec) {
               spark.sparkContext.setJobDescription(s"rebench:$name")
               val again = once()
               recordRun(name, again)
@@ -575,7 +577,7 @@ object Bench {
           } finally spark.sparkContext.setJobDescription(null)
         }
       val ccN = sys.env.getOrElse("SPARK_GRAFT_SOAK_CC_N", "131072").toLong
-      soakLeg("soak_cc_chain") { () =>
+      soakLeg("soak_cc_chain", slowSec = 45.0) { () =>
         // one chain 0-1-2-…-(n-1): a single component of diameter n-1 —
         // the adversarial shape for label propagation (one giant near-dup
         // cluster), converging only via pointer jumping. Wall is dominated
@@ -604,7 +606,7 @@ object Bench {
         recordRun("soak_cc_chain_rounds", r)
         sec
       }
-      soakLeg("soak_pack_10m") { () =>
+      soakLeg("soak_pack_10m", slowSec = 16.0) { () =>
         val n = 10000000L
         val docs = spark.range(0, n).select(col("id").as("doc_id"),
           (lit(1L) + pmod(col("id") * 2654435761L, lit(997L))).as("n_tokens"))

@@ -188,7 +188,11 @@ object CorpusPipeline {
       capacity, seqsPerBucket)
     try graft.sources.Sinks.partitionedParquet(segs, outDir, Seq("seq_bucket"))
     finally release()
-    spark.read.parquet(outDir)
+    // explicit schema: a corpus where nothing survives curation writes only
+    // _SUCCESS, and schema inference would throw instead of returning the
+    // empty frame (the schema also types the seq_bucket partition column
+    // long, not discovery-inferred int)
+    spark.read.schema(segs.schema).parquet(outDir)
   }
 
   /** The lazy segment frame behind [[curateToSequences]], plus the thunk
@@ -221,8 +225,19 @@ object CorpusPipeline {
     val gated = Dedup.exactDedup(base, Seq(col("__digest")), col("doc_id"))
       .withColumn("q", qualityMetricsOfTokens(col("toks"), stopwords))
       .filter(qualityGate(cfg))
-    val exact = gated.select(col("doc_id"), col("toks"))
+    val cached = gated.select(col("doc_id"), col("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // repetition gate (same stage qualityGated applies it at; commutes with
+    // exact dedup like the quality gate — a pure function of the deduped
+    // text). Both anti-join sides read the stage cache, and the signals
+    // consume the cached toks attribute, so the gate adds no tokenize.
+    val exact =
+      if (cfg.maxTop2gramFrac >= 1.0) cached
+      else cached.join(
+        CorpusQuality.repetitionSignalsOfTokens(cached, "doc_id", "toks", ns = Seq(2))
+          .filter(col("top_frac") > cfg.maxTop2gramFrac)
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
     val (pairs, releaseSigs) = Dedup.minhashCandidatePairsOfTokensReleasable(
       exact, "doc_id", "toks",
       threshold = cfg.nearDupThreshold, tokenHash = cfg.tokenHash)
@@ -254,7 +269,7 @@ object CorpusPipeline {
         col("seq_id"), col("seq_off"),
         col("doc_from").as("chunk_from"), col("n_tok"),
         floor(col("seq_id") / seqsPerBucket).cast("long").as("seq_bucket"))
-    (segs, () => { releasePack(); exact.unpersist(blocking = false); () })
+    (segs, () => { releasePack(); cached.unpersist(blocking = false); () })
   }
 
   /** Curate + write partitioned by annotated language. */

@@ -30,12 +30,20 @@ object CorpusQuality {
     * row for that n.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
-                        ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
-    require(ns.nonEmpty && ns.forall(_ >= 1))
+                        ns: Seq[Int] = Seq(1, 2, 3)): DataFrame =
     // Tokenize ONCE into a named column: shinglesOfTokens documents why a
     // computed expression must not be passed into its transform lambda.
-    val toks = df.select(col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
+    repetitionSignalsOfTokens(
+      df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks")),
+      "id", "__toks", ns)
+
+  /** [[repetitionSignals]] over an already-tokenized corpus — the composed-
+    * pipeline form (see Packing.chunkTokens): consumes a materialized token
+    * attribute instead of re-deriving split(). */
+  def repetitionSignalsOfTokens(df: DataFrame, idCol: String, toksCol: String,
+                                ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    val toks = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
     val gramArrays = ns.map { n =>
       transform(TextFunctions.shinglesOfTokens(col("toks"), n),
         g => struct(lit(n).as("n"), g.as("g")))

@@ -129,6 +129,7 @@ object Packing {
     // disk-spilled MEMORY_AND_DISK blocks are not LRU-evicted — such
     // callers must use [[packSequencesReleasable]] (or manage
     // spark.catalog.clearCache() themselves) or storage grows per batch.
+    validateArgs(capacity, bucketTarget, basePos)
     packPositioned(cacheBase(docs, idCol, cntCol), capacity, bucketTarget,
       basePos)
   }
@@ -143,10 +144,16 @@ object Packing {
   def packSequencesReleasable(docs: DataFrame, idCol: String, cntCol: String,
                               capacity: Long, bucketTarget: Int = 4096,
                               basePos: Long = 0L): (DataFrame, () => Unit) = {
+    validateArgs(capacity, bucketTarget, basePos)
     val base = cacheBase(docs, idCol, cntCol)
     (packPositioned(base, capacity, bucketTarget, basePos),
       () => { base.unpersist(blocking = false); () })
   }
+
+  // validated BEFORE cacheBase in both entry points: a require that threw
+  // after the persist would leak a registered cache entry with no handle
+  private def validateArgs(capacity: Long, bucketTarget: Int, basePos: Long): Unit =
+    require(capacity >= 1 && bucketTarget >= 1 && basePos >= 0)
 
   private def cacheBase(docs: DataFrame, idCol: String, cntCol: String): DataFrame =
     docs
@@ -156,7 +163,6 @@ object Packing {
 
   private def packPositioned(base: DataFrame, capacity: Long,
                              bucketTarget: Int, basePos: Long): DataFrame = {
-    require(capacity >= 1 && bucketTarget >= 1 && basePos >= 0)
     val w = base.agg(max(col("id")).as("max_id"))
       .select((floor(col("max_id") / bucketTarget) + 1).as("w"))
     val bucketed = base.crossJoin(broadcast(w))

@@ -137,12 +137,15 @@ class CorpusPipelineSpec extends SparkSpec {
     }
     // cache lifecycle: no persisted entries survive beyond checkpoint-backed
     // RDDs (connected components' returned frame is localCheckpointed and
-    // falls to the ContextCleaner once dereferenced)
-    val added = (spark.sparkContext.getPersistentRDDs.keySet -- before.keySet)
+    // falls to the ContextCleaner once dereferenced). unpersist(blocking =
+    // false) completes asynchronously — poll like PackingSpec does.
+    def leaked() = (spark.sparkContext.getPersistentRDDs.keySet -- before.keySet)
       .flatMap(spark.sparkContext.getPersistentRDDs.get)
       .filterNot(_.isCheckpointed)
-    assert(added.isEmpty,
-      s"stage caches leaked: ${added.map(_.toString).mkString(", ")}")
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (leaked().nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked().isEmpty,
+      s"stage caches leaked: ${leaked().map(_.toString).mkString(", ")}")
   }
 
   test("curateToSequences plan tokenizes the corpus exactly once") {
@@ -173,6 +176,31 @@ class CorpusPipelineSpec extends SparkSpec {
       // consumers through it, not through recomputation)
       assert(plan.contains("InMemoryRelation"), plan.take(2000))
     } finally release()
+  }
+
+  test("curateToSequences applies the repetition gate and survives an empty survivor set") {
+    import spark.implicits._
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ")
+    val spammy = Seq.fill(15)("spam ham").mkString(" ") // top 2-gram frac ~0.5
+    val docs = Seq((1L, clean, "en"), (2L, spammy, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out1 = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    // minUniqRatio 0 so the spammy doc reaches the repetition gate (its
+    // 2-token vocabulary would otherwise die at the uniq-ratio gate and
+    // prove nothing about the stage under test)
+    val kept = CorpusPipeline.curateToSequences(docs, out1,
+        CorpusPipeline.Config(minTokens = 5, minUniqRatio = 0.0,
+          maxTop2gramFrac = 0.2),
+        capacity = 64, seqsPerBucket = 8)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"repetition gate did not bind: $kept")
+    // nothing survives → an EMPTY readable frame, not a schema-inference
+    // crash on the data-less output directory
+    val out2 = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val none = CorpusPipeline.curateToSequences(docs, out2,
+      CorpusPipeline.Config(minTokens = 1000), capacity = 64)
+    assert(none.count() == 0L)
+    assert(none.columns.contains("seq_bucket"))
   }
 
   test("cluster dedup keeps one canonical doc where pair-greedy would keep two") {
