@@ -58,6 +58,47 @@ class RocksDbStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer state survives a checkpoint restart under RocksDB (q90 path)") {
+    import rocks.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks_sess_").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val chk = s"$dir/chk"
+    val base = 1704067200000L
+    def start() = {
+      val stream = rocks.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(src).as[Event]
+      sessionize(stream, gapMillis = 60000L)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }
+    // wave 1: user 1's session OPENS (events at 0/10/20 s), consumed, STOP.
+    // Its segment aggregate lives only in the checkpointed RocksDB state.
+    (0 until 3).map(i => (1L, new Timestamp(base + i * 10000L), "e", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // outage wave: events at 50/60 s — within gap-reach of the open
+    // session, so they must MERGE into it after the restart (a fresh state
+    // would instead open a second session)
+    (5 to 6).map(i => (1L, new Timestamp(base + i * 10000L), "e", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    // sentinel far ahead: advances the watermark past end + gap → timeout
+    Seq((9L, new Timestamp(base + 7200000L), "s", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = rocks.read.parquet(out).as[Session].collect()
+      .filter(_.user_id == 1L)
+      .map(s => (s.start.getTime, s.end.getTime, s.n_events, s.sum_value)).toSeq
+    assert(got == Seq((base, base + 60000L, 5L, 5.0)),
+      s"session split or lost across the RocksDB restart: $got")
+  }
+
   test("dedup state survives a checkpoint restart under RocksDB") {
     import rocks.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rocks_eo_").toString
