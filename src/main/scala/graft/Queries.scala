@@ -1550,6 +1550,27 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "seq_id")
 
+  /** Deterministic epoch shuffle (q91): the training-data step after
+    * packing — every packed sequence gets its exact position in a
+    * pseudorandom global permutation, keyed by md5(epoch || seq_id) so the
+    * order is reproducible (re-runs and failure retries see the same
+    * permutation; a different epoch constant reshuffles). The rank is
+    * `Sorts.globalOrderIndex` — range-repartition + per-partition bases +
+    * intra-partition row_number, NEVER a single-partition window — so the
+    * permutation assignment scales exactly like a TeraSort. Oracle: the
+    * same md5 order ranked by DuckDB's row_number. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Packing.packSequences(docTokenCounts(spark, dir),
+        "doc_id", "n_tokens", capacity = 2048)
+      .groupBy("seq_id").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val keyed = packed.withColumn("shuffle_key",
+      md5(concat(lit("epoch-0:"), col("seq_id").cast("string")).cast("binary")))
+    Sorts.globalOrderIndex(keyed, Seq(col("shuffle_key")), posAlias = "shuffle_pos")
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"), col("shuffle_pos"))
+      .orderBy("seq_id")
+  }
+
   /** Chunk-level duplication rate (q84): how much intra-corpus redundancy
     * survives at TRAINING granularity — documents may be unique while their
     * 64-token chunks repeat (templates, boilerplate spans). Per source:

@@ -439,7 +439,8 @@ object SparkEntry {
     "q87_stream_chunks"   -> Queries.streamingChunkParity _,
     "q88_pipeline_segments" -> Queries.pipelineSegments _,
     "q89_stream_chunk_sink" -> Queries.streamingChunkFileSink _,
-    "q90_stream_session_sink" -> Queries.streamingSessionFileSink _
+    "q90_stream_session_sink" -> Queries.streamingSessionFileSink _,
+    "q91_epoch_shuffle"   -> Queries.epochShuffle _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1097,6 +1098,26 @@ object SparkEntry {
     // q88: the composed end-to-end pipeline vs the one-CTE-stack replay of
     // every stage (gates, dedup closure, chunk, pack, segments)
     "q88_pipeline_segments" -> pipelineSegmentsOracleSql,
+    // q91: deterministic epoch shuffle — q81's packing rolled up per
+    // sequence, then every sequence's exact position in the md5-keyed
+    // global permutation; the engine assigns positions hierarchically
+    // (range partitions + bases), the oracle with a plain row_number
+    "q91_epoch_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '')) AS cnt
+        |  FROM documents),
+        |p AS (SELECT doc_id, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM d WHERE cnt > 0),
+        |s AS (SELECT CAST(floor(pos / 2048) AS BIGINT) AS seq_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |  FROM p GROUP BY 1),
+        |k AS (SELECT seq_id, n_docs, n_tokens,
+        |    md5('epoch-0:' || CAST(seq_id AS VARCHAR)) AS shuffle_key FROM s)
+        |SELECT seq_id, n_docs, n_tokens,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS shuffle_pos
+        |FROM k ORDER BY seq_id""".stripMargin,
     // q90: stateful (flatMapGroupsWithState) streaming exit with
     // kill/restart — the q67 batch gap formulation over slice 7; sessions
     // straddling the kill only merge if the restored state held their open

@@ -62,4 +62,53 @@ object Sorts {
       .filter(col(rankAlias) <= k)
       .drop(rankAlias)
   }
+
+  /** Global 0-based dense rank by `orderCols` — distributed zipWithIndex:
+    * every row gets its exact position in the total order WITHOUT the
+    * single-partition window `row_number().over(Window.orderBy(...))` plans
+    * (the same scale-killer the packing prefix sum and the q78 probe
+    * derivation design around).
+    *
+    * Shape: range-repartition on the keys (the TeraSort sampler picks the
+    * boundaries), count rows per physical partition, cumulate those ≤
+    * numParts counts in one bounded window, broadcast the per-partition
+    * bases back, and add the intra-partition row_number — each window
+    * partition holds one shuffle partition's rows, the same boundedness as
+    * any shuffle at the configured parallelism. Output positions depend
+    * only on the total key order, not on where the sampled range boundaries
+    * land, so the result is deterministic as long as `orderCols` is a total
+    * order (make it unique — add a tiebreak column — or equal keys get an
+    * arbitrary but stable-within-run order).
+    *
+    * Returns the input columns plus `posAlias` (0-based long). */
+  def globalOrderIndex(df: DataFrame, orderCols: Seq[Column],
+                       posAlias: String = "pos",
+                       numParts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty)
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) df.repartitionByRange(numParts, orderCols: _*)
+      else df.repartitionByRange(orderCols: _*)
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+    // The persist is CORRECTNESS, not caching: the pid-stamped frame feeds
+    // two branches (per-partition counts, and the rows themselves), and
+    // without it each branch re-runs the range shuffle with its own sampled
+    // boundaries — inconsistent pids between branches would corrupt every
+    // position. One materialization pins one partitioning. (Also shields
+    // the stamp from AQE re-splitting.) Size: the input rows once,
+    // evictable, deduped across reruns by the CacheManager like the minhash
+    // signature cache.
+    val pinned = withPid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bases = pinned.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__base",
+        coalesce(sum("__c").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__base"))
+    val intra = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    pinned
+      .join(broadcast(bases), Seq("__pid"))
+      .withColumn(posAlias, col("__base") + row_number().over(intra) - 1)
+      .drop("__pid", "__base")
+  }
 }

@@ -84,6 +84,36 @@ class JoinsAndSortsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("globalOrderIndex assigns the exact 0..n-1 total-order positions, no global window") {
+    // keys deliberately non-contiguous and shuffled relative to insertion
+    val rows = (1 to 5000).map(i => ((i * 2654435761L) % 100003L, i))
+    val df = rows.toDF("k", "payload").repartition(7)
+    val got = Sorts.globalOrderIndex(df, Seq(col("k")), posAlias = "pos")
+    val collected = got.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val exp = rows.map(_._1).distinct.sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    assert(collected.size == rows.map(_._1).distinct.size)
+    assert(collected == exp)
+    // determinism across runs (fresh plan, fresh range sampling)
+    val again = Sorts.globalOrderIndex(df, Seq(col("k")), posAlias = "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(again == exp)
+    // the scale property: no unpartitioned window anywhere in the plan —
+    // the single bounded window is the per-partition-count prefix (numParts
+    // rows); every row-level window is partitioned by __pid
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    got.queryExecution.optimizedPlan.foreach {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        // the only unpartitioned window allowed is the per-partition-count
+        // prefix sum: its frame is the __pid aggregate — one row per
+        // shuffle partition, bounded by the configured parallelism
+        val agg = w.child.collectFirst { case a: Aggregate => a }
+        assert(agg.exists(_.groupingExpressions.exists(_.toString.contains("__pid"))),
+          s"unbounded unpartitioned window:\n${w.treeString}")
+      case _ =>
+    }
+  }
+
   test("rangeJoin equals naive join on randomized instances (seeded fuzz)") {
     val rnd = new scala.util.Random(20260812L)
     for (trial <- 1 to 5) {
