@@ -613,23 +613,33 @@ object Bench {
         val p0 = System.nanoTime()
         val (packed, release) = graft.operators.Packing
           .packSequencesReleasable(docs, "doc_id", "n_tokens", capacity = 2048)
+        // the hierarchical-prefix-sum claim, checked on the OPERATOR'S OWN
+        // PLAN (an input-derived bucket histogram is a tautology — distinct
+        // ids can't exceed the width by construction): every window must be
+        // partitioned, except the bucket-base prefix whose frame is the
+        // per-bucket aggregate (bounded by the bucket count). A regression
+        // to a single-partition row window would fail here.
+        packed.queryExecution.optimizedPlan.foreach {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty =>
+            val agg = w.child.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+            require(agg.exists(_.groupingExpressions.exists(
+                _.toString.contains("bucket"))),
+              s"pack soak: unpartitioned window over a non-bucket frame:\n" +
+                w.treeString.take(2000))
+          case _ => ()
+        }
         val stats = packed.agg(count(lit(1)),
           max(col("seq_id") * 2048L + col("seq_offset") + col("n_tokens")),
           sum(col("n_tokens"))).head
         val sec = (System.nanoTime() - p0) / 1e9
         release()
         // conservation: every doc packed, positions contiguous — the max
-        // end position equals the total token count exactly
+        // end position equals the total token count exactly; wrong bucket
+        // bases or a broken intra-bucket sum cannot conserve this
         require(stats.getLong(0) == n && stats.getLong(1) == stats.getLong(2),
           s"pack soak broke conservation: ${stats.toString}")
-        // the hierarchical prefix sum's bound: no bucket (= no window
-        // partition) holds more rows than the derived width — the same
-        // floor(maxId/4096)+1 the operator computes internally
-        val w = (n - 1) / 4096 + 1
-        val maxBucket = docs.groupBy(floor(col("doc_id") / w).as("b"))
-          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head.getLong(0)
-        require(maxBucket <= w,
-          s"pack soak bucket bound violated: $maxBucket > $w")
         sec
       }
     }

@@ -83,9 +83,19 @@ object Sorts {
     * Returns the input columns plus `posAlias` (0-based long). */
   def globalOrderIndex(df: DataFrame, orderCols: Seq[Column],
                        posAlias: String = "pos",
-                       numParts: Int = 0): DataFrame = {
+                       numParts: Int = 0): DataFrame =
+    globalOrderIndexReleasable(df, orderCols, posAlias, numParts)._1
+
+  /** [[globalOrderIndex]] plus a thunk releasing the pid-stamped cache —
+    * the per-epoch form: each epoch keys a DISTINCT plan, so without the
+    * release a long-lived training driver accumulates one full-input
+    * MEMORY_AND_DISK entry per epoch (disk-spilled blocks are not
+    * LRU-evicted; same lifecycle contract as packSequencesReleasable).
+    * Call `release()` after the terminal action on the returned frame. */
+  def globalOrderIndexReleasable(df: DataFrame, orderCols: Seq[Column],
+                                 posAlias: String = "pos",
+                                 numParts: Int = 0): (DataFrame, () => Unit) = {
     require(orderCols.nonEmpty)
-    val spark = df.sparkSession
     val parts =
       if (numParts > 0) df.repartitionByRange(numParts, orderCols: _*)
       else df.repartitionByRange(orderCols: _*)
@@ -106,9 +116,10 @@ object Sorts {
           lit(0L)))
       .select(col("__pid"), col("__base"))
     val intra = Window.partitionBy("__pid").orderBy(orderCols: _*)
-    pinned
+    val out = pinned
       .join(broadcast(bases), Seq("__pid"))
       .withColumn(posAlias, col("__base") + row_number().over(intra) - 1)
       .drop("__pid", "__base")
+    (out, () => { pinned.unpersist(blocking = false); () })
   }
 }

@@ -88,13 +88,24 @@ class JoinsAndSortsSpec extends SparkSpec {
     // keys deliberately non-contiguous and shuffled relative to insertion
     val rows = (1 to 5000).map(i => ((i * 2654435761L) % 100003L, i))
     val df = rows.toDF("k", "payload").repartition(7)
-    val got = Sorts.globalOrderIndex(df, Seq(col("k")), posAlias = "pos")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (got, release1) = Sorts.globalOrderIndexReleasable(df, Seq(col("k")), posAlias = "pos")
     val collected = got.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     val exp = rows.map(_._1).distinct.sorted.zipWithIndex
       .map { case (k, i) => k -> i.toLong }.toMap
     assert(collected.size == rows.map(_._1).distinct.size)
     assert(collected == exp)
-    // determinism across runs (fresh plan, fresh range sampling)
+    // determinism across runs with GENUINELY fresh range sampling: release
+    // the first run's pinned cache first — a canonically-equal second plan
+    // would otherwise be served from the CacheManager and never resample
+    // the boundaries, making this assertion vacuous
+    val firstRun = spark.sparkContext.getPersistentRDDs.keySet -- before
+    release1()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (spark.sparkContext.getPersistentRDDs.keySet.intersect(firstRun).nonEmpty
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.intersect(firstRun).isEmpty,
+      "first run's pinned cache not released — the rerun below would be vacuous")
     val again = Sorts.globalOrderIndex(df, Seq(col("k")), posAlias = "pos")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(again == exp)

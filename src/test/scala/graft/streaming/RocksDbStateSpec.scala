@@ -86,12 +86,20 @@ class RocksDbStateSpec extends SparkSpec {
     (5 to 6).map(i => (1L, new Timestamp(base + i * 10000L), "e", 1.0))
       .toDF("user_id", "ts", "event_type", "value")
       .coalesce(1).write.mode("append").parquet(src)
-    // sentinel far ahead: advances the watermark past end + gap → timeout
-    Seq((9L, new Timestamp(base + 7200000L), "s", 0.0))
-      .toDF("user_id", "ts", "event_type", "value")
-      .coalesce(1).write.mode("append").parquet(src)
+    // restart and DRAIN the outage wave BEFORE the sentinel lands: the file
+    // source orders pending files by modification time with arbitrary
+    // ties — both files written during the outage could share an mtime
+    // tick, letting the sentinel advance the watermark first and drop the
+    // 50/60 s events as late (an ordering flake, not a state bug)
     val q2 = start()
-    try { q2.processAllAvailable() } finally q2.stop()
+    try {
+      q2.processAllAvailable()
+      // sentinel far ahead: advances the watermark past end + gap → timeout
+      Seq((9L, new Timestamp(base + 7200000L), "s", 0.0))
+        .toDF("user_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      q2.processAllAvailable()
+    } finally q2.stop()
     val got = rocks.read.parquet(out).as[Session].collect()
       .filter(_.user_id == 1L)
       .map(s => (s.start.getTime, s.end.getTime, s.n_events, s.sum_value)).toSeq
