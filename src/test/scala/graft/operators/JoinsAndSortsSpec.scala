@@ -125,6 +125,24 @@ class JoinsAndSortsSpec extends SparkSpec {
     }
   }
 
+  test("md5-keyed epoch shuffle: same epoch reproduces, different epoch permutes") {
+    val seqs = (0L to 400L).toDF("seq_id")
+    def perm(epoch: Int): Seq[(Long, Long)] = {
+      val keyed = seqs.withColumn("k",
+        md5(concat(lit(s"epoch-$epoch:"), col("seq_id").cast("string")).cast("binary")))
+      val (out, release) = Sorts.globalOrderIndexReleasable(keyed, Seq(col("k")), "pos")
+      try out.collect().map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1).toSeq
+      finally release()
+    }
+    val e0 = perm(0); val e0again = perm(0); val e1 = perm(1)
+    assert(e0 == e0again, "same epoch must reproduce the permutation exactly")
+    assert(e0 != e1, "a different epoch constant must reshuffle")
+    // both are true permutations of 0..n-1
+    Seq(e0, e1).foreach { p =>
+      assert(p.map(_._2).sorted == (0L to 400L).toSeq)
+    }
+  }
+
   test("rangeJoin equals naive join on randomized instances (seeded fuzz)") {
     val rnd = new scala.util.Random(20260812L)
     for (trial <- 1 to 5) {
