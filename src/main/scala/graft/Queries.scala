@@ -1564,9 +1564,7 @@ object Queries {
         "doc_id", "n_tokens", capacity = 2048)
       .groupBy("seq_id").agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"))
-    val keyed = packed.withColumn("shuffle_key",
-      md5(concat(lit("epoch-0:"), col("seq_id").cast("string")).cast("binary")))
-    Sorts.globalOrderIndex(keyed, Seq(col("shuffle_key")), posAlias = "shuffle_pos")
+    Packing.epochOrder(packed, "seq_id", epoch = 0L)
       .select(col("seq_id"), col("n_docs"), col("n_tokens"), col("shuffle_pos"))
       .orderBy("seq_id")
   }

@@ -189,6 +189,22 @@ object Packing {
       .orderBy("id")
   }
 
+  /** Deterministic training-order (epoch) shuffle: every row gets its exact
+    * position in a pseudorandom global permutation keyed by
+    * md5(epoch-`epoch`:`idCol`). Reproducible — re-runs and failure retries
+    * of the same epoch see the same permutation, a different `epoch`
+    * reshuffles — and assigned via [[Sorts.globalOrderIndex]] (range
+    * partitions + bounded base window + intra-partition row_number), never
+    * a single-partition window, so ordering 10^10 sequences costs a
+    * TeraSort, not a one-task sort. Adds `posAlias` (0-based long). */
+  def epochOrder(seqs: DataFrame, idCol: String, epoch: Long,
+                 posAlias: String = "shuffle_pos"): DataFrame = {
+    val keyed = seqs.withColumn("__shuffle_key",
+      md5(concat(lit(s"epoch-$epoch:"), col(idCol).cast("string")).cast("binary")))
+    Sorts.globalOrderIndex(keyed, Seq(col("__shuffle_key")), posAlias)
+      .drop("__shuffle_key")
+  }
+
   /** The per-segment materialization of [[packSequences]] — the table a
     * training pipeline actually writes: for every (document, sequence) pair
     * the document touches, which token range of the document lands at which
