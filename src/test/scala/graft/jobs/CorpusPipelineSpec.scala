@@ -203,6 +203,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(none.columns.contains("seq_bucket"))
   }
 
+  test("a crashed pipeline attempt is retryable; the retry overwrites stale output exactly") {
+    import spark.implicits._
+    val real = new graft.Engine.Tables(spark, sf).documents
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+    // one-shot injected fault: the first task to see a matching doc dies —
+    // in local mode tasks don't retry, so the job (and the whole attempt)
+    // fails partway through the pipeline's eager stages
+    val flaky = real.as[(Long, String, String)].map { t =>
+      if (t._1 % 7 == 3 && PipelineCrashOnce.armed.compareAndSet(true, false))
+        throw new RuntimeException("injected pipeline-attempt crash")
+      t
+    }.toDF("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    // stale junk from a hypothetical dead prior attempt: rows the retry
+    // must NOT let survive (mode=Overwrite is the claim under test)
+    Seq((-999L, -1L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("doc_id", "chunk_idx", "seq_id", "seq_off", "chunk_from", "n_tok", "seq_bucket")
+      .write.mode("overwrite").parquet(out)
+    PipelineCrashOnce.armed.set(true)
+    intercept[Exception] {
+      CorpusPipeline.curateToSequences(flaky, out, graft.Queries.CurationCfg,
+        capacity = 256)
+    }
+    // retry (fault disarmed) over the same output dir
+    val back = CorpusPipeline.curateToSequences(flaky, out, graft.Queries.CurationCfg,
+        capacity = 256)
+      .collect().map(_.toSeq).toSet
+    val cleanOut = java.nio.file.Files.createTempDirectory("graft_clean").toString
+    val clean = CorpusPipeline.curateToSequences(real, cleanOut, graft.Queries.CurationCfg,
+        capacity = 256)
+      .collect().map(_.toSeq).toSet
+    assert(back == clean, "retry output differs from a clean run")
+    assert(!back.exists(_.head == -999L), "stale pre-attempt rows survived the overwrite")
+  }
+
   test("cluster dedup keeps one canonical doc where pair-greedy would keep two") {
     import spark.implicits._
     // star shape: docs 2 and 3 are each near-dups of doc 1 but NOT of each
@@ -223,4 +258,10 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L), s"expected only the canonical doc, got $kept")
   }
+}
+
+/** One-shot fault arm for the retry spec (object-level so executor-side
+  * closures share the flag in local mode). */
+object PipelineCrashOnce {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
