@@ -1569,6 +1569,34 @@ object Queries {
       .orderBy("seq_id")
   }
 
+  /** Chunk-level decontamination (q92): which CONTEXT WINDOWS of each held
+    * document contain an eval-suite 5-gram — q62's leakage filter pushed
+    * to training granularity (a long doc can pass a doc-level overlap
+    * fraction while one contaminated span still lands verbatim in a
+    * training window). Contaminated chunks are located by pure position
+    * arithmetic on the shingle index (no chunk text materialized); chunk
+    * counts reuse the native TokenCount. Same corpus split as q62. */
+  def chunkDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val held = docs.filter(col("doc_id") % 10 >= 3)
+    val contam = CorpusQuality.contaminatedChunks(held, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 < 3), "text", n = 5, size = 64, stride = 48)
+      .groupBy("id").agg(count(lit(1)).as("n_contam"))
+    val counts = held
+      .select(col("doc_id").as("id"),
+        plans.TextExpressions.token_count(col("text")).as("nt"))
+      .filter(col("nt") > 0)
+      .select(col("id"),
+        (greatest(lit(0L), ceil((col("nt") - 64).cast("double") / lit(48.0))) + 1L)
+          .as("n_chunks"))
+    counts.join(contam, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_chunks"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        round(coalesce(col("n_contam"), lit(0L)).cast("double") / col("n_chunks"), 6)
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level duplication rate (q84): how much intra-corpus redundancy
     * survives at TRAINING granularity — documents may be unique while their
     * 64-token chunks repeat (templates, boilerplate spans). Per source:

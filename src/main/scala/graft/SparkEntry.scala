@@ -440,7 +440,8 @@ object SparkEntry {
     "q88_pipeline_segments" -> Queries.pipelineSegments _,
     "q89_stream_chunk_sink" -> Queries.streamingChunkFileSink _,
     "q90_stream_session_sink" -> Queries.streamingSessionFileSink _,
-    "q91_epoch_shuffle"   -> Queries.epochShuffle _
+    "q91_epoch_shuffle"   -> Queries.epochShuffle _,
+    "q92_chunk_decontam"  -> Queries.chunkDecontamination _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1098,6 +1099,38 @@ object SparkEntry {
     // q88: the composed end-to-end pipeline vs the one-CTE-stack replay of
     // every stage (gates, dedup closure, chunk, pack, segments)
     "q88_pipeline_segments" -> pipelineSegmentsOracleSql,
+    // q92: chunk-level decontamination — 5-gram positions mapped to the
+    // 64/48 window geometry by the same floor/ceil arithmetic the engine
+    // runs; a shingle at token p contaminates chunks
+    // [max(0, floor((p-64)/48)+1), min(k, floor((p+4)/48))]
+    "q92_chunk_decontam" ->
+      """WITH b AS (SELECT list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 10 < 3),
+        |bsh AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5
+        |    THEN [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]
+        |    ELSE [] END) AS sh FROM b),
+        |c AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 10 >= 3),
+        |ct AS (SELECT doc_id, toks, len(toks) AS nt,
+        |    CAST(greatest(0.0e0, ceil((len(toks) - 64) / 48.0e0)) AS BIGINT) AS k
+        |  FROM c WHERE len(toks) > 0),
+        |pos0 AS (SELECT doc_id, k, toks,
+        |    unnest(generate_series(1, CAST(nt - 4 AS BIGINT))) AS i
+        |  FROM ct WHERE nt >= 5),
+        |pos AS (SELECT doc_id, k, i - 1 AS p,
+        |    array_to_string(toks[i:i+4], ' ') AS sh FROM pos0),
+        |hits AS (SELECT DISTINCT doc_id, k, p FROM pos JOIN bsh USING (sh)),
+        |cc0 AS (SELECT doc_id, unnest(generate_series(
+        |    greatest(0, CAST(floor((p - 64) / 48.0e0) AS BIGINT) + 1),
+        |    least(k, CAST(floor((p + 4) / 48.0e0) AS BIGINT)))) AS chunk_idx
+        |  FROM hits),
+        |cc AS (SELECT DISTINCT doc_id, chunk_idx FROM cc0),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam FROM cc GROUP BY doc_id),
+        |nc AS (SELECT doc_id, k + 1 AS n_chunks FROM ct)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  coalesce(n_contam, CAST(0 AS BIGINT)) AS n_contam,
+        |  round(CAST(coalesce(n_contam, CAST(0 AS BIGINT)) AS DOUBLE) / n_chunks, 6) AS contam_frac
+        |FROM nc LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q91: deterministic epoch shuffle — q81's packing rolled up per
     // sequence, then every sequence's exact position in the md5-keyed
     // global permutation; the engine assigns positions hierarchically

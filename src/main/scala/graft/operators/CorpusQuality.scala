@@ -259,6 +259,59 @@ object CorpusQuality {
           .cast("long").as("contaminated"))
   }
 
+  /** Chunk-level contamination map: which CONTEXT WINDOWS (the
+    * `Packing.chunk` geometry — size/stride sliding token windows) of each
+    * corpus document contain a benchmark shingle. Training-granularity
+    * decontamination: the doc-level overlap fraction ([[decontamination]])
+    * can pass a long document whose one contaminated span still lands
+    * VERBATIM in a training window — here the contaminated chunks are
+    * identified exactly, by arithmetic on the shingle's token position; no
+    * chunk text is ever materialized.
+    *
+    * A shingle starting at 0-based token position p spans [p, p+n); chunk c
+    * covers tokens [c·stride, c·stride+size); they overlap iff
+    * max(0, floor((p−size)/stride)+1) ≤ c ≤ min(k, floor((p+n−1)/stride))
+    * with k the document's last chunk index — `stride ≤ size` guarantees
+    * the range is non-empty for every in-document shingle.
+    *
+    * Shape at scale: benchmark shingles distinct + broadcast (as in
+    * [[decontamination]]); the corpus side is one scan, a map-side hash
+    * join on the shingle, and a bounded explode of the ≤ (n+size)/stride
+    * chunk indices each hit overlaps — no shuffle of corpus shingles.
+    * Output: DISTINCT (id, chunk_idx) contaminated pairs. */
+  def contaminatedChunks(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, btextCol: String,
+                         n: Int, size: Int, stride: Int): DataFrame = {
+    require(n >= 1 && size >= 1 && stride >= 1 && stride <= size,
+      s"need n >= 1 and 1 <= stride <= size, got n=$n size=$size stride=$stride")
+    val bsh = benchmark
+      .select(TextFunctions.tokens(col(btextCol)).as("toks"))
+      .select(explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("sh"))
+      .distinct()
+    val toks = corpus
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size_(col("toks")))
+      .filter(col("nt") > 0)
+    val k = greatest(lit(0L),
+      ceil((col("nt") - size).cast("double") / lit(stride.toDouble)))
+    // posexplode: shingle array index IS the 0-based starting token position
+    val hits = toks
+      .select(col("id"), k.as("k"),
+        posexplode(TextFunctions.shinglesOfTokens(col("toks"), n)).as(Seq("p", "sh")))
+      .join(broadcast(bsh), Seq("sh"))
+    hits
+      .select(col("id"), explode(sequence(
+        greatest(lit(0L),
+          floor((col("p") - size).cast("double") / lit(stride.toDouble)).cast("long") + 1L),
+        least(col("k"),
+          floor((col("p") + (n - 1)).cast("double") / lit(stride.toDouble)).cast("long"))))
+        .as("chunk_idx"))
+      .distinct()
+  }
+
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c).cast("long")
+
   /** N-gram LM familiarity scoring — the cheap LM-quality-filter shape
     * (score documents by how typical their n-grams are of a corpus, the
     * role CCNet fills with a KenLM perplexity gate): a document's score is

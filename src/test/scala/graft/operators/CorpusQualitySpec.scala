@@ -173,6 +173,29 @@ class CorpusQualitySpec extends SparkSpec {
     assert(got == Map(1L -> (3L, 2L, 1L), 2L -> (3L, 0L, 0L), 3L -> (1L, 1L, 1L)))
   }
 
+  test("contaminatedChunks maps shingle positions to exactly the overlapping windows") {
+    import spark.implicits._
+    // 200 tokens w0..w199; 64/48 windows -> chunks 0..3 covering
+    // [0,64) [48,112) [96,160) [144,208)
+    val doc = (0 until 200).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, doc)).toDF("doc_id", "text")
+    def contam(benchText: String): Set[(Long, Long)] =
+      CorpusQuality.contaminatedChunks(corpus, "doc_id", "text",
+          Seq(Tuple1(benchText)).toDF("btext"), "btext",
+          n = 5, size = 64, stride = 48)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 5-gram at p=100 spans [100,105): inside chunks 1 ([48,112)) and
+    // 2 ([96,160)) only — not 0 (ends at 64) and not 3 (starts at 144)
+    assert(contam((100 to 104).map(i => s"w$i").mkString(" ")) ==
+      Set((1L, 1L), (1L, 2L)))
+    // head shingle [0,5): chunk 0 alone
+    assert(contam((0 to 4).map(i => s"w$i").mkString(" ")) == Set((1L, 0L)))
+    // tail shingle [195,200): chunk 3 alone
+    assert(contam((195 to 199).map(i => s"w$i").mkString(" ")) == Set((1L, 3L)))
+    // no overlap -> empty
+    assert(contam("z1 z2 z3 z4 z5").isEmpty)
+  }
+
   test("lmFamiliarity equals an in-memory recomputation (integer log2 magnitudes)") {
     val docs = Seq(
       (1L, "the cat sat"),        // bigrams: "the cat", "cat sat"
