@@ -142,6 +142,7 @@ object CorpusPipeline {
     *   quality gate → exact dedup → near-dup CLUSTER dedup (connected
     *   components over MinHash pairs; the canonical min-id document per
     *   cluster survives) → sliding-window chunking (chunkSize/chunkStride)
+    *   → [optional chunk-level decontamination against a benchmark corpus]
     *   → sequence packing (capacity) → per-(chunk, sequence) segment map
     *   → parquet partitioned by sequence bucket.
     *
@@ -182,10 +183,16 @@ object CorpusPipeline {
                         cfg: Config = Config(),
                         chunkSize: Int = 64, chunkStride: Int = 48,
                         capacity: Long = 2048,
-                        seqsPerBucket: Long = 1024): DataFrame = {
+                        seqsPerBucket: Long = 1024,
+                        // eval corpus for CHUNK-level decontamination: any
+                        // chunk containing a benchmark `decontamN`-gram is
+                        // dropped BEFORE packing (sequences close ranks —
+                        // capacity-fill holds on the survivors). None skips.
+                        benchmark: Option[(DataFrame, String)] = None,
+                        decontamN: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     val (segs, release) = segmentPlan(docs, cfg, chunkSize, chunkStride,
-      capacity, seqsPerBucket)
+      capacity, seqsPerBucket, benchmark, decontamN)
     try graft.sources.Sinks.partitionedParquet(segs, outDir, Seq("seq_bucket"))
     finally release()
     // explicit schema: a corpus where nothing survives curation writes only
@@ -203,7 +210,9 @@ object CorpusPipeline {
     * multi-round loop); only the chunk→pack→segment tail is lazy. */
   private[graft] def segmentPlan(docs: DataFrame, cfg: Config,
                                  chunkSize: Int, chunkStride: Int,
-                                 capacity: Long, seqsPerBucket: Long)
+                                 capacity: Long, seqsPerBucket: Long,
+                                 benchmark: Option[(DataFrame, String)] = None,
+                                 decontamN: Int = 5)
       : (DataFrame, () => Unit) = {
     require(seqsPerBucket >= 1)
     val stopwords = graft.Queries.Stopwords
@@ -251,8 +260,20 @@ object CorpusPipeline {
         .select(col("node").as("doc_id"))
       finally releaseSigs()
     val kept = exact.join(losers, Seq("doc_id"), "left_anti")
-    val chunks = Packing.chunkTokens(kept, "doc_id", "toks",
+    val allChunks = Packing.chunkTokens(kept, "doc_id", "toks",
       chunkSize, chunkStride)
+    // optional CHUNK-level decontamination: benchmark-shingle positions map
+    // to window indices by arithmetic (contaminatedChunksOfTokens — reads
+    // the cached toks attribute, so the stage adds no tokenize of the
+    // corpus); contaminated chunks are anti-joined away BEFORE packing, so
+    // the surviving sequences still fill to capacity
+    val chunks = benchmark.fold(allChunks) { case (bdf, btextCol) =>
+      val contam = CorpusQuality.contaminatedChunksOfTokens(
+          kept, "doc_id", "toks", bdf, btextCol,
+          n = decontamN, size = chunkSize, stride = chunkStride)
+        .select(col("id"), col("chunk_idx"))
+      allChunks.join(contam, Seq("id", "chunk_idx"), "left_anti")
+    }
     val uidOk = col("id") >= 0 && col("id") < (1L << 43) &&
       col("chunk_idx") < (1L << 20)
     val withUid = chunks.select(

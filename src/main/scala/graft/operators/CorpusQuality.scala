@@ -281,7 +281,18 @@ object CorpusQuality {
     * Output: DISTINCT (id, chunk_idx) contaminated pairs. */
   def contaminatedChunks(corpus: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, btextCol: String,
-                         n: Int, size: Int, stride: Int): DataFrame = {
+                         n: Int, size: Int, stride: Int): DataFrame =
+    contaminatedChunksOfTokens(
+      corpus.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks")),
+      "id", "__toks", benchmark, btextCol, n, size, stride)
+
+  /** [[contaminatedChunks]] over an already-tokenized corpus (the composed-
+    * pipeline form — shingles come from the materialized token attribute,
+    * no second tokenize). */
+  def contaminatedChunksOfTokens(corpus: DataFrame, idCol: String, toksCol: String,
+                                 benchmark: DataFrame, btextCol: String,
+                                 n: Int, size: Int, stride: Int): DataFrame = {
     require(n >= 1 && size >= 1 && stride >= 1 && stride <= size,
       s"need n >= 1 and 1 <= stride <= size, got n=$n size=$size stride=$stride")
     val bsh = benchmark
@@ -289,7 +300,7 @@ object CorpusQuality {
       .select(explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("sh"))
       .distinct()
     val toks = corpus
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"), col(toksCol).as("toks"))
       .withColumn("nt", size_(col("toks")))
       .filter(col("nt") > 0)
     val k = greatest(lit(0L),

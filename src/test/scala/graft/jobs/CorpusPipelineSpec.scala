@@ -203,6 +203,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(none.columns.contains("seq_bucket"))
   }
 
+  test("curateToSequences decontamination drops flagged chunks and survivors still fill capacity") {
+    val docs = new graft.Engine.Tables(spark, sf).documents
+    // benchmark = a slice of the corpus itself: its docs' own chunks are
+    // self-contaminated by construction, so the stage MUST drop something
+    val bench = docs.filter(col("doc_id") % 10 < 3).select(col("text"))
+    val outB = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    val outN = java.nio.file.Files.createTempDirectory("graft_nodecon").toString
+    val withB = CorpusPipeline.curateToSequences(docs, outB, graft.Queries.CurationCfg,
+      capacity = 256, benchmark = Some((bench, "text")))
+    val noB = CorpusPipeline.curateToSequences(docs, outN, graft.Queries.CurationCfg,
+      capacity = 256)
+    val nB = withB.count(); val nN = noB.count()
+    assert(nB < nN, s"decontamination dropped nothing: $nB vs $nN")
+    // the packing closed ranks over the survivors: full sequences still
+    // fill to exactly capacity
+    val fills = withB.groupBy("seq_id").agg(sum("n_tok").as("fill")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fills.nonEmpty)
+    val last = fills.keys.max
+    fills.foreach { case (s, f) =>
+      if (s != last) assert(f == 256L, s"seq $s filled $f != 256") }
+  }
+
   test("a crashed pipeline attempt is retryable; the retry overwrites stale output exactly") {
     import spark.implicits._
     val real = new graft.Engine.Tables(spark, sf).documents
