@@ -538,10 +538,13 @@ object Bench {
     }
 
     // Synthetic-scale soak legs: the 100 TB story of the dedup/packing tier
-    // rests on two complexity claims no sf0.1 query exercises — connected
-    // components converges in O(log diameter) rounds, and the hierarchical
-    // prefix sum never concentrates more than ~maxId/bucketTarget rows in
-    // one window partition. These legs measure both on synthetic inputs one
+    // rests on three complexity claims no sf0.1 query exercises — connected
+    // components converges in O(log diameter) rounds, the LSH bucket cap
+    // turns a degenerate mega-bucket's quadratic pair set into zero cost
+    // while small true-duplicate clusters survive exactly, and the
+    // hierarchical prefix sum never concentrates more than
+    // ~maxId/bucketTarget rows in one window partition. These legs measure
+    // them on synthetic inputs one
     // to two orders of magnitude past sf0.1 (10^6-node chain = the
     // worst-case diameter; 10^7 docs through the packer), converting the
     // argument into a per-round number. Each leg VALIDATES its result
@@ -604,6 +607,43 @@ object Bench {
         results.put("soak_cc_chain_rounds", r)
         firstPass.putIfAbsent("soak_cc_chain_rounds", r)
         recordRun("soak_cc_chain_rounds", r)
+        sec
+      }
+      soakLeg("soak_lsh_sigs", slowSec = 25.0) { () =>
+        // The LSH bucket-cap claim: a degenerate corpus slice (boilerplate,
+        // empty docs) lands in ONE band bucket, and without the maxBucket
+        // guard that bucket alone emits a quadratic pair set. Synthetic
+        // signature corpus (2^18 default; SPARK_GRAFT_SOAK_LSH_N):
+        //  - ids ≡ 0 (mod 100): one shared signature — a ~n/100-member
+        //    mega-bucket, far past the 1000 cap, which must contribute
+        //    ZERO pairs (uncapped it would be ~(n/100)²/2 ≈ 3.4M at the
+        //    default n, 5·10⁹ at 10⁷ docs);
+        //  - ids ≡ 1..5 (mod 1000): five-member duplicate clusters that
+        //    must SURVIVE the cap — exactly C(5,2)=10 pairs each;
+        //  - everything else: unique pseudorandom signatures. A band-hash
+        //    collision between unique docs is possible but then fails the
+        //    agreement threshold, so the expected pair count is EXACT.
+        val n = sys.env.getOrElse("SPARK_GRAFT_SOAK_LSH_N", "262144").toLong
+        require(n >= 1000, s"soak_lsh_sigs needs n >= 1000, got $n")
+        val g = when(pmod(col("id"), lit(100L)) === 0L, lit(-1L))
+          .when(pmod(col("id"), lit(1000L)).between(1L, 5L),
+            expr("id div 1000") + 1L)
+          .otherwise(col("id") + 1000000000L)
+        val sigs = spark.range(0, n).select(col("id"),
+          array((0 until 64).map(i => xxhash64(lit(i), g)): _*).as("sig"))
+        val t0 = System.nanoTime()
+        val (pairs, release) = graft.operators.Dedup
+          .candidatePairsOfSignatures(sigs)
+        val agg = pairs.agg(count(lit(1)), min(col("est_jaccard"))).head
+        val sec = (System.nanoTime() - t0) / 1e9
+        release()
+        val expected = (((n - 6) / 1000) + 1) * 10
+        require(agg.getLong(0) == expected,
+          s"LSH soak pair count ${agg.getLong(0)} != expected $expected " +
+            "(cap broken → quadratic mega-bucket leaked, or clusters lost)")
+        require(agg.getDouble(1) == 1.0,
+          s"LSH soak min est_jaccard ${agg.getDouble(1)} != 1.0 " +
+            "(a non-duplicate pair passed the threshold)")
         sec
       }
       soakLeg("soak_pack_10m", slowSec = 16.0) { () =>

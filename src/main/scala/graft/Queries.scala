@@ -1630,4 +1630,60 @@ object Queries {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 6)
           .as("dup_frac"))
       .orderBy("source")
+
+  /** Semantic (embedding-space) cluster dedup (q93): q48's exhaustive
+    * cosine near-dup pairs closed into clusters by distributed connected
+    * components, then a FULL-COVERAGE assignment — every vector gets
+    * (cluster_id = min member id, cluster_size, is_canonical), singletons
+    * included — the SemDeDup keep-one-per-cluster decision (Abbas et al.
+    * 2023, arXiv:2303.09540) as a table. Embedding-space counterpart of
+    * q74's minhash clusters; the oracle replays the pair set (double
+    * cosine over the same float vectors) and closes it with the same
+    * recursive-CTE min-label reachability. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
+    Dedup.componentAssignments(
+        emb.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+        pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  /** Incremental semantic clustering (q94): the cross-batch maintenance
+    * path. The low-id 80% of the corpus is "yesterday's" accumulated
+    * assignment; the high-id 20% arrives as a batch whose similarity pairs
+    * are computed only against batch × accumulated (every pair here touches
+    * a new id). `Dedup.incrementalComponentAssignments` folds the batch in
+    * by replacing each old cluster with its star — provably the same
+    * components, and with append-only ids the same labels, as a full
+    * recompute (equality spec-gated in DedupSimilaritySpec). At 100 TB this
+    * is the difference between a daily corpus² re-cluster and a
+    * daily batch-sized one. */
+  def incrementalSemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val maxId = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val h = maxId * 4 / 5 // bounded scalar read; oracle derives the same split
+    val old = emb.filter(col("vec_id") < h)
+    val prior = Dedup.componentAssignments(
+      old.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(old, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1),
+      "id_a", "id_b")
+    // Pairs touching the batch: id_a < id_b, so "touches a new id" ⇔
+    // id_b >= h; the predicate pushes below the cosine projection, so no
+    // old × old similarity is evaluated.
+    val newPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
+      .filter(col("id_b") >= h)
+    Dedup.incrementalComponentAssignments(prior,
+        emb.filter(col("vec_id") >= h)
+          .select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+        newPairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .orderBy("vec_id")
+  }
 }

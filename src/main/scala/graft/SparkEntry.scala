@@ -441,7 +441,9 @@ object SparkEntry {
     "q89_stream_chunk_sink" -> Queries.streamingChunkFileSink _,
     "q90_stream_session_sink" -> Queries.streamingSessionFileSink _,
     "q91_epoch_shuffle"   -> Queries.epochShuffle _,
-    "q92_chunk_decontam"  -> Queries.chunkDecontamination _
+    "q92_chunk_decontam"  -> Queries.chunkDecontamination _,
+    "q93_semantic_clusters" -> Queries.semanticClusters _,
+    "q94_incr_semantic_clusters" -> Queries.incrementalSemanticClusters _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1131,6 +1133,74 @@ object SparkEntry {
         |  coalesce(n_contam, CAST(0 AS BIGINT)) AS n_contam,
         |  round(CAST(coalesce(n_contam, CAST(0 AS BIGINT)) AS DOUBLE) / n_chunks, 6) AS contam_frac
         |FROM nc LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q93: q48's double-cosine pair replay closed into clusters by the q74
+    // recursive-CTE min-label closure, then widened to FULL coverage —
+    // every vec_id, singletons filling their own label — with the
+    // SemDeDup canonical flag (id == min member id).
+    "q93_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |ed AS (SELECT id_a AS s, id_b AS d FROM p WHERE cos >= 0.35
+        |  UNION ALL SELECT id_b, id_a FROM p WHERE cos >= 0.35),
+        |reach AS (
+        |  SELECT s AS node, s AS lbl FROM ed
+        |  UNION
+        |  SELECT x.d AS node, r.lbl FROM reach r JOIN ed x ON x.s = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        |asg AS (SELECT e.vec_id AS id, coalesce(c.lbl, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN comp c ON c.node = e.vec_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM asg GROUP BY cluster_id)
+        |SELECT id AS vec_id, cluster_id, cluster_size,
+        |  CAST(id = cluster_id AS INTEGER) AS is_canonical
+        |FROM asg JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+    // q94: the incremental construction replayed verbatim — old closure on
+    // the low-id 80%, old clusters reduced to label stars, new-touching
+    // pairs unioned in, one more closure. (That this equals a full
+    // recompute is the operator's theorem, spec-gated Spark-side; the
+    // oracle checks the construction itself.)
+    "q94_incr_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hm AS (SELECT (max(vec_id) * 4) // 5 AS h FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |oldp AS (SELECT id_a, id_b FROM p
+        |  WHERE cos >= 0.35 AND id_b < (SELECT h FROM hm)),
+        |olde AS (SELECT id_a AS s, id_b AS d FROM oldp
+        |  UNION ALL SELECT id_b, id_a FROM oldp),
+        |reach0 AS (
+        |  SELECT s AS node, s AS lbl FROM olde
+        |  UNION
+        |  SELECT o.d AS node, r.lbl FROM reach0 r JOIN olde o ON o.s = r.node),
+        |comp0 AS (SELECT node, min(lbl) AS lbl FROM reach0 GROUP BY node),
+        |asg0 AS (SELECT e.vec_id AS id, coalesce(c.lbl, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN comp0 c ON c.node = e.vec_id
+        |  WHERE e.vec_id < (SELECT h FROM hm)),
+        |newp AS (SELECT id_a, id_b FROM p
+        |  WHERE cos >= 0.35 AND id_b >= (SELECT h FROM hm)),
+        |alle AS (SELECT s, d FROM (
+        |    SELECT id AS s, cluster_id AS d FROM asg0
+        |    UNION ALL SELECT cluster_id, id FROM asg0
+        |    UNION ALL SELECT id_a, id_b FROM newp
+        |    UNION ALL SELECT id_b, id_a FROM newp)
+        |  WHERE s <> d),
+        |reach AS (
+        |  SELECT s AS node, s AS lbl FROM alle
+        |  UNION
+        |  SELECT x.d AS node, r.lbl FROM reach r JOIN alle x ON x.s = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        |asg AS (SELECT e.vec_id AS id, coalesce(c.lbl, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN comp c ON c.node = e.vec_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM asg GROUP BY cluster_id)
+        |SELECT id AS vec_id, cluster_id, cluster_size,
+        |  CAST(id = cluster_id AS INTEGER) AS is_canonical
+        |FROM asg JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
     // q91: deterministic epoch shuffle — q81's packing rolled up per
     // sequence, then every sequence's exact position in the md5-keyed
     // global permutation; the engine assigns positions hierarchically

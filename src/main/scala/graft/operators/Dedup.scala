@@ -141,6 +141,18 @@ object Dedup {
       minhashSignaturesOfTokens(df, idCol, toksCol, numHashes, tokenHash = tokenHash),
       numHashes, bands, threshold, maxBucket)
 
+  /** [[minhashCandidatePairs]]' banding/bucketing/scoring stage over
+    * PRE-COMPUTED signatures — (id, sig: array<bigint>) with `numHashes`
+    * entries. Public for callers that bring their own sketch (and for the
+    * synthetic-scale soak, which drives the bucket-cap skew guard with
+    * adversarial signature sets no real tokenizer run could shape
+    * precisely). Returns the pairs plus the signature-cache release thunk
+    * ([[minhashCandidatePairsOfTokensReleasable]] semantics). */
+  def candidatePairsOfSignatures(sigs: DataFrame, numHashes: Int = 64,
+                                 bands: Int = 16, threshold: Double = 0.5,
+                                 maxBucket: Int = 1000): (DataFrame, () => Unit) =
+    candidatePairsFromSigs(sigs, numHashes, bands, threshold, maxBucket)
+
   private def candidatePairsFromSigs(rawSigs: DataFrame, numHashes: Int,
                                      bands: Int, threshold: Double,
                                      maxBucket: Int): (DataFrame, () => Unit) = {
@@ -418,6 +430,73 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     (labels.select(col("node"), col("lbl").as("component")), it)
+  }
+
+  /** Full-coverage cluster assignment over a universe of ids: close `edges`
+    * into components ([[connectedComponents]]) and give EVERY id in
+    * `universe` a row — (id, cluster_id, cluster_size, is_canonical) — with
+    * singletons filling their own id as the label. The cluster label is the
+    * component's minimum member id, so `is_canonical` (id == cluster_id)
+    * marks exactly one keeper per cluster: the SemDeDup-style
+    * keep-one-per-cluster dedup decision, materialized as a column instead
+    * of a filter so callers can also compute removal rates or pick a
+    * different survivor policy downstream.
+    *
+    * Scale shape on top of the CC rounds: one left join of the universe
+    * against the (strictly smaller) clustered-node set, one groupBy on
+    * cluster_id for sizes, one join back — all hash-partitioned on id-like
+    * keys, nothing driver-side, no windows. */
+  def componentAssignments(universe: DataFrame, idCol: String,
+                           edges: DataFrame, srcCol: String, dstCol: String,
+                           maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = universe.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"componentAssignments: id column '$idCol' must be integral, got $dt")
+    val cc = connectedComponents(edges, srcCol, dstCol, maxIter)
+    val ids = universe.select(col(idCol).cast("long").as("id"))
+    val assigned = ids
+      .join(cc.select(col("node").as("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
+    val sz = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sz, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).cast("int").as("is_canonical"))
+  }
+
+  /** Incremental (cross-batch) component closure: fold a NEW batch's edges
+    * into an EXISTING full-coverage assignment without re-running the old
+    * corpus's pairwise similarity. `assignment` is prior
+    * [[componentAssignments]] output (or any (id, cluster_id) table whose
+    * labels are component minima); `newEdges` is every similarity pair that
+    * TOUCHES a new id (new-new and new-old — the candidate generator runs
+    * batch × accumulated, never accumulated × accumulated).
+    *
+    * Correctness: a component of a graph is unchanged when each old cluster
+    * is replaced by its star (member — label), because the star has exactly
+    * the old cluster's connectivity; adding the new-touching edges then
+    * yields the same components a full recompute over all pairs would find.
+    * With append-only ids (new ids > old ids) the min-label is also
+    * preserved: old clusters keep their labels, clusters merged by a new
+    * bridge doc take the smaller (older) label — so incremental == full
+    * recompute EXACTLY, not approximately (spec-gated in DedupSimilaritySpec).
+    *
+    * This is the 100 TB maintenance story: a daily batch pays
+    * |batch| × candidate-bucket similarity plus CC over
+    * (|corpus| star edges + new pairs), instead of corpus × corpus. */
+  def incrementalComponentAssignments(assignment: DataFrame,
+                                      newUniverse: DataFrame, idCol: String,
+                                      newEdges: DataFrame, srcCol: String,
+                                      dstCol: String,
+                                      maxIter: Int = 64): DataFrame = {
+    val star = assignment
+      .select(col("id").cast("long").as("s"), col("cluster_id").cast("long").as("d"))
+    val fresh = newEdges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    val universe = assignment.select(col("id").cast("long").as("id"))
+      .unionByName(newUniverse.select(col(idCol).cast("long").as("id")))
+      .distinct()
+    componentAssignments(universe, "id", star.unionByName(fresh), "s", "d", maxIter)
   }
 
   /** Incremental dedup: rows of `batch` whose `key` does not appear in

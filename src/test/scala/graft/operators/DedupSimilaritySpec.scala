@@ -306,4 +306,67 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("componentAssignments: full coverage, singleton fill, canonical = min member") {
+    // universe 0..9; edges cluster {1,3,5} and {7,8}; 0,2,4,6,9 isolated
+    val universe = (0L to 9L).toDF("id")
+    val edges = Seq((3L, 1L), (5L, 3L), (8L, 7L)).toDF("a", "b")
+    val rows = Dedup.componentAssignments(universe, "id", edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length == 10, "every universe id gets exactly one row")
+    val byId = rows.map(r => r._1 -> r).toMap
+    Seq(1L, 3L, 5L).foreach(v => assert(byId(v)._2 == 1L && byId(v)._3 == 3L))
+    Seq(7L, 8L).foreach(v => assert(byId(v)._2 == 7L && byId(v)._3 == 2L))
+    Seq(0L, 2L, 4L, 6L, 9L).foreach(v =>
+      assert(byId(v)._2 == v && byId(v)._3 == 1L, s"singleton $v fills own label"))
+    // exactly one canonical per cluster, and it is the min member
+    val canon = rows.filter(_._4 == 1).map(_._1).toSet
+    assert(canon == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
+    assert(rows.forall(r => (r._4 == 1) == (r._1 == r._2)))
+  }
+
+  test("incrementalComponentAssignments == full recompute, incl. a new doc bridging two old clusters") {
+    // old universe 0..9 with clusters {0,1,2} and {5,6}; new batch 10..12:
+    // 10 bridges the two OLD clusters (the merge case the star reduction
+    // must get right), 11 joins nothing (stays singleton), 12 pairs with 9
+    // (an old singleton gets pulled into a new 2-cluster)
+    val oldEdges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val oldU = (0L to 9L).toDF("id")
+    val prior = Dedup.componentAssignments(oldU, "id", oldEdges, "a", "b")
+    val newEdges = Seq((2L, 10L), (6L, 10L), (9L, 12L)).toDF("a", "b")
+    val newU = (10L to 12L).toDF("id")
+    val incr = Dedup.incrementalComponentAssignments(prior, newU, "id",
+        newEdges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val full = Dedup.componentAssignments((0L to 12L).toDF("id"), "id",
+        oldEdges.unionByName(newEdges), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(incr == full)
+    // the bridged mega-cluster kept the older label 0 and counts 10,
+    // the merged members {0,1,2,5,6,10}
+    assert(incr.contains((10L, 0L, 6L, 0)))
+  }
+
+  test("q94 theorem on real embeddings: incremental semantic clustering equals full recompute") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "cluster_id", "cluster_size", "is_canonical")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
+    val full = rows(Dedup.componentAssignments(
+      emb.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+      pairs, "id_a", "id_b"))
+    val h = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) * 4 / 5
+    val old = emb.filter(col("vec_id") < h)
+    val prior = Dedup.componentAssignments(
+      old.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(old, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1),
+      "id_a", "id_b")
+    val incr = rows(Dedup.incrementalComponentAssignments(prior,
+      emb.filter(col("vec_id") >= h).select(col("vec_id").cast("long").as("vec_id")),
+      "vec_id", pairs.filter(col("id_b") >= h), "id_a", "id_b"))
+    assert(incr == full)
+  }
 }
