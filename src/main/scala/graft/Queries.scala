@@ -1686,4 +1686,84 @@ object Queries {
         col("is_canonical"))
       .orderBy("vec_id")
   }
+
+  /** Cluster-safe train/val/test split (q95): split membership keyed on the
+    * SEMANTIC CLUSTER label, not the document — near-duplicates always land
+    * in the same split, so an eval document can never be a near-copy of a
+    * training document. This is the leakage mode a per-document q54 split
+    * cannot prevent (the standard eval-contamination failure after dedup is
+    * only approximate). Composition: q93's full-coverage assignment keyed
+    * into q54's deterministic md5 split — adds nothing to the cluster
+    * build but one projection. */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
+    val asg = Dedup.componentAssignments(
+      emb.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+      pairs, "id_a", "id_b")
+    CorpusQuality.hashSplit(asg, col("cluster_id").cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("split"))
+      .orderBy("vec_id")
+  }
+
+  /** Data-contract validation report (q96): the declarative ingest gate —
+    * seven constraints over lineitem evaluated into one small report
+    * (check_name, target, violations, status). The five row-local checks
+    * share ONE scan (a single multi-column aggregate); uniqueness adds one
+    * key shuffle; the FK check one left-anti join against orders. Two
+    * checks are chosen to FAIL with data-dependent counts (quantity ≤ 30,
+    * returnflag ∈ {A,R}) so the oracle hash pins real violation
+    * arithmetic, not an all-zero report. */
+  def dataContract(spark: SparkSession, dir: String): DataFrame = {
+    import Contracts._
+    val tb = t(spark, dir)
+    Contracts.check(tb.lineitem, Seq(
+        NotNull("l_shipdate"),
+        Bounds("l_quantity", 1, 50),
+        AcceptedValues("l_returnflag", Seq("A", "R")),
+        Satisfies("qty_le_30", col("l_quantity") <= 30),
+        RowCountMin(100),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey", tb.orders, "o_orderkey", "orders")))
+      .orderBy("check_name", "target")
+  }
+
+  /** Unicode canonicalization (q97): the `normalize_text` native expression
+    * (NFC) as a corpus pass — the step that makes two crawls of the same
+    * page digest identically when they differ only in composed vs
+    * combining-mark encoding. Every document is suffixed with a live
+    * combining sequence ("e" + U+0301 → NFC "é") so each row genuinely
+    * exercises the fold; the digest of the normalized text is then a
+    * data-dependent hash the DuckDB `nfc_normalize` replay must reproduce
+    * byte-for-byte. */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TextExpressions.normalize_text
+    val aug = concat(col("text"), lit("e\u0301")) // combining acute; NFC folds to U+00E9
+    t(spark, dir).documents.select(
+        col("doc_id"),
+        md5(to_binary(aug, lit("utf-8"))).as("raw_md5"),
+        md5(to_binary(normalize_text(aug), lit("utf-8"))).as("norm_md5"),
+        (length(aug) - length(normalize_text(aug))).cast("long").as("chars_folded"))
+      .orderBy("doc_id")
+  }
+
+  /** Ranked-retrieval quality metrics (q98): the q59 pruned multi-table LSH
+    * configuration scored with MRR and NDCG@5 against the brute-force
+    * truth — recall (q59) says whether the right neighbors appear; these
+    * say how HIGH they rank, the metric an eval-mining pipeline actually
+    * gates on. Query set % 50 == 11, disjoint from every other ANN query;
+    * fully seeded, so the oracle replays BOTH sides from the plane
+    * constants and computes the same metrics. */
+  def annRankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") % 50 === 11)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val lsh = Similarity.lshCosineTopK(emb, "vec_id", "embedding", queries,
+      "qid", "qvec", k = 5, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16)
+    val bf = Similarity.cosineTopK(emb, "vec_id", "embedding", queries,
+      "qid", "qvec", k = 5, dim = 64)
+    Similarity.rankMetrics(bf, lsh, k = 5).orderBy("qid")
+  }
 }

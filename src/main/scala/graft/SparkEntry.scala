@@ -209,7 +209,11 @@ object SparkEntry {
     * from the Spark run — the oracle derives recall (measured: 1.0 on all 10
     * queries) from the algorithm itself, the q25-minhash pattern applied to
     * the similarity tier. */
-  private def lshRecallOracleSql(mod: Int): String = {
+  /** Shared CTE stack replaying the pruned 16x4-bit radius-1 LSH pipeline
+    * AND the brute-force truth for query set `% 50 == mod` — the common
+    * prefix of the q59 recall oracle and the q98 rank-metrics oracle.
+    * `lsh` keeps (qid, id, rank); `bf` is the truth membership set. */
+  private def lshPipelineCtes(mod: Int): String = {
     // identical constants to MultiTableLsh(numPlanes = 4, numTables = 16,
     // dim = 64): planes(t*4 + i) is bit i of table t's signature
     val planes = graft.operators.Similarity.randomPlanes(64, 64)
@@ -221,7 +225,7 @@ object SparkEntry {
       s"${bits.mkString(" + ")} AS sig$t"
     }.mkString(",\n")
     val sigList = (0 until 16).map(t => s"sig$t").mkString("[", ", ", "]")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sg AS (SELECT vec_id, v, $sigCols FROM e),
        |cs AS (SELECT vec_id AS id, t, $sigList[t + 1] AS sig FROM sg, range(0, 16) r(t)),
        |qp AS (SELECT id AS qid, t,
@@ -231,19 +235,40 @@ object SparkEntry {
        |n AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |sc AS (SELECT c.qid, c.id, list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
        |  FROM cand c JOIN n q ON q.id = c.qid JOIN n x ON x.id = c.id),
-       |lsh AS (SELECT qid, id FROM (SELECT qid, id,
+       |lsh AS (SELECT qid, id, rank FROM (SELECT qid, id,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM sc)
        |  WHERE rank <= 5),
        |bs AS (SELECT q.id AS qid, x.id, list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
        |  FROM n q JOIN n x ON x.id <> q.id WHERE q.id % 50 = $mod),
        |bf AS (SELECT qid, id FROM (SELECT qid, id,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM bs)
-       |  WHERE rank <= 5)
+       |  WHERE rank <= 5)""".stripMargin
+  }
+
+  private def lshRecallOracleSql(mod: Int): String =
+    s"""WITH ${lshPipelineCtes(mod)}
        |SELECT b.qid, CAST(count(*) AS BIGINT) AS k, CAST(count(l.id) AS BIGINT) AS hits,
        |round(count(l.id) * 1.0 / count(*), 6) AS recall
        |FROM bf b LEFT JOIN lsh l ON l.qid = b.qid AND l.id = b.id
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
-  }
+
+  /** q98: the same replayed pipeline scored with MRR and NDCG@5 — binary
+    * relevance against the brute-force truth, ideal DCG from truth sizes. */
+  private def lshRankMetricsOracleSql(mod: Int): String =
+    s"""WITH ${lshPipelineCtes(mod)},
+       |mk AS (SELECT l.qid, l.rank,
+       |    CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM lsh l LEFT JOIN bf b ON b.qid = l.qid AND b.id = l.id),
+       |per AS (SELECT qid, max(CASE WHEN rel = 1 THEN 1.0 / rank END) AS mrr_raw,
+       |    sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+       |  FROM mk GROUP BY qid),
+       |tn AS (SELECT qid, count(*) AS nt FROM bf GROUP BY qid),
+       |ideal AS (SELECT qid, sum(1.0 / log2(i + 1)) AS idcg FROM
+       |    (SELECT qid, unnest(generate_series(1, least(nt, 5))) AS i FROM tn)
+       |  GROUP BY qid)
+       |SELECT i.qid, round(coalesce(p.mrr_raw, 0.0), 6) AS mrr,
+       |  round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg
+       |FROM ideal i LEFT JOIN per p ON p.qid = i.qid ORDER BY i.qid""".stripMargin
 
   /** DuckDB replay of the ENTIRE exact-integer IVF pipeline (q60,
     * `Similarity.ivfTopKExact`): int8 quantization (the q63 CTEs), md5-order
@@ -443,7 +468,11 @@ object SparkEntry {
     "q91_epoch_shuffle"   -> Queries.epochShuffle _,
     "q92_chunk_decontam"  -> Queries.chunkDecontamination _,
     "q93_semantic_clusters" -> Queries.semanticClusters _,
-    "q94_incr_semantic_clusters" -> Queries.incrementalSemanticClusters _
+    "q94_incr_semantic_clusters" -> Queries.incrementalSemanticClusters _,
+    "q95_cluster_safe_split" -> Queries.clusterSafeSplit _,
+    "q96_data_contract"   -> Queries.dataContract _,
+    "q97_unicode_nfc"     -> Queries.unicodeNormalize _,
+    "q98_rank_metrics"    -> Queries.annRankMetrics _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -793,6 +822,7 @@ object SparkEntry {
         |  WHERE r.doc_id % 10 < 7 AND md5(r.text) = md5(b.text))
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q59_lsh_recall" -> lshRecallOracleSql(7),
+    "q98_rank_metrics" -> lshRankMetricsOracleSql(11),
     "q63_quantized_recall" ->
       // full replay: int8 quantization (floor(x / (max|x|/127)) — exact
       // integer dots, engine-independent; see Similarity.quantizeInt8),
@@ -1201,6 +1231,75 @@ object SparkEntry {
         |SELECT id AS vec_id, cluster_id, cluster_size,
         |  CAST(id = cluster_id AS INTEGER) AS is_canonical
         |FROM asg JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+    // q95: the q93 closure keyed into the q54 md5 split on the CLUSTER
+    // label — the oracle derives split from md5(cluster_id) exactly as the
+    // engine does, so a doc-keyed (leaky) split would hash-mismatch on
+    // every multi-member cluster that straddles a boundary.
+    "q95_cluster_safe_split" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |ed AS (SELECT id_a AS s, id_b AS d FROM p WHERE cos >= 0.35
+        |  UNION ALL SELECT id_b, id_a FROM p WHERE cos >= 0.35),
+        |reach AS (
+        |  SELECT s AS node, s AS lbl FROM ed
+        |  UNION
+        |  SELECT x.d AS node, r.lbl FROM reach r JOIN ed x ON x.s = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        |asg AS (SELECT e.vec_id AS id, coalesce(c.lbl, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN comp c ON c.node = e.vec_id),
+        |sp AS (SELECT id, cluster_id,
+        |  CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM asg)
+        |SELECT id AS vec_id, cluster_id,
+        |  CASE WHEN u >= 0.9 THEN 'test' WHEN u >= 0.8 THEN 'val'
+        |    ELSE 'train' END AS split
+        |FROM sp ORDER BY vec_id""".stripMargin,
+    // q96: every constraint re-derived as plain SQL aggregation — the five
+    // row-local checks in one scan-shaped SELECT, uniqueness as a grouped
+    // surplus sum, the FK as NOT EXISTS; two checks fail with
+    // data-dependent counts so the hash pins the violation arithmetic.
+    "q96_data_contract" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |    AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT) AS bd,
+        |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |    AND l_returnflag NOT IN ('A','R') THEN 1 ELSE 0 END) AS BIGINT) AS av,
+        |  CAST(sum(CASE WHEN coalesce(l_quantity <= 30, FALSE)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS st,
+        |  CAST(greatest(0, 100 - count(*)) AS BIGINT) AS rc
+        |  FROM lineitem),
+        |u AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v FROM
+        |  (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+        |  WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |r AS (
+        |  SELECT 'not_null' AS check_name, 'l_shipdate' AS target, nn AS violations FROM s
+        |  UNION ALL SELECT 'bounds', 'l_quantity in [1.0,50.0]', bd FROM s
+        |  UNION ALL SELECT 'accepted_values', 'l_returnflag', av FROM s
+        |  UNION ALL SELECT 'satisfies', 'qty_le_30', st FROM s
+        |  UNION ALL SELECT 'row_count_min', '>=100', rc FROM s
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', (SELECT v FROM u)
+        |  UNION ALL SELECT 'foreign_key', 'l_orderkey->orders.o_orderkey', (SELECT v FROM fk))
+        |SELECT check_name, target, violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r ORDER BY check_name, target""".stripMargin,
+    // q97: DuckDB's nfc_normalize replays the native NormalizeText
+    // expression — the appended combining sequence makes every row's
+    // normalized digest differ from its raw digest, so an identity (or
+    // wrong-form) normalization hash-mismatches on every row.
+    "q97_unicode_nfc" ->
+      """SELECT doc_id,
+        |  md5(text || 'e' || chr(769)) AS raw_md5,
+        |  md5(nfc_normalize(text || 'e' || chr(769))) AS norm_md5,
+        |  CAST(length(text || 'e' || chr(769))
+        |    - length(nfc_normalize(text || 'e' || chr(769))) AS BIGINT) AS chars_folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q91: deterministic epoch shuffle — q81's packing rolled up per
     // sequence, then every sequence's exact position in the md5-keyed
     // global permutation; the engine assigns positions hierarchically

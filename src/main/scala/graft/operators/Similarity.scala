@@ -295,6 +295,37 @@ object Similarity {
       .select(col("qid"), col("k"), col("hits"),
         round(col("hits").cast("double") / col("k"), 6).as("recall"))
 
+  /** Ranked-retrieval quality per query — MRR and NDCG@k against a
+    * binary-relevance truth set: the graded companions of [[topKRecall]]
+    * (recall says whether the right results appear in the top k; MRR/NDCG
+    * say how HIGH they rank). `ranked` is (qid, id, rank ∈ 1..) — an ANN or
+    * BM25 top-k; `truth` is (qid, id). One row per truth qid; a query whose
+    * ranked list found nothing relevant (or is empty) scores 0.0 on both.
+    *
+    * Float discipline: the only sums are per-query over ≤ k terms of
+    * 1/log2(rank+1) ∈ (0,1] — round(_,6) on the quotient per the house
+    * rule. Ideal DCG is derived from the truth sizes alone (relevant docs
+    * stacked at ranks 1..min(|truth|,k)). Like [[topKRecall]], every join
+    * is on per-query result sets — negligible next to the searches. */
+  def rankMetrics(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val marked = ranked.filter(col("rank") <= k)
+      .join(truth.select(col("qid"), col("id")).withColumn("rel", lit(1)),
+        Seq("qid", "id"), "left")
+      .select(col("qid"), col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
+    val per = marked.groupBy("qid").agg(
+      max(when(col("rel") === 1, lit(1.0) / col("rank"))).as("mrr_raw"),
+      sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + lit(1)))
+        .otherwise(lit(0.0))).as("dcg"))
+    val ideal = truth.groupBy("qid").agg(count(lit(1)).as("nt"))
+      .select(col("qid"), explode(sequence(lit(1L), least(col("nt"), lit(k.toLong)))).as("i"))
+      .groupBy("qid").agg(sum(lit(1.0) / log2(col("i") + lit(1))).as("idcg"))
+    ideal.join(per, Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(col("mrr_raw"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
+
   /** Symmetric int8 quantization of a float-vector column: per-vector
     * scale = max|x|/127, elements floor(x/scale) ∈ [-128, 127]. The
     * 100 TB footprint lever: a 64-dim float corpus drops 4x (embedding

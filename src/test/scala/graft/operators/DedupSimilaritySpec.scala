@@ -369,4 +369,48 @@ class DedupSimilaritySpec extends SparkSpec {
       "vec_id", pairs.filter(col("id_b") >= h), "id_a", "id_b"))
     assert(incr == full)
   }
+
+  test("rankMetrics: exact MRR/NDCG on crafted rankings, zero rows for misses and absent queries") {
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: relevant at ranks 2,3 of truth size 3; q2: nothing relevant found;
+    // q3: in truth but absent from the ranked table; q4: perfect ranking
+    val truth = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 7L), (3L, 8L),
+      (4L, 40L)).toDF("qid", "id")
+    val ranked = Seq((1L, 10L, 1), (1L, 2L, 2), (1L, 3L, 3), (1L, 99L, 4),
+      (2L, 50L, 1), (2L, 51L, 2), (4L, 40L, 1)).toDF("qid", "id", "rank")
+    val got = Similarity.rankMetrics(truth, ranked, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val dcg1 = 1.0 / lg2(3) + 1.0 / lg2(4)
+    val idcg1 = 1.0 / lg2(2) + 1.0 / lg2(3) + 1.0 / lg2(4)
+    assert(got == Set(
+      (1L, 0.5, r6(dcg1 / idcg1)),
+      (2L, 0.0, 0.0),
+      (3L, 0.0, 0.0),
+      (4L, 1.0, 1.0)))
+    // ranks beyond k are ignored: a relevant hit at rank 6 adds nothing
+    val far = Similarity.rankMetrics(Seq((9L, 1L)).toDF("qid", "id"),
+        Seq((9L, 1L, 6)).toDF("qid", "id", "rank"), k = 5)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(far == Seq((0.0, 0.0)))
+  }
+
+  test("cluster-keyed split: no near-dup pair ever crosses a split boundary (q95 leakage property)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
+    val asg = Dedup.componentAssignments(
+      emb.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+      pairs, "id_a", "id_b")
+    val split = CorpusQuality.hashSplit(asg, col("cluster_id").cast("string"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("id"), col("split"))
+    val crossing = pairs
+      .join(split.select(col("id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(split.select(col("id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossing == 0L, s"$crossing near-dup pairs straddle a split boundary")
+    // and the split is non-degenerate: at least two splits actually occur
+    assert(split.select("split").distinct().count() >= 2)
+  }
 }

@@ -58,4 +58,59 @@ class TextExpressionsSpec extends SparkSpec {
       Seq(1).toDF("x").select(TextExpressions.token_count(col("x"))).collect()
     }
   }
+
+  private val normCases = Seq(
+    "", "plain ascii only", "café",      // composed stays composed
+    "café",                             // combining acute -> composed
+    "Å",                                // ring -> Å
+    "ﬁnal",                              // NFKC folds the fi ligature
+    "½ + Ⅰ",                        // NFKC folds ½ and Ⅰ
+    "ộ",                                // multiple marks, canonical order
+    "한각",                   // Hangul syllable + jamo run
+    "😀 é",                   // non-BMP emoji + combining
+    "é" * 500)                          // long denormalized run
+
+  test("normalize_text equals java.text.Normalizer for every form, codegen and interpreted") {
+    import java.text.Normalizer
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val exp = normCases.map(s =>
+        Normalizer.normalize(s, Normalizer.Form.valueOf(form)))
+      val got = normCases.toDF("s")
+        .select(TextExpressions.normalize_text(col("s"), form)).collect()
+        .map(_.getString(0)).toSeq
+      assert(got == exp, s"form $form (codegen)")
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.codegen.wholeStage", "false")
+      ss.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      import ss.implicits._
+      val got2 = normCases.toDF("s")
+        .select(TextExpressions.normalize_text(col("s"), form)).collect()
+        .map(_.getString(0)).toSeq
+      assert(got2 == exp, s"form $form (interpreted)")
+    }
+  }
+
+  test("normalize_text ASCII fast path returns the input reference (no allocation)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("just ascii, stays put")
+    assert(TextNorm.normalize(ascii, 0) eq ascii)
+    // already-normalized non-ASCII also returns the input reference
+    val composed = UTF8String.fromString("café")
+    assert(TextNorm.normalize(composed, 0) eq composed)
+    // denormalized input allocates and folds
+    val combining = UTF8String.fromString("café")
+    assert(TextNorm.normalize(combining, 0).toString == "café")
+  }
+
+  test("normalize_text contract: null passthrough, bad type and bad form rejected") {
+    val got = Seq(Some("é"), None).toDF("s")
+      .select(TextExpressions.normalize_text(col("s"))).collect()
+    assert(got(0).getString(0) == "é" && got(1).isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(TextExpressions.normalize_text(col("x"))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      TextExpressions.normalize_text(col("s"), "NFX")
+    }
+  }
 }
