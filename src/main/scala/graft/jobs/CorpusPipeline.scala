@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline — the composition the engine
   * exists for. One declarative chain, every stage from the operator library:
   *
-  *   read → PII scrub → quality score → repetition gate → filter
+  *   read → Unicode NFC canonicalize → PII scrub → quality score
+  *        → repetition gate → filter
   *        → exact dedup → MinHash near-dup removal
   *        → language-ID annotate → partitioned write
   *
@@ -28,6 +29,11 @@ object CorpusPipeline {
                           // 1.0 disables (a 2-token doc is trivially at 1.0).
                           maxTop2gramFrac: Double = 1.0,
                           scrubPii: Boolean = false,
+                          // Unicode NFC canonicalization (native expression,
+                          // ASCII fast path free) — run FIRST so encoding
+                          // variants of the same page share a digest and the
+                          // PII regexes see canonical text
+                          normalizeUnicode: Boolean = false,
                           // token hash for the MinHash sketch: xxhash64 (fast
                           // default) or TextFunctions.md5Hash32 when the run
                           // must be replayable by an ANSI-SQL oracle (q65)
@@ -41,14 +47,25 @@ object CorpusPipeline {
       col("q.stopword_ratio") <= cfg.maxStopwordRatio &&
       col("q.uniq_ratio") >= cfg.minUniqRatio
 
-  /** Stages 0-1b: PII scrub → quality score+filter → repetition gate.
-    * Output keeps every input column plus the `q` metrics struct. */
+  /** Stage -1/0: optional Unicode canonicalization, then optional PII
+    * scrub — both BEFORE any content digest, so encoding variants and
+    * docs differing only in redacted PII dedup together. One shared
+    * definition keeps [[qualityGated]] and [[segmentPlan]] in lockstep. */
+  private def canonicalized(docs: DataFrame, cfg: Config): DataFrame = {
+    val normed =
+      if (cfg.normalizeUnicode)
+        docs.withColumn("text",
+          graft.plans.TextExpressions.normalize_text(col("text")))
+      else docs
+    if (cfg.scrubPii) normed.withColumn("text", redactPii(col("text")))
+    else normed
+  }
+
+  /** Stages 0-1b: canonicalize/scrub → quality score+filter → repetition
+    * gate. Output keeps every input column plus the `q` metrics struct. */
   private def qualityGated(docs: DataFrame, cfg: Config): DataFrame = {
     val stopwords = graft.Queries.Stopwords
-    // 0. PII scrub (optional) — must run before any content digest so that
-    //    two docs differing only in redacted PII dedup together
-    val scrubbed =
-      if (cfg.scrubPii) docs.withColumn("text", redactPii(col("text"))) else docs
+    val scrubbed = canonicalized(docs, cfg)
     // 1. quality gate — single codegen'd projection + filter
     val scored = scrubbed.withColumn("q", qualityMetrics(col("text"), stopwords))
       .filter(qualityGate(cfg))
@@ -216,8 +233,7 @@ object CorpusPipeline {
       : (DataFrame, () => Unit) = {
     require(seqsPerBucket >= 1)
     val stopwords = graft.Queries.Stopwords
-    val scrubbed =
-      if (cfg.scrubPii) docs.withColumn("text", redactPii(col("text"))) else docs
+    val scrubbed = canonicalized(docs, cfg)
     // THE tokenize — the chain's only split(); everything downstream reads
     // the `toks` attribute. Exact dedup runs BELOW the quality gate: the
     // two commute (the gate is a pure function of text, and a digest group

@@ -66,6 +66,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(texts.exists(_.contains("<EMAIL>")) && !texts.exists(_.contains("@")))
   }
 
+  test("curate's Unicode canonicalization: encoding variants of one page dedup together") {
+    import spark.implicits._
+    // docs 1 and 2 are the SAME text in composed vs combining-mark
+    // encoding; doc 3 is genuinely different. Without normalizeUnicode the
+    // digests differ and both variants survive; with it they exact-dedup.
+    val composed = "café terrace at night with seven more words"
+    val combining = "café terrace at night with seven more words"
+    val docs = Seq((1L, composed, "en"), (2L, combining, "en"),
+      (3L, "a completely different document with enough tokens here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val base = CorpusPipeline.Config(minUniqRatio = 0.0)
+    val without = CorpusPipeline.curate(docs, base)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(without == Seq(1L, 2L, 3L), "un-normalized variants must both survive")
+    val out = CorpusPipeline.curate(docs, base.copy(normalizeUnicode = true)).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L))
+    // and the survivor's text is the canonical (composed) form
+    assert(out.map(_.getAs[String]("text")).exists(_.startsWith(composed.take(5))))
+    // the sequence tier shares the same canonicalize stage (one definition):
+    // both variants land in ONE chunk lineage there too
+    val dir = java.nio.file.Files.createTempDirectory("nfc-seq").toString
+    val segs = CorpusPipeline.curateToSequences(docs, dir,
+      base.copy(normalizeUnicode = true), chunkSize = 8, chunkStride = 8,
+      capacity = 16)
+    assert(segs.select("doc_id").distinct().count() == 2)
+  }
+
   test("curationReport stage counts are consistent with curate itself") {
     import spark.implicits._
     val near1 = (1 to 30).map(i => s"w$i").mkString(" ")
