@@ -1672,12 +1672,13 @@ object Queries {
       Similarity.cosineNearDupPairs(old, "vec_id", "embedding",
         threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1),
       "id_a", "id_b")
-    // Pairs touching the batch: id_a < id_b, so "touches a new id" ⇔
-    // id_b >= h; the predicate pushes below the cosine projection, so no
-    // old × old similarity is evaluated.
-    val newPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
-      .filter(col("id_b") >= h)
+    // The production candidate generator: batch × (corpus ∪ batch), never
+    // old × old — with append-only ids this is exactly the "pairs with
+    // id_b >= h" slice of the full pair set (operator-level equality is
+    // spec-gated in DedupSimilaritySpec).
+    val newPairs = Similarity.cosineNearDupPairsAgainst(
+      emb.filter(col("vec_id") >= h), old, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
     Dedup.incrementalComponentAssignments(prior,
         emb.filter(col("vec_id") >= h)
           .select(col("vec_id").cast("long").as("vec_id")), "vec_id",
@@ -1765,5 +1766,65 @@ object Queries {
     val bf = Similarity.cosineTopK(emb, "vec_id", "embedding", queries,
       "qid", "qvec", k = 5, dim = 64)
     Similarity.rankMetrics(bf, lsh, k = 5).orderBy("qid")
+  }
+
+  /** Dedup diagnostics (q99): the cluster-size distribution of the
+    * semantic clustering — the report a dedup run is judged by (SemDeDup
+    * and the dedup literature report exactly this curve): per cluster
+    * size, how many clusters, how many documents they hold, what fraction
+    * of the corpus that is, and how many documents keep-one-per-cluster
+    * removes. Costs one distinct + one groupBy over the (already tiny)
+    * cluster table on top of the q93 build. */
+  /** Streaming data contract (q100): the q96 ingest gate running
+    * IN-FLIGHT — the row-local tier as a complete-mode global aggregation
+    * on the production file-source ingest path. Corpus files arrive as
+    * micro-batches (maxFilesPerTrigger=1); after the last, the report
+    * equals the batch evaluation over everything ingested, and the
+    * aggregation state is ONE row of counters at any ingest volume. Two
+    * checks fail with data-dependent counts, as in q96, so the hash pins
+    * the in-flight violation arithmetic. */
+  def streamingContract(spark: SparkSession, dir: String): DataFrame = {
+    import Contracts._
+    val runId = streamRunCounter.getAndIncrement()
+    val ss = streamSession(spark)
+    val stage = scratchDir(spark,
+      s"q100_${Integer.toHexString(dir.hashCode)}_$runId")
+    val docs = t(spark, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val name = s"q100_stream_$runId"
+    val sq = Contracts.checkStream(stream, Seq(
+        NotNull("text"),
+        Bounds("n_chars", 1, 500),
+        AcceptedValues("lang", Seq("en", "zh")),
+        Satisfies("ids_nonneg", col("doc_id") >= 0),
+        RowCountMin(10)))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    ss.table(name).orderBy("check_name", "target")
+  }
+
+  def dedupDiagnostics(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
+    val asg = Dedup.componentAssignments(
+      emb.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+      pairs, "id_a", "id_b")
+    val clusters = asg.select(col("cluster_id"), col("cluster_size")).distinct()
+    val total = asg.agg(count(lit(1)).as("n_total"))
+    clusters.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1L) * col("n_clusters")).as("n_removed"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_removed"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("corpus_frac"))
+      .orderBy("cluster_size")
   }
 }

@@ -472,7 +472,9 @@ object SparkEntry {
     "q95_cluster_safe_split" -> Queries.clusterSafeSplit _,
     "q96_data_contract"   -> Queries.dataContract _,
     "q97_unicode_nfc"     -> Queries.unicodeNormalize _,
-    "q98_rank_metrics"    -> Queries.annRankMetrics _
+    "q98_rank_metrics"    -> Queries.annRankMetrics _,
+    "q99_dedup_diagnostics" -> Queries.dedupDiagnostics _,
+    "q100_stream_contract" -> Queries.streamingContract _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1300,6 +1302,55 @@ object SparkEntry {
         |  CAST(length(text || 'e' || chr(769))
         |    - length(nfc_normalize(text || 'e' || chr(769))) AS BIGINT) AS chars_folded
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q99: the q93 closure rolled up into the cluster-size distribution —
+    // the dedup literature's report curve, exact integers + one fraction.
+    "q99_dedup_diagnostics" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |ed AS (SELECT id_a AS s, id_b AS d FROM p WHERE cos >= 0.35
+        |  UNION ALL SELECT id_b, id_a FROM p WHERE cos >= 0.35),
+        |reach AS (
+        |  SELECT s AS node, s AS lbl FROM ed
+        |  UNION
+        |  SELECT x.d AS node, r.lbl FROM reach r JOIN ed x ON x.s = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        |asg AS (SELECT e.vec_id AS id, coalesce(c.lbl, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN comp c ON c.node = e.vec_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM asg GROUP BY cluster_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM asg),
+        |dist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM sz GROUP BY cluster_size)
+        |SELECT cluster_size, n_clusters,
+        |  cluster_size * n_clusters AS n_docs,
+        |  (cluster_size - 1) * n_clusters AS n_removed,
+        |  round(CAST(cluster_size * n_clusters AS DOUBLE) / n_total, 6) AS corpus_frac
+        |FROM dist, tot ORDER BY cluster_size""".stripMargin,
+    // q100: the streaming report after the last micro-batch must equal the
+    // batch evaluation over the whole corpus — plain SQL aggregation.
+    "q100_stream_contract" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |  CAST(sum(CASE WHEN n_chars IS NOT NULL
+        |    AND (n_chars < 1 OR n_chars > 500) THEN 1 ELSE 0 END) AS BIGINT) AS bd,
+        |  CAST(sum(CASE WHEN lang IS NOT NULL
+        |    AND lang NOT IN ('en','zh') THEN 1 ELSE 0 END) AS BIGINT) AS av,
+        |  CAST(sum(CASE WHEN coalesce(doc_id >= 0, FALSE)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS st,
+        |  CAST(greatest(0, 10 - count(*)) AS BIGINT) AS rc
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'not_null' AS check_name, 'text' AS target, nn AS violations FROM s
+        |  UNION ALL SELECT 'bounds', 'n_chars in [1.0,500.0]', bd FROM s
+        |  UNION ALL SELECT 'accepted_values', 'lang', av FROM s
+        |  UNION ALL SELECT 'satisfies', 'ids_nonneg', st FROM s
+        |  UNION ALL SELECT 'row_count_min', '>=10', rc FROM s)
+        |SELECT check_name, target, violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r ORDER BY check_name, target""".stripMargin,
     // q91: deterministic epoch shuffle — q81's packing rolled up per
     // sequence, then every sequence's exact position in the md5-keyed
     // global permutation; the engine assigns positions hierarchically

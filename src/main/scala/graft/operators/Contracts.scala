@@ -48,13 +48,10 @@ object Contracts {
   final case class ForeignKey(column: String, ref: DataFrame, refColumn: String,
                               refName: String) extends Constraint
 
-  /** Evaluate `constraints` against `df` → (check_name, target, violations,
-    * status) with one row per constraint, status = pass iff violations = 0.
-    * Row-local constraints share a single scan (see object doc). */
-  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
-    require(constraints.nonEmpty, "empty contract suite")
-    // (check_name, target, violation-count aggregate) for the one-scan tier
-    val scan: Seq[(String, String, Column)] = constraints.flatMap {
+  /** (check_name, target, violation-count aggregate) for the one-scan
+    * tier — the row-local constraints that fold into a single aggregate. */
+  private def scanTier(constraints: Seq[Constraint]): Seq[(String, String, Column)] =
+    constraints.flatMap {
       case NotNull(c) =>
         Some(("not_null", c, sum(when(col(c).isNull, 1L).otherwise(0L))))
       case Bounds(c, lo, hi) =>
@@ -72,18 +69,35 @@ object Contracts {
           greatest(lit(0L), lit(n) - count(lit(1)))))
       case _ => None
     }
+
+  /** One multi-column aggregate + unpivot → one report row per scan-tier
+    * constraint. Works unchanged on a streaming frame (a global
+    * aggregation whose state is a single row of counters). */
+  private def scanReportDf(df: DataFrame,
+                           scan: Seq[(String, String, Column)]): DataFrame = {
+    val agg = df.agg(scan.head._3.as("c0"),
+      scan.tail.zipWithIndex.map { case ((_, _, a), i) => a.as(s"c${i + 1}") }: _*)
+    // unpivot the single agg row into one report row per constraint
+    val rows = scan.zipWithIndex.map { case ((name, target, _), i) =>
+      struct(lit(name).as("check_name"), lit(target).as("target"),
+        col(s"c$i").cast("long").as("violations"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  private def withStatus(report: DataFrame): DataFrame =
+    report.select(col("check_name"), col("target"), col("violations"),
+      when(col("violations") === 0L, lit("pass")).otherwise(lit("fail"))
+        .as("status"))
+
+  /** Evaluate `constraints` against `df` → (check_name, target, violations,
+    * status) with one row per constraint, status = pass iff violations = 0.
+    * Row-local constraints share a single scan (see object doc). */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty contract suite")
+    val scan = scanTier(constraints)
     val scanReport: Option[DataFrame] =
-      if (scan.isEmpty) None
-      else {
-        val agg = df.agg(scan.head._3.as("c0"),
-          scan.tail.zipWithIndex.map { case ((_, _, a), i) => a.as(s"c${i + 1}") }: _*)
-        // unpivot the single agg row into one report row per constraint
-        val rows = scan.zipWithIndex.map { case ((name, target, _), i) =>
-          struct(lit(name).as("check_name"), lit(target).as("target"),
-            col(s"c$i").cast("long").as("violations"))
-        }
-        Some(agg.select(explode(array(rows: _*)).as("r")).select(col("r.*")))
-      }
+      if (scan.isEmpty) None else Some(scanReportDf(df, scan))
 
     val grouped: Seq[DataFrame] = constraints.collect {
       case Unique(cols) =>
@@ -99,9 +113,23 @@ object Contracts {
             lit(s"$c->$refName.$rc").as("target"), col("violations"))
     }
 
-    val all = (scanReport.toSeq ++ grouped).reduce(_ unionByName _)
-    all.select(col("check_name"), col("target"), col("violations"),
-      when(col("violations") === 0L, lit("pass")).otherwise(lit("fail"))
-        .as("status"))
+    withStatus((scanReport.toSeq ++ grouped).reduce(_ unionByName _))
+  }
+
+  /** The contract gate IN-FLIGHT: the row-local tier evaluated on a
+    * STREAMING frame — the same report, recomputed per micro-batch as a
+    * complete-mode global aggregation whose entire state is one row of
+    * violation counters (bounded at any ingest volume). `Unique` and
+    * `ForeignKey` need cross-batch state or a reference join and stay
+    * batch-side (run them per-batch in `foreachBatch` if needed) — a suite
+    * containing them is rejected loudly rather than silently dropped. */
+  def checkStream(stream: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty contract suite")
+    val scan = scanTier(constraints)
+    require(scan.size == constraints.size,
+      "checkStream supports only row-local constraints (not-null / bounds / " +
+        "accepted-values / satisfies / row-count); run Unique/ForeignKey " +
+        "batch-side or per-batch via foreachBatch")
+    withStatus(scanReportDf(stream, scan))
   }
 }

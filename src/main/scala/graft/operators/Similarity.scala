@@ -279,6 +279,63 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding-cosine near-dup pairs of a NEW BATCH against an accumulated
+    * corpus — every returned pair touches a batch row (batch × corpus and
+    * batch × batch; never corpus × corpus). This is the candidate generator
+    * behind [[graft.operators.Dedup.incrementalComponentAssignments]]: its
+    * output plus the prior assignment's stars is exactly the connectivity a
+    * full recompute would see, at |batch|-proportional cost.
+    *
+    * Candidate completeness relies on probe-mask SYMMETRY: the multi-table
+    * probe set is a Hamming ball, so sig(x) ∈ ball(sig(y)) ⇔
+    * sig(y) ∈ ball(sig(x)) — probing only the batch side against the
+    * (corpus ∪ batch) bucket table finds every pair the symmetric two-sided
+    * probe of [[cosineNearDupPairs]] over the union would (spec-gated
+    * equality). Ids must be unique across both frames (append-only
+    * discipline); output is (id_a < id_b, cos) like [[cosineNearDupPairs]].
+    */
+  def cosineNearDupPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                threshold: Double, numPlanes: Int, dim: Int,
+                                probeRadius: Int = 1,
+                                numTables: Int = 8): DataFrame = {
+    import graft.plans.VectorExpressions.vec_dot
+    val full = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val cand =
+      if (numTables == 1 && probeRadius >= numPlanes) {
+        batch.select(col(idCol).as("bid"))
+          .crossJoin(full.select(col("id")))
+          .filter(col("bid") =!= col("id"))
+      } else {
+        val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius)
+        val base = full
+          .select(col("id"), lsh.sigs(col("vec")).as("sigs"))
+          .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+        val probed = batch
+          .select(col(idCol).as("bid"), lsh.sigs(col(vecCol)).as("sigs"))
+          .select(col("bid"), posexplode(col("sigs")).as(Seq("t", "sig0")))
+          .select(col("bid"), col("t"), lsh.probes(col("sig0")).as("sig"))
+        base.join(probed, Seq("t", "sig"))
+          .filter(col("bid") =!= col("id"))
+          .select(col("bid"), col("id"))
+      }
+    // canonical orientation + dedup (a batch-batch pair is found from both
+    // ends; a multi-table hit repeats) BEFORE the vector joins
+    val pairs = cand
+      .select(least(col("bid"), col("id")).as("id_a"),
+        greatest(col("bid"), col("id")).as("id_b"))
+      .distinct()
+    val v = full.select(col("id"), col("vec"),
+      sqrt(vec_dot(col("vec"), col("vec"))).as("norm"))
+    pairs
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Per-query recall of an ANN result against a ground-truth top-k: for each
     * qid, k = |truth rows|, hits = |ann ∩ truth| on (qid, id), recall =
     * hits/k. Both inputs are (qid, id[, ...]) top-k tables; the join is on the
@@ -309,15 +366,18 @@ object Similarity {
     * is on per-query result sets — negligible next to the searches. */
   def rankMetrics(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
+    // distinct-ed ONCE and reused for membership and sizes: a duplicated
+    // truth row must not double-count a hit's DCG term (via join fan-out)
+    // or inflate the ideal
+    val truthSet = truth.select(col("qid"), col("id")).distinct()
     val marked = ranked.filter(col("rank") <= k)
-      .join(truth.select(col("qid"), col("id")).withColumn("rel", lit(1)),
-        Seq("qid", "id"), "left")
+      .join(truthSet.withColumn("rel", lit(1)), Seq("qid", "id"), "left")
       .select(col("qid"), col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
     val per = marked.groupBy("qid").agg(
       max(when(col("rel") === 1, lit(1.0) / col("rank"))).as("mrr_raw"),
       sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + lit(1)))
         .otherwise(lit(0.0))).as("dcg"))
-    val ideal = truth.groupBy("qid").agg(count(lit(1)).as("nt"))
+    val ideal = truthSet.groupBy("qid").agg(count(lit(1)).as("nt"))
       .select(col("qid"), explode(sequence(lit(1L), least(col("nt"), lit(k.toLong)))).as("i"))
       .groupBy("qid").agg(sum(lit(1.0) / log2(col("i") + lit(1))).as("idcg"))
     ideal.join(per, Seq("qid"), "left")

@@ -11,7 +11,7 @@ class ReadmeSyncSpec extends AnyFunSuite {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
       java.nio.charset.StandardCharsets.UTF_8)
-    val inReadme = "q\\d{2}_[a-z0-9_]+".r.findAllIn(readme).toSet
+    val inReadme = "q\\d{2,}_[a-z0-9_]+".r.findAllIn(readme).toSet
     val declared = SparkEntry.queries.keySet
     val missing = declared -- inReadme
     val stale = inReadme -- declared

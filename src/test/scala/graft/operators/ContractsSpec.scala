@@ -78,4 +78,42 @@ class ContractsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty"))
   }
+
+  test("checkStream: counters accumulate across micro-batches and equal the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[Double])]
+    val suite = Seq(NotNull("b"), Bounds("b", 0, 10), RowCountMin(4))
+    val sq = Contracts.checkStream(mem.toDF().toDF("k", "b"), suite)
+      .writeStream.format("memory").queryName("contract_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, Some(5.0)), (2L, Some(99.0))) // one OOB
+      sq.processAllAvailable()
+      val mid = spark.table("contract_stream").collect()
+        .map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(mid("bounds") == 1L && mid("row_count_min") == 2L)
+      mem.addData((3L, None), (4L, Some(-1.0)))      // one null, one OOB
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val fin = spark.table("contract_stream").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSet
+    val batch = Contracts.check(
+        Seq((1L, Some(5.0)), (2L, Some(99.0)), (3L, None: Option[Double]),
+          (4L, Some(-1.0))).toDF("k", "b"), suite)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSet
+    assert(fin == batch)
+    assert(fin == Set(("not_null", 1L, "fail"), ("bounds", 2L, "fail"),
+      ("row_count_min", 0L, "pass")))
+  }
+
+  test("checkStream rejects stateful-tier constraints loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val e = intercept[IllegalArgumentException] {
+      Contracts.checkStream(mem.toDF().toDF("k"), Seq(Unique(Seq("k"))))
+    }
+    assert(e.getMessage.contains("row-local"))
+  }
 }

@@ -393,6 +393,34 @@ class DedupSimilaritySpec extends SparkSpec {
         Seq((9L, 1L, 6)).toDF("qid", "id", "rank"), k = 5)
       .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
     assert(far == Seq((0.0, 0.0)))
+    // duplicated truth rows change nothing: membership and ideal are over
+    // the distinct set (no join fan-out into the DCG sum)
+    val dup = Similarity.rankMetrics(
+        Seq((4L, 40L), (4L, 40L), (4L, 40L)).toDF("qid", "id"),
+        Seq((4L, 40L, 1)).toDF("qid", "id", "rank"), k = 5)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(dup == Seq((1.0, 1.0)))
+  }
+
+  test("cosineNearDupPairsAgainst == full-corpus pairs restricted to batch-touching, both configs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val h = 400L
+    val old = emb.filter(col("vec_id") < h)
+    val batch = emb.filter(col("vec_id") >= h)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((planes, radius, tables) <- Seq((8, 8, 1), (4, 1, 16))) {
+      val full = rows(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, numPlanes = planes, dim = 64,
+        probeRadius = radius, numTables = tables))
+      val touching = full.filter { case (a, b) => a >= h || b >= h }
+      val against = rows(Similarity.cosineNearDupPairsAgainst(batch, old,
+        "vec_id", "embedding", threshold = 0.3, numPlanes = planes, dim = 64,
+        probeRadius = radius, numTables = tables))
+      assert(against == touching,
+        s"config ($planes,$radius,$tables): one-sided probe must equal the " +
+          s"symmetric two-sided restriction (${against.size} vs ${touching.size})")
+    }
   }
 
   test("cluster-keyed split: no near-dup pair ever crosses a split boundary (q95 leakage property)") {
