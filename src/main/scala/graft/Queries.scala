@@ -1807,6 +1807,41 @@ object Queries {
     ss.table(name).orderBy("check_name", "target")
   }
 
+  /** Deterministic token-budget draw (q102): every document whose span in
+    * the md5-ordered token stream fits a 10,000-token budget —
+    * training-run sizing by TOKENS, not documents, reproducible under
+    * re-runs and appends. Rank via the distributed global order index,
+    * positions via the hierarchical prefix sum, documents atomic (a doc
+    * is kept iff its whole span fits). Reported per language so the hash
+    * pins which documents were drawn, not just how many. */
+  def tokenBudgetDraw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents.select(col("doc_id"), col("lang"),
+      plans.TextExpressions.token_count(col("text")).as("n_tokens"))
+    CorpusQuality.tokenBudgetSample(docs, "doc_id", "n_tokens", budget = 10000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Length-bucketed inference batching (q101): documents ranked by token
+    * count into 32-doc batches of near-equal length, then the padded-cost
+    * accounting per batch — n_docs, min/max length, and padding waste
+    * (n_docs · max − sum), the number length-bucketing exists to minimize
+    * (a fixed-shape scoring batch pays batchSize × max tokens). The rank
+    * is the distributed global order index — the q91 machinery's second
+    * production consumer. */
+  def lengthBucketReport(spark: SparkSession, dir: String): DataFrame =
+    Packing.lengthBuckets(docTokenCounts(spark, dir), "doc_id", "n_tokens",
+        batchSize = 32)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_len"),
+        max(col("n_tokens")).as("max_len"),
+        (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens")))
+          .cast("long").as("padding"))
+      .orderBy("batch_id")
+
   def dedupDiagnostics(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir).embeddings
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",

@@ -474,7 +474,9 @@ object SparkEntry {
     "q97_unicode_nfc"     -> Queries.unicodeNormalize _,
     "q98_rank_metrics"    -> Queries.annRankMetrics _,
     "q99_dedup_diagnostics" -> Queries.dedupDiagnostics _,
-    "q100_stream_contract" -> Queries.streamingContract _
+    "q100_stream_contract" -> Queries.streamingContract _,
+    "q101_length_buckets" -> Queries.lengthBucketReport _,
+    "q102_token_budget" -> Queries.tokenBudgetDraw _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1351,6 +1353,38 @@ object SparkEntry {
         |SELECT check_name, target, violations,
         |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM r ORDER BY check_name, target""".stripMargin,
+    // q101: the engine's hierarchical rank replayed by a plain row_number
+    // over the same (cnt, doc_id) order; integer batch arithmetic.
+    "q101_length_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '')) AS BIGINT) AS cnt
+        |  FROM documents),
+        |r AS (SELECT doc_id, cnt,
+        |    row_number() OVER (ORDER BY cnt, doc_id) - 1 AS rk FROM d),
+        |b AS (SELECT rk // 32 AS batch_id, cnt FROM r)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(cnt) AS BIGINT) AS min_len,
+        |  CAST(max(cnt) AS BIGINT) AS max_len,
+        |  CAST(max(cnt) * count(*) - sum(cnt) AS BIGINT) AS padding
+        |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    // q102: md5 draw order + window prefix sum replay the engine's
+    // hierarchical construction; zero-token docs carry no weight and are
+    // never kept on either side.
+    "q102_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '')) AS BIGINT) AS cnt
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, cnt,
+        |    md5('draw-:' || CAST(doc_id AS VARCHAR)) AS key FROM d WHERE cnt > 0),
+        |r AS (SELECT doc_id, lang, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM k),
+        |kept AS (SELECT * FROM r WHERE pos + cnt <= 10000)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_tokens
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     // q91: deterministic epoch shuffle — q81's packing rolled up per
     // sequence, then every sequence's exact position in the md5-keyed
     // global permutation; the engine assigns positions hierarchically

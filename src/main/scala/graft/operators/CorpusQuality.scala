@@ -149,6 +149,40 @@ object CorpusQuality {
     *
     * Returns the sampled rows with (__stratum, c, w, n_target) attached
     * (per-stratum broadcast values; callers project what they need). */
+  /** Deterministic TOKEN-budget draw: keep every document whose span
+    * [pos, pos + cnt) in the md5-ordered token stream lies inside
+    * `budget` — "give me ~N tokens of this corpus, reproducibly"
+    * (training-run sizing, ablation draws), where row-level sampling can
+    * only target a document COUNT. (Not a strict prefix: a document too
+    * big for the remaining budget is skipped while smaller later ones may
+    * still fit — positions are the exclusive prefix sum over the full
+    * stream, so the kept set is still a pure function of the corpus.)
+    * The draw order is md5(draw-`salt`:id) — replayable, a different salt
+    * redraws, and appends don't reshuffle earlier keys — the rank is
+    * [[Sorts.globalOrderIndex]] (range partitions, no single-partition
+    * window) and each doc's running-total position comes from
+    * [[Packing.packSequences]]' hierarchical prefix sum, so no stage ever
+    * windows more than a bounded bucket. A document is kept iff its whole
+    * span fits: pos + cnt <= budget (documents are atomic — the draw
+    * never truncates one). Token-less documents are never kept (they
+    * carry no budget weight; filter separately if they matter).
+    * Returns the kept rows with input columns intact. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, cntCol: String,
+                        budget: Long, salt: String = ""): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val keyed = df.withColumn("__draw_key",
+      md5(concat(lit(s"draw-$salt:"), col(idCol).cast("string")).cast("binary")))
+    val ranked = graft.operators.Sorts.globalOrderIndex(keyed,
+      Seq(col("__draw_key"), col(idCol)), "__draw_rank")
+    val packed = Packing.packSequences(ranked, "__draw_rank", cntCol,
+        capacity = math.max(budget, 1L))
+      .select(col("id").as("__draw_rank"),
+        col("seq_id"), col("seq_offset"), col("n_tokens").as("__cnt"))
+    ranked.join(packed, Seq("__draw_rank"))
+      .filter(col("seq_id") === 0L && col("seq_offset") + col("__cnt") <= budget)
+      .drop("__draw_rank", "__draw_key", "seq_id", "seq_offset", "__cnt")
+  }
+
   def temperatureMixture(df: DataFrame, stratum: Column, key: Column,
                          targetTotal: Long): DataFrame = {
     require(targetTotal >= 0)

@@ -205,6 +205,26 @@ object Packing {
       .drop("__shuffle_key")
   }
 
+  /** Length-bucketed inference batching: assign every row a `batch_id`
+    * such that each batch holds exactly `batchSize` rows (the last one
+    * ragged) of NEAR-EQUAL length — the padded-batch preparation for
+    * fixed-shape inference/scoring, where a batch pays
+    * batchSize × max(len) tokens and sorting by length first is the
+    * standard padding-waste eliminator. Rank = [[Sorts.globalOrderIndex]]
+    * over (lenCol, idCol) (range partitions + bounded base window — a
+    * TeraSort shape, never a single-partition window), then
+    * batch_id = rank / batchSize, batch_pos = rank % batchSize. Ties
+    * break on id, so the assignment is total and replayable. Output:
+    * input columns + (batch_id, batch_pos). */
+  def lengthBuckets(df: DataFrame, idCol: String, lenCol: String,
+                    batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    Sorts.globalOrderIndex(df, Seq(col(lenCol), col(idCol)), "__rank")
+      .withColumn("batch_id", floor(col("__rank") / batchSize).cast("long"))
+      .withColumn("batch_pos", pmod(col("__rank"), lit(batchSize.toLong)))
+      .drop("__rank")
+  }
+
   /** The per-segment materialization of [[packSequences]] — the table a
     * training pipeline actually writes: for every (document, sequence) pair
     * the document touches, which token range of the document lands at which

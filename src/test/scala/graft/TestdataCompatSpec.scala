@@ -38,9 +38,20 @@ class TestdataCompatSpec extends SparkSpec {
       s"doc_id drifted to non-integral $idType")
     val e = tables.embeddings.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(e.keySet.contains("vec_id"))
+    // the semantic-cluster tier (q93-q95, q99) casts vec_id to long and
+    // feeds it to connectedComponents, which REQUIRES an integral type —
+    // a drift to string/decimal would null-out or reject the cast
+    assert(e("vec_id") == LongType || e("vec_id") == IntegerType,
+      s"vec_id drifted to non-integral ${e("vec_id")}")
     assert(e("embedding") == ArrayType(FloatType, containsNull = true) ||
       e("embedding") == ArrayType(FloatType, containsNull = false),
       s"embedding column drifted: ${e("embedding")}")
+    // q96/q100 contract suites pin lineitem/documents columns by name
+    val li = tables.lineitem.schema.fieldNames.toSet
+    assert(Set("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+      "l_shipdate").subsetOf(li), s"lineitem schema drifted: $li")
+    assert(tables.documents.schema.fieldNames.contains("n_chars"),
+      "documents.n_chars (q100 bounds check) missing")
   }
 
   test("TPC-H-ish date columns read as a timestamp family (oracle strings depend on it)") {

@@ -258,6 +258,43 @@ class CorpusQualitySpec extends SparkSpec {
     assert(shareC > shareA)
   }
 
+  test("tokenBudgetSample: exact md5-prefix draw, atomic docs, boundary/zero/salt behavior") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = (1L to 40L).map(i => (i, 1L + (i * 7) % 13)) // cnt in 1..13
+    val df = docs.toDF("doc_id", "cnt")
+    def drawn(budget: Long, salt: String = "") =
+      CorpusQuality.tokenBudgetSample(df, "doc_id", "cnt", budget, salt)
+        .collect().map(_.getLong(0)).toSet
+    // driver-side recompute: walk in (md5, id) order; a doc is kept iff
+    // its own span fits, and the position advances by EVERY doc's cnt
+    // (exclusive-prefix-sum semantics — a skipped doc does not free its
+    // slot for later docs)
+    val order = docs.sortBy { case (id, _) => (md5hex(s"draw-:$id"), id) }
+    def expected(budget: Long): Set[Long] = {
+      var pos = 0L
+      val kept = scala.collection.mutable.Set[Long]()
+      order.foreach { case (id, cnt) =>
+        if (pos + cnt <= budget) kept += id
+        pos += cnt // position advances regardless (prefix-sum semantics)
+      }
+      kept.toSet
+    }
+    for (b <- Seq(0L, 1L, 17L, 50L, 1000L))
+      assert(drawn(b) == expected(b), s"budget $b")
+    assert(drawn(0L).isEmpty)
+    assert(drawn(1000L) == docs.map(_._1).toSet, "huge budget keeps everything")
+    // a different salt draws a different prefix (overwhelmingly likely on
+    // 40 docs at a partial budget) but the SAME salt is deterministic
+    assert(drawn(50L) == drawn(50L))
+    assert(drawn(50L, salt = "b") != drawn(50L))
+    // zero-token docs are never kept
+    val withZero = (docs :+ (99L, 0L)).toDF("doc_id", "cnt")
+    val z = CorpusQuality.tokenBudgetSample(withZero, "doc_id", "cnt", 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(!z.contains(99L) && z == docs.map(_._1).toSet)
+  }
+
   test("temperatureMixture integer sqrt corrects the k^2-1 boundary") {
     // 3 docs -> isqrt(3) must be 1 (floor path), 4 -> 2, and a stratum of
     // 48 docs -> isqrt 6 (6*6=36 <= 48 < 49); huge targets cap at c

@@ -200,4 +200,31 @@ class PackingSpec extends SparkSpec {
     val fine = run(2000000)    // width 1: every id its own bucket, all work in the base window
     assert(fine == coarse)
   }
+
+  test("lengthBuckets: exact batch assignment, monotone batches, padding formula") {
+    import spark.implicits._
+    // 10 docs, lengths deliberately out of id order; batchSize 3 → batches
+    // of 3,3,3,1 over the length-sorted order (ties broken by id)
+    val docs = Seq((1L, 50L), (2L, 10L), (3L, 30L), (4L, 10L), (5L, 70L),
+      (6L, 20L), (7L, 60L), (8L, 40L), (9L, 10L), (10L, 25L))
+      .toDF("id", "len")
+    val got = Packing.lengthBuckets(docs, "id", "len", batchSize = 3)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Long]("batch_pos")))
+      .sortBy(r => (r._2, r._3))
+    // sorted order: (2,10)(4,10)(9,10) | (6,20)(10,25)(3,30) | (8,40)(1,50)(7,60) | (5,70)
+    assert(got.map(_._1).toSeq ==
+      Seq(2L, 4L, 9L, 6L, 10L, 3L, 8L, 1L, 7L, 5L))
+    assert(got.map(_._2).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L, 3L))
+    assert(got.map(_._3).toSeq == Seq(0L, 1L, 2L, 0L, 1L, 2L, 0L, 1L, 2L, 0L))
+    // batches are length-monotone: max(batch i) <= min(batch i+1)
+    val byBatch = Packing.lengthBuckets(docs, "id", "len", batchSize = 3)
+      .groupBy("batch_id").agg(min(col("len")).as("lo"), max(col("len")).as("hi"))
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    byBatch.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ => ()
+    }
+  }
 }
