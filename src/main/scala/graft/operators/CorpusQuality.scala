@@ -168,19 +168,32 @@ object CorpusQuality {
     * carry no budget weight; filter separately if they matter).
     * Returns the kept rows with input columns intact. */
   def tokenBudgetSample(df: DataFrame, idCol: String, cntCol: String,
-                        budget: Long, salt: String = ""): DataFrame = {
+                        budget: Long, salt: String = ""): DataFrame =
+    tokenBudgetSampleReleasable(df, idCol, cntCol, budget, salt)._1
+
+  /** [[tokenBudgetSample]] plus the thunk releasing its internal caches
+    * (the rank's pid-stamped frame and the prefix sum's (id, cnt)
+    * projection) — for drivers drawing from DISTINCT inputs or salts in a
+    * loop (ablation sweeps), where the per-call caches would otherwise
+    * accumulate for the session's lifetime. One-shot callers can rely on
+    * CacheManager dedup and use [[tokenBudgetSample]]; loop callers call
+    * `release()` after the terminal action on the returned frame. */
+  def tokenBudgetSampleReleasable(df: DataFrame, idCol: String, cntCol: String,
+                                  budget: Long, salt: String = "")
+      : (DataFrame, () => Unit) = {
     require(budget >= 0, "budget must be non-negative")
     val keyed = df.withColumn("__draw_key",
       md5(concat(lit(s"draw-$salt:"), col(idCol).cast("string")).cast("binary")))
-    val ranked = graft.operators.Sorts.globalOrderIndex(keyed,
-      Seq(col("__draw_key"), col(idCol)), "__draw_rank")
-    val packed = Packing.packSequences(ranked, "__draw_rank", cntCol,
-        capacity = math.max(budget, 1L))
-      .select(col("id").as("__draw_rank"),
-        col("seq_id"), col("seq_offset"), col("n_tokens").as("__cnt"))
-    ranked.join(packed, Seq("__draw_rank"))
+    val (ranked, releaseRank) = graft.operators.Sorts.globalOrderIndexReleasable(
+      keyed, Seq(col("__draw_key"), col(idCol)), "__draw_rank")
+    val (packedAll, releasePack) = Packing.packSequencesReleasable(ranked,
+      "__draw_rank", cntCol, capacity = math.max(budget, 1L))
+    val packed = packedAll.select(col("id").as("__draw_rank"),
+      col("seq_id"), col("seq_offset"), col("n_tokens").as("__cnt"))
+    val out = ranked.join(packed, Seq("__draw_rank"))
       .filter(col("seq_id") === 0L && col("seq_offset") + col("__cnt") <= budget)
       .drop("__draw_rank", "__draw_key", "seq_id", "seq_offset", "__cnt")
+    (out, () => { releaseRank(); releasePack() })
   }
 
   def temperatureMixture(df: DataFrame, stratum: Column, key: Column,

@@ -217,12 +217,24 @@ object Packing {
     * break on id, so the assignment is total and replayable. Output:
     * input columns + (batch_id, batch_pos). */
   def lengthBuckets(df: DataFrame, idCol: String, lenCol: String,
-                    batchSize: Int): DataFrame = {
+                    batchSize: Int): DataFrame =
+    lengthBucketsReleasable(df, idCol, lenCol, batchSize)._1
+
+  /** [[lengthBuckets]] plus the thunk releasing the rank's internal
+    * pid-stamped cache — for drivers that re-bucket DISTINCT inputs
+    * (per-shard scoring loops), where the per-call cache would otherwise
+    * accumulate (same lifecycle contract as `globalOrderIndexReleasable`,
+    * which this delegates to). Call `release()` after the terminal action
+    * on the returned frame. */
+  def lengthBucketsReleasable(df: DataFrame, idCol: String, lenCol: String,
+                              batchSize: Int): (DataFrame, () => Unit) = {
     require(batchSize >= 1, "batchSize must be positive")
-    Sorts.globalOrderIndex(df, Seq(col(lenCol), col(idCol)), "__rank")
+    val (ranked, release) = Sorts.globalOrderIndexReleasable(df,
+      Seq(col(lenCol), col(idCol)), "__rank")
+    (ranked
       .withColumn("batch_id", floor(col("__rank") / batchSize).cast("long"))
       .withColumn("batch_pos", pmod(col("__rank"), lit(batchSize.toLong)))
-      .drop("__rank")
+      .drop("__rank"), release)
   }
 
   /** The per-segment materialization of [[packSequences]] — the table a

@@ -201,6 +201,26 @@ class PackingSpec extends SparkSpec {
     assert(fine == coarse)
   }
 
+  test("lengthBucketsReleasable and tokenBudgetSampleReleasable drop their caches on release") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, 1L + i % 9)).toDF("id", "len")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (buckets, releaseB) = Packing.lengthBucketsReleasable(docs, "id", "len", 8)
+    assert(buckets.count() == 50)
+    val (draw, releaseD) = CorpusQuality.tokenBudgetSampleReleasable(
+      docs, "id", "len", budget = 60L)
+    assert(draw.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size,
+      "the operators' internal caches should be registered while live")
+    releaseB(); releaseD()
+    // unpersist(blocking=false): poll briefly for the async release
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.keySet.size > before.size
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size <= before.size,
+      s"caches leaked: ${spark.sparkContext.getPersistentRDDs.keySet -- before}")
+  }
+
   test("lengthBuckets: exact batch assignment, monotone batches, padding formula") {
     import spark.implicits._
     // 10 docs, lengths deliberately out of id order; batchSize 3 → batches
