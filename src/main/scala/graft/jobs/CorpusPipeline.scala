@@ -102,6 +102,28 @@ object CorpusPipeline {
       col("q.n_tokens").as("n_tokens"))
   }
 
+  /** The ingest-gated pipeline front door: evaluate a data-contract suite
+    * (`operators.Contracts`) against the raw batch FIRST — one scan for
+    * the row-local tier — and only curate if every check passes. On any
+    * failure, throw with the full violation report in the message: a
+    * malformed batch (nulls where the digest needs text, duplicate ids
+    * that would silently merge, counts under a floor) must stop the run
+    * at the gate, not corrupt state three stages later. The report action
+    * is eager and O(#constraints) rows; the curation result stays lazy. */
+  def validateAndCurate(docs: DataFrame,
+                        contract: Seq[graft.operators.Contracts.Constraint],
+                        cfg: Config = Config()): DataFrame = {
+    val report = graft.operators.Contracts.check(docs, contract)
+      .collect() // O(#constraints) rows — the gate's entire driver cost
+    val failed = report.filter(_.getAs[String]("status") == "fail")
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "ingest contract failed:\n" + failed.map(r =>
+          s"  ${r.getAs[String]("check_name")}(${r.getAs[String]("target")}): " +
+            s"${r.getAs[Long]("violations")} violations").mkString("\n"))
+    curate(docs, cfg)
+  }
+
   /** Per-language stage accounting of a full `curate` run — the report a
     * curation job ships with its output: documents entering, surviving the
     * quality gate, surviving exact dedup, surviving near-dup removal, how

@@ -93,6 +93,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(segs.select("doc_id").distinct().count() == 2)
   }
 
+  test("validateAndCurate: clean batch curates; violating batch stops at the gate with the report") {
+    import spark.implicits._
+    import graft.operators.Contracts._
+    val clean = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog", "en"),
+      (2L, "a completely different document with enough tokens", "en"))
+      .toDF("doc_id", "text", "lang")
+    val contract = Seq(NotNull("text"), Unique(Seq("doc_id")), RowCountMin(2))
+    val out = CorpusPipeline.validateAndCurate(clean, contract,
+      CorpusPipeline.Config(minUniqRatio = 0.0))
+    assert(out.count() == 2)
+    // duplicate ids + a null text: the gate must throw BEFORE curation,
+    // naming every failed check
+    val bad = Seq((1L, Some("some text here for doc one"), "en"),
+      (1L, Some("other text entirely for the dup id"), "en"),
+      (3L, None: Option[String], "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalStateException] {
+      CorpusPipeline.validateAndCurate(bad, contract)
+    }
+    assert(e.getMessage.contains("not_null(text): 1"))
+    assert(e.getMessage.contains("unique(doc_id): 1"))
+  }
+
   test("curationReport stage counts are consistent with curate itself") {
     import spark.implicits._
     val near1 = (1 to 30).map(i => s"w$i").mkString(" ")
