@@ -77,10 +77,13 @@ object Contracts {
                            scan: Seq[(String, String, Column)]): DataFrame = {
     val agg = df.agg(scan.head._3.as("c0"),
       scan.tail.zipWithIndex.map { case ((_, _, a), i) => a.as(s"c${i + 1}") }: _*)
-    // unpivot the single agg row into one report row per constraint
+    // unpivot the single agg row into one report row per constraint; the
+    // coalesce makes an EMPTY batch report 0 violations for the sum-shaped
+    // checks (SQL sums over zero rows are NULL) — row_count_min still
+    // fails with its exact shortfall because count() is never null
     val rows = scan.zipWithIndex.map { case ((name, target, _), i) =>
       struct(lit(name).as("check_name"), lit(target).as("target"),
-        col(s"c$i").cast("long").as("violations"))
+        coalesce(col(s"c$i"), lit(0L)).cast("long").as("violations"))
     }
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }

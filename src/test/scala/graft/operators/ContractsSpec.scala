@@ -72,6 +72,20 @@ class ContractsSpec extends SparkSpec {
     assert(rep.count() == 5)
   }
 
+  test("an EMPTY batch: sum-shaped checks pass with 0 violations; row-count fails with the exact shortfall") {
+    val empty = Seq.empty[(Long, Option[Double])].toDF("k", "b")
+    val got = report(empty, Seq(NotNull("b"), Bounds("b", 0, 10),
+      Satisfies("pos", col("b") > 0), RowCountMin(5), Unique(Seq("k")),
+      ForeignKey("k", Seq(1L).toDF("rk"), "rk", "ref")))
+    assert(got == Set(
+      ("not_null", "b", 0L, "pass"),
+      ("bounds", "b in [0.0,10.0]", 0L, "pass"),
+      ("satisfies", "pos", 0L, "pass"),
+      ("row_count_min", ">=5", 5L, "fail"),
+      ("unique", "k", 0L, "pass"),
+      ("foreign_key", "k->ref.rk", 0L, "pass")))
+  }
+
   test("empty suite is rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       Contracts.check(Seq(1).toDF("x"), Nil)
