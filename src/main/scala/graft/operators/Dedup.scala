@@ -445,7 +445,14 @@ object Dedup {
     * Scale shape on top of the CC rounds: one left join of the universe
     * against the (strictly smaller) clustered-node set, one groupBy on
     * cluster_id for sizes, one join back — all hash-partitioned on id-like
-    * keys, nothing driver-side, no windows. */
+    * keys, nothing driver-side, no windows.
+    *
+    * Precondition: edge endpoints should lie in `universe`. An edge to an
+    * OUTSIDE id still propagates labels (it can even become a cluster's
+    * min label) but gets no assignment row — sizes then count only the
+    * universe members. Every caller here derives edges from the universe
+    * itself, so this stays a documented contract rather than a
+    * (corpus-sized, anti-join) runtime check. */
   def componentAssignments(universe: DataFrame, idCol: String,
                            edges: DataFrame, srcCol: String, dstCol: String,
                            maxIter: Int = 64): DataFrame = {
