@@ -440,5 +440,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(crossing == 0L, s"$crossing near-dup pairs straddle a split boundary")
     // and the split is non-degenerate: at least two splits actually occur
     assert(split.select("split").distinct().count() >= 2)
+    // NEGATIVE CONTROL: the standard per-DOCUMENT split leaks on this very
+    // corpus — some near-dup pair straddles a boundary — which is exactly
+    // the failure the cluster key exists to close
+    val docKeyed = CorpusQuality.hashSplit(asg, col("id").cast("string"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("id"), col("split"))
+    val leaky = pairs
+      .join(docKeyed.select(col("id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(docKeyed.select(col("id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaky > 0L,
+      "control failed: a doc-keyed split shows no leakage on this corpus, " +
+        "so the test would not detect a regression to doc keying")
   }
 }

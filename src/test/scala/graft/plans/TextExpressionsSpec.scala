@@ -102,6 +102,23 @@ class TextExpressionsSpec extends SparkSpec {
     assert(TextNorm.normalize(combining, 0).toString == "café")
   }
 
+  test("normalize_text stays inside whole-stage codegen (the no-UDF claim)") {
+    // parquet-backed: a local Seq collapses to LocalTableScan (the
+    // projection constant-folds at plan time and no codegen stage exists)
+    val plan = spark.read.parquet(s"$sf/documents.parquet")
+      .select(TextExpressions.normalize_text(col("text")).as("n"))
+      .queryExecution.executedPlan
+    val spans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, s"no WholeStageCodegen span:\n${plan.treeString}")
+    // the projection itself is inside the span, not a fallback ProjectExec
+    assert(spans.exists(_.collectFirst {
+      case p: org.apache.spark.sql.execution.ProjectExec
+          if p.projectList.exists(_.name == "n") => p
+    }.nonEmpty), s"normalize projection fell out of codegen:\n${plan.treeString}")
+  }
+
   test("normalize_text contract: null passthrough, bad type and bad form rejected") {
     val got = Seq(Some("é"), None).toDF("s")
       .select(TextExpressions.normalize_text(col("s"))).collect()
