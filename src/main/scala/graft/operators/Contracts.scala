@@ -34,8 +34,9 @@ object Contracts {
   /** violations = non-null rows outside [lo, hi] (inclusive). Nulls pass —
     * pair with [[NotNull]] to reject them. */
   final case class Bounds(column: String, lo: Double, hi: Double) extends Constraint
-  /** violations = non-null rows whose value is not in `values`. */
-  final case class AcceptedValues(column: String, values: Seq[String]) extends Constraint
+  /** violations = non-null rows whose value is not in `values` (literals
+    * of any type comparable to the column — strings, numbers, booleans). */
+  final case class AcceptedValues(column: String, values: Seq[Any]) extends Constraint
   /** violations = rows where `predicate` is false or null — an arbitrary
     * row-local boolean expression (cross-column rules live here). */
   final case class Satisfies(name: String, predicate: Column) extends Constraint

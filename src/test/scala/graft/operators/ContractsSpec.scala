@@ -51,6 +51,12 @@ class ContractsSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("AcceptedValues works on non-string columns (numeric literals)") {
+    val df = Seq(1L, 2L, 7L, 2L).toDF("code")
+    val got = report(df, Seq(AcceptedValues("code", Seq(1L, 2L, 3L))))
+    assert(got == Set(("accepted_values", "code", 1L, "fail"))) // the 7
+  }
+
   test("null FK values are not violations (SQL FK semantics); NotNull catches them") {
     val df = Seq(Some(1L), None, None).toDF("k")
     val ref = Seq(1L).toDF("rk")
