@@ -386,6 +386,39 @@ object Similarity {
         round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
   }
 
+  /** [[rankMetrics]] with GRADED relevance: `truth` carries
+    * (qid, id, rel ≥ 0) and DCG uses the standard exponential gain
+    * (2^rel − 1) / log2(rank + 1); ideal DCG stacks the highest grades at
+    * the top ranks (ties on grade break by id, mirroring the ranked
+    * side's determinism rule). Duplicate truth rows collapse to the MAX
+    * grade per (qid, id). MRR means "first rank with rel > 0". Binary
+    * truth at rel = 1 gives gain 1 — identical numbers to
+    * [[rankMetrics]] (spec-gated). A query whose grades are all zero has
+    * idcg 0 and scores ndcg 0 rather than dividing by it. */
+  def rankMetricsGraded(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val gain = (c: Column) => pow(lit(2.0), c) - lit(1.0)
+    val truthSet = truth
+      .select(col("qid"), col("id"), col("rel").cast("double").as("rel"))
+      .groupBy("qid", "id").agg(max(col("rel")).as("rel"))
+    val marked = ranked.filter(col("rank") <= k)
+      .join(truthSet, Seq("qid", "id"), "left")
+      .select(col("qid"), col("rank"), coalesce(col("rel"), lit(0.0)).as("rel"))
+    val per = marked.groupBy("qid").agg(
+      max(when(col("rel") > 0, lit(1.0) / col("rank"))).as("mrr_raw"),
+      sum(gain(col("rel")) / log2(col("rank") + lit(1))).as("dcg"))
+    val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("id").asc)
+    val ideal = truthSet.withColumn("i", row_number().over(w))
+      .filter(col("i") <= k)
+      .groupBy("qid").agg(sum(gain(col("rel")) / log2(col("i") + lit(1))).as("idcg"))
+    ideal.join(per, Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(col("mrr_raw"), lit(0.0)), 6).as("mrr"),
+        round(when(col("idcg") > 0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(lit(0.0)), 6)
+          .as("ndcg"))
+  }
+
   /** Symmetric int8 quantization of a float-vector column: per-vector
     * scale = max|x|/127, elements floor(x/scale) ∈ [-128, 127]. The
     * 100 TB footprint lever: a 64-dim float corpus drops 4x (embedding

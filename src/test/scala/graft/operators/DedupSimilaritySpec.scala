@@ -402,6 +402,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dup == Seq((1.0, 1.0)))
   }
 
+  test("rankMetricsGraded: exact graded values; reduces to binary rankMetrics at rel=1") {
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: grades 3 (found at rank 2) and 1 (found at rank 1) — the BETTER
+    // doc ranked lower, so ndcg < 1; duplicate truth row keeps max grade
+    val truth = Seq((1L, 10L, 1L), (1L, 20L, 3L), (1L, 20L, 2L),
+      (2L, 30L, 0L)).toDF("qid", "id", "rel")
+    val ranked = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 30L, 1))
+      .toDF("qid", "id", "rank")
+    val rows = Similarity.rankMetricsGraded(truth, ranked, k = 5)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val dcg1 = 1.0 / lg2(2) + 7.0 / lg2(3)
+    val idcg1 = 7.0 / lg2(2) + 1.0 / lg2(3)
+    assert(rows(1L) == ((1.0, r6(dcg1 / idcg1))))
+    // all-zero grades: idcg 0 -> ndcg 0, mrr 0 (rel > 0 never fires)
+    assert(rows(2L) == ((0.0, 0.0)))
+    // binary reduction: rel=1 truth gives exactly rankMetrics' numbers
+    val bt = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 7L), (3L, 8L),
+      (4L, 40L)).toDF("qid", "id")
+    val br = Seq((1L, 10L, 1), (1L, 2L, 2), (1L, 3L, 3), (1L, 99L, 4),
+      (2L, 50L, 1), (2L, 51L, 2), (4L, 40L, 1)).toDF("qid", "id", "rank")
+    def rows3(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val binary = rows3(Similarity.rankMetrics(bt, br, k = 5))
+    val graded = rows3(Similarity.rankMetricsGraded(
+      bt.withColumn("rel", lit(1L)), br, k = 5))
+    assert(graded == binary)
+  }
+
   test("cosineNearDupPairsAgainst == full-corpus pairs restricted to batch-touching, both configs") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val h = 400L
