@@ -76,6 +76,20 @@ object TextFunctions {
       (acc, w) => substring(md5(concat(acc, lit("\u0001"), w).cast("binary")), 1, 15)),
       16, 10).cast("long")
 
+  /** Case/compatibility-folded content digest: md5 of
+    * lower(NFKC(text)) — the dedup key that survives the encoding AND
+    * casing variants two crawls of one page actually exhibit (combining
+    * marks vs composed, full-width vs ASCII, ligatures, case). NFKC is
+    * the native `NormalizeText` expression (codegen'd, ASCII fast path
+    * free); lower() folds case AFTER normalization so compatibility
+    * foldings (ﬁ → fi) are themselves case-folded. Pass to
+    * `Dedup.exactDedup` via `Seq(canonicalDigest(col("text")))` when the
+    * corpus needs variant-insensitive exact dedup. */
+  def canonicalDigest(text: Column): Column =
+    md5(to_binary(
+      lower(graft.plans.TextExpressions.normalize_text(text, "NFKC")),
+      lit("utf-8")))
+
   /** Language-ID by stopword-profile overlap: argmax over profiles of
     * |distinct(tokens) ∩ profile|; ties resolved by profile order. */
   def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {

@@ -119,6 +119,26 @@ class TextExpressionsSpec extends SparkSpec {
     }.nonEmpty), s"normalize projection fell out of codegen:\n${plan.treeString}")
   }
 
+  test("canonicalDigest: encoding/case/width variants of one text share a digest") {
+    import graft.functions.TextFunctions.canonicalDigest
+    // same logical text five ways: composed, combining marks, upper-case,
+    // full-width letters, and an fi-ligature spelling
+    val variants = Seq(
+      "café final offer",
+      "café final offer",         // combining acute
+      "CAFÉ FINAL OFFER",
+      "ｃａｆé ｆｉｎａｌ ｏｆｆｅｒ", // full-width (NFKC folds to ASCII)
+      "café ﬁnal oﬀer")              // fi/ff ligatures
+    val digests = variants.toDF("t")
+      .select(canonicalDigest(col("t"))).collect().map(_.getString(0)).toSet
+    assert(digests.size == 1,
+      s"variants split into ${digests.size} digests")
+    // and a genuinely different text does NOT collide
+    val other = Seq("cafe final offer!").toDF("t")
+      .select(canonicalDigest(col("t"))).collect().head.getString(0)
+    assert(!digests.contains(other))
+  }
+
   test("normalize_text contract: null passthrough, bad type and bad form rejected") {
     val got = Seq(Some("é"), None).toDF("s")
       .select(TextExpressions.normalize_text(col("s"))).collect()
