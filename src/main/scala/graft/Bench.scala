@@ -637,7 +637,14 @@ object Bench {
         val agg = pairs.agg(count(lit(1)), min(col("est_jaccard"))).head
         val sec = (System.nanoTime() - t0) / 1e9
         release()
-        val expected = (((n - 6) / 1000) + 1) * 10
+        // Exact per-cluster count: cluster k holds ids {1000k+1 .. 1000k+5}
+        // clipped to [0, n) — a trailing PARTIAL cluster (n mod 1000 in 2..5)
+        // still shares one signature and emits C(m,2) pairs, so sum the
+        // binomials instead of assuming every cluster has all 5 members.
+        val expected = (0L until (n + 999) / 1000).map { k =>
+          val m = math.min(5L, math.max(0L, n - (1000L * k + 1)))
+          m * (m - 1) / 2
+        }.sum
         require(agg.getLong(0) == expected,
           s"LSH soak pair count ${agg.getLong(0)} != expected $expected " +
             "(cap broken → quadratic mega-bucket leaked, or clusters lost)")

@@ -1652,6 +1652,33 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Semantic cluster dedup on the PRUNED candidate generator (q103): the
+    * q93 clustering re-run with candidates from the REAL multi-table LSH
+    * bucket join — 16 tables x 4 hyperplane bits, probe radius 1, the
+    * q59/q98 ANN configuration — instead of the declared-exhaustive
+    * all-pairs branch. This is the 100 TB plan shape: candidate volume
+    * scales with bucket populations, never O(n²); no crossJoin appears
+    * anywhere in the plan (spec-asserted). The oracle replays the ENTIRE
+    * pruned pipeline — seeded plane signatures, {0,1,2,4,8} probe masks,
+    * the bucketed candidate join, the exact cosine gate, the recursive
+    * min-label closure, the full-coverage assignment — from the same
+    * constants, so the green row certifies the bucketed plan itself, not
+    * a crossJoin stand-in. (A pair both of whose sides hash > radius 1
+    * apart in every table is invisible to BOTH engines — that recall
+    * trade is the declared semantics of the pruned configuration, q59's
+    * recall row quantifies it.) */
+  def prunedSemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16)
+    Dedup.componentAssignments(
+        emb.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
+        pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   /** Incremental semantic clustering (q94): the cross-batch maintenance
     * path. The low-id 80% of the corpus is "yesterday's" accumulated
     * assignment; the high-id 20% arrives as a batch whose similarity pairs
@@ -1768,13 +1795,6 @@ object Queries {
     Similarity.rankMetrics(bf, lsh, k = 5).orderBy("qid")
   }
 
-  /** Dedup diagnostics (q99): the cluster-size distribution of the
-    * semantic clustering — the report a dedup run is judged by (SemDeDup
-    * and the dedup literature report exactly this curve): per cluster
-    * size, how many clusters, how many documents they hold, what fraction
-    * of the corpus that is, and how many documents keep-one-per-cluster
-    * removes. Costs one distinct + one groupBy over the (already tiny)
-    * cluster table on top of the q93 build. */
   /** Streaming data contract (q100): the q96 ingest gate running
     * IN-FLIGHT — the row-local tier as a complete-mode global aggregation
     * on the production file-source ingest path. Corpus files arrive as
@@ -1842,6 +1862,13 @@ object Queries {
           .cast("long").as("padding"))
       .orderBy("batch_id")
 
+  /** Dedup diagnostics (q99): the cluster-size distribution of the
+    * semantic clustering — the report a dedup run is judged by (SemDeDup
+    * and the dedup literature report exactly this curve): per cluster
+    * size, how many clusters, how many documents they hold, what fraction
+    * of the corpus that is, and how many documents keep-one-per-cluster
+    * removes. Costs one distinct + one groupBy over the (already tiny)
+    * cluster table on top of the q93 build. */
   def dedupDiagnostics(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir).embeddings
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",

@@ -213,9 +213,12 @@ object SparkEntry {
     * AND the brute-force truth for query set `% 50 == mod` — the common
     * prefix of the q59 recall oracle and the q98 rank-metrics oracle.
     * `lsh` keeps (qid, id, rank); `bf` is the truth membership set. */
-  private def lshPipelineCtes(mod: Int): String = {
-    // identical constants to MultiTableLsh(numPlanes = 4, numTables = 16,
-    // dim = 64): planes(t*4 + i) is bit i of table t's signature
+  /** The 16x4-bit signature prefix shared by every pruned-LSH oracle:
+    * per-row per-table signatures from the SAME seeded xorshift planes
+    * `MultiTableLsh(numPlanes = 4, numTables = 16, dim = 64)` uses —
+    * planes(t*4 + i) is bit i of table t's signature. Emits CTEs
+    * `e(vec_id, v)`, `sg`, and the long-form `cs(id, t, sig)`. */
+  private def lshSigCtes: String = {
     val planes = graft.operators.Similarity.randomPlanes(64, 64)
     def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
     val sigCols = (0 until 16).map { t =>
@@ -227,7 +230,11 @@ object SparkEntry {
     val sigList = (0 until 16).map(t => s"sig$t").mkString("[", ", ", "]")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sg AS (SELECT vec_id, v, $sigCols FROM e),
-       |cs AS (SELECT vec_id AS id, t, $sigList[t + 1] AS sig FROM sg, range(0, 16) r(t)),
+       |cs AS (SELECT vec_id AS id, t, $sigList[t + 1] AS sig FROM sg, range(0, 16) r(t))""".stripMargin
+  }
+
+  private def lshPipelineCtes(mod: Int): String = {
+    s"""$lshSigCtes,
        |qp AS (SELECT id AS qid, t,
        |  unnest([xor(sig, 0), xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
        |  FROM cs WHERE id % 50 = $mod),
@@ -269,6 +276,41 @@ object SparkEntry {
        |SELECT i.qid, round(coalesce(p.mrr_raw, 0.0), 6) AS mrr,
        |  round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg
        |FROM ideal i LEFT JOIN per p ON p.qid = i.qid ORDER BY i.qid""".stripMargin
+
+  /** DuckDB replay of the PRUNED-candidate semantic clustering (q103, and —
+    * via the incremental==full theorem — the streaming-maintenance q104):
+    * the 16x4-bit radius-1 signatures (shared `lshSigCtes` prefix), the
+    * symmetric {0,1,2,4,8} probe masks over ALL rows (not one query slice:
+    * this replays `cosineNearDupPairs`' pair generator, where every row is
+    * both query and corpus), the bucketed candidate join (id_a raw sig,
+    * id_b probed sig, id_a < id_b — Hamming ≤ 1 in some table), the exact
+    * cosine gate, then the q93 recursive min-label closure widened to full
+    * coverage. Nothing is taken from the Spark run. */
+  private def prunedClusterOracleSql(threshold: Double): String =
+    s"""WITH RECURSIVE $lshSigCtes,
+       |pb AS (SELECT id, t,
+       |  unnest([xor(sig, 0), xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
+       |  FROM cs),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM cs a JOIN pb b USING (t, sig) WHERE a.id < b.id),
+       |n AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |p AS (SELECT c.id_a, c.id_b,
+       |  list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+       |  FROM cand c JOIN n x ON x.id = c.id_a JOIN n y ON y.id = c.id_b),
+       |ed AS (SELECT id_a AS s, id_b AS d FROM p WHERE cos >= $threshold
+       |  UNION ALL SELECT id_b, id_a FROM p WHERE cos >= $threshold),
+       |reach AS (
+       |  SELECT s AS node, s AS lbl FROM ed
+       |  UNION
+       |  SELECT x.d AS node, r.lbl FROM reach r JOIN ed x ON x.s = r.node),
+       |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       |asg AS (SELECT e.vec_id AS id, coalesce(c.lbl, e.vec_id) AS cluster_id
+       |  FROM e LEFT JOIN comp c ON c.node = e.vec_id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM asg GROUP BY cluster_id)
+       |SELECT id AS vec_id, cluster_id, cluster_size,
+       |  CAST(id = cluster_id AS INTEGER) AS is_canonical
+       |FROM asg JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
 
   /** DuckDB replay of the ENTIRE exact-integer IVF pipeline (q60,
     * `Similarity.ivfTopKExact`): int8 quantization (the q63 CTEs), md5-order
@@ -476,7 +518,8 @@ object SparkEntry {
     "q99_dedup_diagnostics" -> Queries.dedupDiagnostics _,
     "q100_stream_contract" -> Queries.streamingContract _,
     "q101_length_buckets" -> Queries.lengthBucketReport _,
-    "q102_token_budget" -> Queries.tokenBudgetDraw _
+    "q102_token_budget" -> Queries.tokenBudgetDraw _,
+    "q103_pruned_clusters" -> Queries.prunedSemanticClusters _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -827,6 +870,7 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q59_lsh_recall" -> lshRecallOracleSql(7),
     "q98_rank_metrics" -> lshRankMetricsOracleSql(11),
+    "q103_pruned_clusters" -> prunedClusterOracleSql(0.35),
     "q63_quantized_recall" ->
       // full replay: int8 quantization (floor(x / (max|x|/127)) — exact
       // integer dots, engine-independent; see Similarity.quantizeInt8),

@@ -82,7 +82,12 @@ object TextFunctions {
     * marks vs composed, full-width vs ASCII, ligatures, case). NFKC is
     * the native `NormalizeText` expression (codegen'd, ASCII fast path
     * free); lower() folds case AFTER normalization so compatibility
-    * foldings (ﬁ → fi) are themselves case-folded. Pass to
+    * foldings (ﬁ → fi) are themselves case-folded. Note lower() is an
+    * APPROXIMATION of Unicode NFKC_Casefold, not an implementation of
+    * it: one-to-many case foldings survive as distinct digests ('ß' vs
+    * 'SS' → 'ß' vs 'ss'; 'İ' lowers to 'i'+U+0307, not 'i') — variants
+    * differing only in simple (1:1) case and compatibility/combining
+    * encoding are what this key collapses. Pass to
     * `Dedup.exactDedup` via `Seq(canonicalDigest(col("text")))` when the
     * corpus needs variant-insensitive exact dedup. */
   def canonicalDigest(text: Column): Column =

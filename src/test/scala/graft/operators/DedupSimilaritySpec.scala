@@ -192,6 +192,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"near-dup recall $recall%.3f < 0.9")
   }
 
+  test("q103: pruned cluster build plans a bucket join (no cartesian) and refines the exhaustive clustering") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val prunedPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16)
+    // the scale claim: the candidate stage is the (t, sig) bucket join —
+    // never a cartesian/nested-loop product anywhere in the physical plan
+    val physical = prunedPairs.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"), physical)
+    // pruned edges ⊆ exhaustive edges ⇒ pruned components REFINE the
+    // exhaustive ones: all members of a pruned cluster share one
+    // exhaustive cluster label (missed pairs can split clusters, never
+    // merge distinct ones)
+    val ids = emb.select(col("vec_id").cast("long").as("vec_id"))
+    def asg(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.componentAssignments(ids, "vec_id", pairs, "id_a", "id_b")
+        .select("id", "cluster_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = asg(prunedPairs)
+    val ex = asg(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1))
+    val prunedClusters = pr.groupBy(_._2).values
+    assert(prunedClusters.forall(m => m.map(kv => ex(kv._1)).size >= 1 &&
+      m.map(kv => ex(kv._1)).toSet.size == 1),
+      "a pruned cluster spans two exhaustive clusters")
+    assert(pr.keySet == ex.keySet) // full coverage on both sides
+  }
+
   test("ngramJaccardPairs df-cap keeps a stop-shingle corpus near-linear") {
     // 40 docs, pairwise-disjoint content except ONE ubiquitous shingle
     // ("the same") present in every doc. Uncapped, that shingle alone fans
