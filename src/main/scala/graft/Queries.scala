@@ -1862,6 +1862,31 @@ object Queries {
           .cast("long").as("padding"))
       .orderBy("batch_id")
 
+  /** GRADED ranked-retrieval metrics (q106): the q98 evaluation upgraded
+    * from binary to graded relevance, scored with exponential-gain NDCG
+    * (2^rel − 1) and first-relevant MRR against the pruned multi-table
+    * LSH ranking. Truth = the brute-force top-10 per query, graded
+    * rel = id mod 3 ∈ {0,1,2} — a deterministic surrogate for editorial
+    * labels, deliberately UNCORRELATED with the retrieval score (grades
+    * bucketed from the cosine itself are monotone in the ranking, which
+    * collapses every NDCG to exactly 1.0 — measured — and pins nothing).
+    * With uncorrelated grades the ideal ordering differs from the cosine
+    * ordering, zero-grade truth rows exist, and the found set (top 5 of
+    * 10) is proper — so the per-query values spread and the hash pins
+    * the graded gain/ideal/miss arithmetic. Query set % 50 == 17,
+    * disjoint from every other ANN query. */
+  def annRankMetricsGraded(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") % 50 === 17)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val lsh = Similarity.lshCosineTopK(emb, "vec_id", "embedding", queries,
+      "qid", "qvec", k = 5, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16)
+    val bf = Similarity.cosineTopK(emb, "vec_id", "embedding", queries,
+      "qid", "qvec", k = 10, dim = 64)
+    val truth = bf.select(col("qid"), col("id"), (col("id") % 3).as("rel"))
+    Similarity.rankMetricsGraded(truth, lsh, k = 5).orderBy("qid")
+  }
+
   /** Dedup diagnostics (q99): the cluster-size distribution of the
     * semantic clustering — the report a dedup run is judged by (SemDeDup
     * and the dedup literature report exactly this curve): per cluster

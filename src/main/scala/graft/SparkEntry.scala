@@ -277,6 +277,30 @@ object SparkEntry {
        |  round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg
        |FROM ideal i LEFT JOIN per p ON p.qid = i.qid ORDER BY i.qid""".stripMargin
 
+  /** q106: the replayed pruned pipeline scored with GRADED relevance —
+    * truth = brute-force top-10 graded id mod 3 (uncorrelated with the
+    * score; see the query scaladoc), exponential gain (2^rel − 1), ideal
+    * DCG from the highest grades stacked at the top ranks (grade desc,
+    * id asc — the operator's tie rule). */
+  private def lshGradedMetricsOracleSql(mod: Int): String =
+    s"""WITH ${lshPipelineCtes(mod)},
+       |bfg AS (SELECT qid, id, CAST(id % 3 AS DOUBLE) AS rel
+       |  FROM (SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM bs)
+       |  WHERE rank <= 10),
+       |mk AS (SELECT l.qid, l.rank, coalesce(g.rel, 0.0) AS rel
+       |  FROM lsh l LEFT JOIN bfg g ON g.qid = l.qid AND g.id = l.id),
+       |per AS (SELECT qid, max(CASE WHEN rel > 0 THEN 1.0 / rank END) AS mrr_raw,
+       |    sum((power(2.0, rel) - 1.0) / log2(rank + 1)) AS dcg
+       |  FROM mk GROUP BY qid),
+       |ideal AS (SELECT qid, sum((power(2.0, rel) - 1.0) / log2(i + 1)) AS idcg FROM
+       |    (SELECT qid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id ASC) AS i FROM bfg)
+       |  WHERE i <= 5 GROUP BY qid)
+       |SELECT i.qid, round(coalesce(p.mrr_raw, 0.0), 6) AS mrr,
+       |  round(CASE WHEN i.idcg > 0 THEN coalesce(p.dcg, 0.0) / i.idcg
+       |    ELSE 0.0 END, 6) AS ndcg
+       |FROM ideal i LEFT JOIN per p ON p.qid = i.qid ORDER BY i.qid""".stripMargin
+
   /** DuckDB replay of the PRUNED-candidate semantic clustering (q103, and —
     * via the incremental==full theorem — the streaming-maintenance q104):
     * the 16x4-bit radius-1 signatures (shared `lshSigCtes` prefix), the
@@ -519,7 +543,8 @@ object SparkEntry {
     "q100_stream_contract" -> Queries.streamingContract _,
     "q101_length_buckets" -> Queries.lengthBucketReport _,
     "q102_token_budget" -> Queries.tokenBudgetDraw _,
-    "q103_pruned_clusters" -> Queries.prunedSemanticClusters _
+    "q103_pruned_clusters" -> Queries.prunedSemanticClusters _,
+    "q106_graded_metrics" -> Queries.annRankMetricsGraded _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -871,6 +896,7 @@ object SparkEntry {
     "q59_lsh_recall" -> lshRecallOracleSql(7),
     "q98_rank_metrics" -> lshRankMetricsOracleSql(11),
     "q103_pruned_clusters" -> prunedClusterOracleSql(0.35),
+    "q106_graded_metrics" -> lshGradedMetricsOracleSql(17),
     "q63_quantized_recall" ->
       // full replay: int8 quantization (floor(x / (max|x|/127)) — exact
       // integer dots, engine-independent; see Similarity.quantizeInt8),
