@@ -1758,6 +1758,32 @@ object Queries {
       .orderBy("check_name", "target")
   }
 
+  /** Data-contract suite over `events` (q107): the second q96-style
+    * declarative ingest gate, on the event-stream table — and the
+    * testdata-drift sentinel for it (a regenerated events.parquet with a
+    * new event type, value range, or time window changes these counts
+    * before anything downstream breaks). Eight constraints: the five
+    * row-local checks share ONE scan, uniqueness adds one key shuffle,
+    * the user FK one anti-join against customer. THREE checks fail with
+    * data-dependent counts (the accepted set omits 'error', value capped
+    * at 100, ts required before Jan 25) so the hash pins real violation
+    * arithmetic at every SF, not an all-zero report. */
+  def eventsContract(spark: SparkSession, dir: String): DataFrame = {
+    import Contracts._
+    val tb = t(spark, dir)
+    Contracts.check(tb.events, Seq(
+        NotNull("ts"),
+        Bounds("user_id", 0, 2000),
+        Bounds("value", 0, 100),
+        AcceptedValues("event_type", Seq("click", "view", "purchase", "signup")),
+        Satisfies("ts_before_jan25",
+          col("ts") < to_timestamp(lit("2024-01-25 00:00:00"))),
+        RowCountMin(100),
+        Unique(Seq("event_id")),
+        ForeignKey("user_id", tb.customer, "c_custkey", "customer")))
+      .orderBy("check_name", "target")
+  }
+
   /** Unicode canonicalization (q97): the `normalize_text` native expression
     * (NFC) as a corpus pass — the step that makes two crawls of the same
     * page digest identically when they differ only in composed vs

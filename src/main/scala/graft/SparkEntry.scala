@@ -544,7 +544,8 @@ object SparkEntry {
     "q101_length_buckets" -> Queries.lengthBucketReport _,
     "q102_token_budget" -> Queries.tokenBudgetDraw _,
     "q103_pruned_clusters" -> Queries.prunedSemanticClusters _,
-    "q106_graded_metrics" -> Queries.annRankMetricsGraded _
+    "q106_graded_metrics" -> Queries.annRankMetricsGraded _,
+    "q107_events_contract" -> Queries.eventsContract _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -897,6 +898,41 @@ object SparkEntry {
     "q98_rank_metrics" -> lshRankMetricsOracleSql(11),
     "q103_pruned_clusters" -> prunedClusterOracleSql(0.35),
     "q106_graded_metrics" -> lshGradedMetricsOracleSql(17),
+    // q107: the q96 pattern over events — row-local tier in one SELECT,
+    // uniqueness as grouped surplus, FK as NOT EXISTS; three checks fail
+    // with data-dependent counts (accepted set omits 'error', value > 100
+    // tail, ts >= Jan 25 tail).
+    "q107_events_contract" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |  CAST(sum(CASE WHEN user_id IS NOT NULL
+        |    AND (user_id < 0 OR user_id > 2000) THEN 1 ELSE 0 END) AS BIGINT) AS bu,
+        |  CAST(sum(CASE WHEN value IS NOT NULL
+        |    AND (value < 0 OR value > 100) THEN 1 ELSE 0 END) AS BIGINT) AS bv,
+        |  CAST(sum(CASE WHEN event_type IS NOT NULL
+        |    AND event_type NOT IN ('click','view','purchase','signup')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS av,
+        |  CAST(sum(CASE WHEN coalesce(ts < TIMESTAMP '2024-01-25 00:00:00', FALSE)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS st,
+        |  CAST(greatest(0, 100 - count(*)) AS BIGINT) AS rc
+        |  FROM events),
+        |u AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v FROM
+        |  (SELECT count(*) AS n FROM events GROUP BY event_id)),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM events e
+        |  WHERE e.user_id IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+        |r AS (
+        |  SELECT 'not_null' AS check_name, 'ts' AS target, nn AS violations FROM s
+        |  UNION ALL SELECT 'bounds', 'user_id in [0.0,2000.0]', bu FROM s
+        |  UNION ALL SELECT 'bounds', 'value in [0.0,100.0]', bv FROM s
+        |  UNION ALL SELECT 'accepted_values', 'event_type', av FROM s
+        |  UNION ALL SELECT 'satisfies', 'ts_before_jan25', st FROM s
+        |  UNION ALL SELECT 'row_count_min', '>=100', rc FROM s
+        |  UNION ALL SELECT 'unique', 'event_id', (SELECT v FROM u)
+        |  UNION ALL SELECT 'foreign_key', 'user_id->customer.c_custkey', (SELECT v FROM fk))
+        |SELECT check_name, target, violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r ORDER BY check_name, target""".stripMargin,
     "q63_quantized_recall" ->
       // full replay: int8 quantization (floor(x / (max|x|/127)) — exact
       // integer dots, engine-independent; see Similarity.quantizeInt8),
