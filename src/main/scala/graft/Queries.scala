@@ -1758,6 +1758,50 @@ object Queries {
       .orderBy("check_name", "target")
   }
 
+  /** Canonical-key exact dedup (q105): the variant-collapse semantics of
+    * the pipeline's `canonicalDedupKey` option, gated. Every document is
+    * exploded into THREE encoding/case variants of the same page —
+    * suffixed " cafe"+U+0301 (combining), " café" (composed), " CAFÉ"
+    * (composed uppercase) — under distinct doc ids, then exact-deduped on
+    * the pipeline's own key definition (`CorpusPipeline.dedupKey` with
+    * canonicalDedupKey = true ⇒ `TextFunctions.canonicalDigest` =
+    * md5(lower(NFKC))). All three raw texts differ byte-wise; all three
+    * canonical digests agree, so exactly the min-id variant survives.
+    * The per-language report pins variant count, raw-text distincts,
+    * canonical-digest distincts, survivor count, and the survivor id SUM
+    * (so the min-id keep policy is hashed, not just the count). Variants
+    * stay NFC-foldable ASCII+Latin-1+combining (the corpus itself carries
+    * no compatibility characters), so DuckDB's nfc_normalize + lower
+    * replays the NFKC+lower key byte-for-byte. */
+  def canonicalDedupCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val variants = docs.select(col("doc_id"), col("lang"),
+        posexplode(array(
+          concat(col("text"), lit(" cafe\u0301")), // combining acute
+          concat(col("text"), lit(" caf\u00e9")),  // precomposed e-acute
+          concat(col("text"), lit(" CAF\u00c9")))) // precomposed E-acute
+          .as(Seq("v", "text")))
+      .select((col("doc_id") * 4 + col("v")).as("doc_id"), col("lang"),
+        col("text"))
+    val cfg = jobs.CorpusPipeline.Config(canonicalDedupKey = true)
+    val survivors = Dedup.exactDedup(variants,
+      Seq(jobs.CorpusPipeline.dedupKey(cfg)), col("doc_id"))
+    val stats = variants.groupBy("lang").agg(
+      count(lit(1)).as("n_variants"),
+      countDistinct(col("text")).as("n_raw_texts"),
+      countDistinct(functions.TextFunctions.canonicalDigest(col("text")))
+        .as("n_canonical_digests"))
+    val surv = survivors.groupBy("lang").agg(
+      count(lit(1)).as("n_survivors"),
+      sum(col("doc_id")).cast("long").as("survivor_id_sum"))
+    stats.join(surv, Seq("lang"), "left")
+      .select(col("lang"), col("n_variants"), col("n_raw_texts"),
+        col("n_canonical_digests"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+        coalesce(col("survivor_id_sum"), lit(0L)).as("survivor_id_sum"))
+      .orderBy("lang")
+  }
+
   /** Data-contract suite over `events` (q107): the second q96-style
     * declarative ingest gate, on the event-stream table — and the
     * testdata-drift sentinel for it (a regenerated events.parquet with a

@@ -544,6 +544,7 @@ object SparkEntry {
     "q101_length_buckets" -> Queries.lengthBucketReport _,
     "q102_token_budget" -> Queries.tokenBudgetDraw _,
     "q103_pruned_clusters" -> Queries.prunedSemanticClusters _,
+    "q105_canonical_dedup" -> Queries.canonicalDedupCollapse _,
     "q106_graded_metrics" -> Queries.annRankMetricsGraded _,
     "q107_events_contract" -> Queries.eventsContract _
   )
@@ -898,6 +899,31 @@ object SparkEntry {
     "q98_rank_metrics" -> lshRankMetricsOracleSql(11),
     "q103_pruned_clusters" -> prunedClusterOracleSql(0.35),
     "q106_graded_metrics" -> lshGradedMetricsOracleSql(17),
+    // q105: the canonical-dedup key replayed as md5(lower(nfc_normalize)) —
+    // equal to the engine's md5(lower(NFKC)) because the injected variants
+    // and the corpus are NFC-foldable with no compatibility characters.
+    // keeper = min doc_id per canonical digest, lang taken from the keeper
+    // row (deterministic: doc ids are unique).
+    "q105_canonical_dedup" ->
+      """WITH v AS (SELECT doc_id * 4 + x.v AS doc_id, lang,
+        |  text || CASE x.v WHEN 0 THEN ' cafe' || chr(769)
+        |    WHEN 1 THEN ' caf' || chr(233)
+        |    ELSE ' CAF' || chr(201) END AS text
+        |  FROM documents, (VALUES (0), (1), (2)) x(v)),
+        |k AS (SELECT doc_id, lang, text,
+        |  md5(lower(nfc_normalize(text))) AS canon FROM v),
+        |s AS (SELECT canon, min(doc_id) AS keeper FROM k GROUP BY canon),
+        |sv AS (SELECT k.lang, CAST(count(*) AS BIGINT) AS n_survivors,
+        |    CAST(sum(k.doc_id) AS BIGINT) AS survivor_id_sum
+        |  FROM k JOIN s ON k.doc_id = s.keeper GROUP BY k.lang),
+        |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_variants,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS n_raw_texts,
+        |    CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical_digests
+        |  FROM k GROUP BY lang)
+        |SELECT st.lang, n_variants, n_raw_texts, n_canonical_digests,
+        |  coalesce(n_survivors, 0) AS n_survivors,
+        |  coalesce(survivor_id_sum, 0) AS survivor_id_sum
+        |FROM st LEFT JOIN sv ON sv.lang = st.lang ORDER BY st.lang""".stripMargin,
     // q107: the q96 pattern over events — row-local tier in one SELECT,
     // uniqueness as grouped surplus, FK as NOT EXISTS; three checks fail
     // with data-dependent counts (accepted set omits 'error', value > 100

@@ -34,11 +34,26 @@ object CorpusPipeline {
                           // variants of the same page share a digest and the
                           // PII regexes see canonical text
                           normalizeUnicode: Boolean = false,
+                          // variant-insensitive exact-dedup KEY: digest
+                          // lower(NFKC(text)) (TextFunctions.canonicalDigest)
+                          // instead of the raw text, so case AND
+                          // compatibility/combining-encoding variants of one
+                          // page collapse to one surviving document — without
+                          // rewriting the stored text the way
+                          // normalizeUnicode does (keys fold, content stays)
+                          canonicalDedupKey: Boolean = false,
                           // token hash for the MinHash sketch: xxhash64 (fast
                           // default) or TextFunctions.md5Hash32 when the run
                           // must be replayable by an ANSI-SQL oracle (q65)
                           tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                             graft.functions.TextFunctions.tokenHash32)
+
+  /** The exact-dedup KEY column — one definition shared by every pipeline
+    * tier (curate / curationReport / segmentPlan / curateStream), so the
+    * batch, composed, and streaming forms can never disagree on what "the
+    * same document" means. */
+  private[graft] def dedupKey(cfg: Config): org.apache.spark.sql.Column =
+    if (cfg.canonicalDedupKey) canonicalDigest(col("text")) else col("text")
 
   /** The quality-gate predicate over the `q` metrics struct — one definition
     * shared by every pipeline form so the gates can never drift apart. */
@@ -94,7 +109,7 @@ object CorpusPipeline {
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val gated = qualityGated(docs, cfg)
     // 2. exact dedup (content digest, keep smallest doc_id)
-    val exact = Dedup.exactDedup(gated, Seq(col("text")), col("doc_id"))
+    val exact = Dedup.exactDedup(gated, Seq(dedupKey(cfg)), col("doc_id"))
     val deduped = nearDupRemoved(exact, cfg)
     // 4. annotate
     deduped.select(col("doc_id"), col("text"), col("lang"),
@@ -145,7 +160,7 @@ object CorpusPipeline {
     val spark = docs.sparkSession
     val gated = qualityGated(docs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = Dedup.exactDedup(gated, Seq(col("text")), col("doc_id"))
+    val exact = Dedup.exactDedup(gated, Seq(dedupKey(cfg)), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val fin = nearDupRemoved(exact, cfg)
@@ -267,7 +282,8 @@ object CorpusPipeline {
     // tokenize-free. The dedup shuffle carries (doc_id, 32-char digest,
     // toks) — the text column is digested away before the exchange.
     val base = scrubbed.select(col("doc_id").cast("long").as("doc_id"),
-      md5(col("text").cast("binary")).as("__digest"),
+      (if (cfg.canonicalDedupKey) canonicalDigest(col("text"))
+       else md5(col("text").cast("binary"))).as("__digest"),
       tokens(col("text")).as("toks"))
     val gated = Dedup.exactDedup(base, Seq(col("__digest")), col("doc_id"))
       .withColumn("q", qualityMetricsOfTokens(col("toks"), stopwords))
@@ -354,7 +370,9 @@ object CorpusPipeline {
     val stopwords = graft.Queries.Stopwords
     val scored = docs.withColumn("q", qualityMetrics(col("text"), stopwords))
       .filter(qualityGate(cfg))
-      .withColumn("__digest", md5(col("text").cast("binary")))
+      .withColumn("__digest",
+        if (cfg.canonicalDedupKey) canonicalDigest(col("text"))
+        else md5(col("text").cast("binary")))
     graft.streaming.Streams.dedupStream(scored, Seq("__digest"),
         tsCol = "ingest_ts", lateness = lateness)
       .select(col("doc_id"), col("ingest_ts"), col("text"), col("lang"),

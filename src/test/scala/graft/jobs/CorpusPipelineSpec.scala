@@ -93,6 +93,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(segs.select("doc_id").distinct().count() == 2)
   }
 
+  test("canonicalDedupKey: case + encoding variants share one dedup key, text stays raw") {
+    import spark.implicits._
+    // three encodings/casings of ONE page (combining vs composed vs
+    // uppercase) + one genuinely different doc. Unlike normalizeUnicode,
+    // the KEY folds but the stored text must stay exactly as ingested.
+    val vCombining = "cafe\u0301 terrace at night with seven more words"
+    val vComposed = "caf\u00e9 terrace at night with seven more words"
+    val vUpper = "CAF\u00c9 TERRACE AT NIGHT WITH SEVEN MORE WORDS"
+    val docs = Seq((1L, vCombining, "en"), (2L, vComposed, "en"),
+      (3L, vUpper, "en"),
+      (4L, "a completely different document with enough tokens here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val base = CorpusPipeline.Config(minUniqRatio = 0.0)
+    val without = CorpusPipeline.curate(docs, base)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(without == Seq(1L, 2L, 3L, 4L), "raw keys must keep all variants")
+    val out = CorpusPipeline.curate(docs, base.copy(canonicalDedupKey = true))
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 4L))
+    // the survivor's text is the RAW min-id variant — the key folded, the
+    // content did not (that is the difference from normalizeUnicode)
+    assert(out.map(_.getAs[String]("text")).contains(vCombining))
+    // the sequence tier digests through the same Config switch
+    val dir = java.nio.file.Files.createTempDirectory("canon-seq").toString
+    val segs = CorpusPipeline.curateToSequences(docs, dir,
+      base.copy(canonicalDedupKey = true), chunkSize = 8, chunkStride = 8,
+      capacity = 16)
+    assert(segs.select("doc_id").distinct().count() == 2)
+  }
+
   test("validateAndCurate: clean batch curates; violating batch stops at the gate with the report") {
     import spark.implicits._
     import graft.operators.Contracts._
