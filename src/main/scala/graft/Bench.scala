@@ -653,6 +653,57 @@ object Bench {
             "(a non-duplicate pair passed the threshold)")
         sec
       }
+      soakLeg("soak_emb_clusters", slowSec = 40.0) { () =>
+        // The embedding-cluster-tier scale claim, MEASURED: a million-vector
+        // corpus driven through the PRUNED multi-table LSH candidate
+        // generator into full-coverage component assignments — the q103/q104
+        // pipeline at 2000x the gate SF's vector count, with an exactly
+        // checkable structure. Synthetic corpus: clusters of 5 IDENTICAL
+        // vectors (cluster c's vector = the dim-20 ±1 sign pattern of c's
+        // bits), so in-cluster cosine is exactly 1.0 while any two distinct
+        // clusters differ in >= 1 of 20 signs (cosine <= 0.9 < the 0.95
+        // threshold) — bucket collisions between clusters become candidates
+        // but can never pass the exact gate, making the expected output
+        // EXACT: every vector in a 5-cluster, n/5 canonicals, C(5,2)
+        // pairs per cluster. Config 2 tables x 18 planes, radius 0: ~0.76
+        // expected cluster-signatures per bucket at 10^6 rows — candidates
+        // scale with bucket population, and the physical plan is asserted
+        // cartesian-free (the same no-crossJoin property q103's spec pins
+        // at the gate SF).
+        // Default 2*10^5 (~13 s) keeps the per-round bench affordable; the
+        // one-off MILLION-vector deep soak (SPARK_GRAFT_SOAK_EMB_N=1000000,
+        // 258.7 s — recorded in PLANS.md) validated the identical exact
+        // structure at 2000x the gate SF's vector count.
+        val n = sys.env.getOrElse("SPARK_GRAFT_SOAK_EMB_N", "200000").toLong
+        require(n % 5 == 0 && n / 5 <= (1L << 20),
+          s"soak_emb_clusters needs n % 5 == 0 and n/5 <= 2^20, got $n")
+        val pows = typedLit((0 until 20).map(j => 1L << j).toArray)
+        val vecs = spark.range(0, n)
+          .select(col("id"), expr("id div 5").as("c"))
+          .select(col("id"), transform(sequence(lit(0), lit(19)), i =>
+            when(pmod(floor(col("c") / element_at(pows, i + lit(1))).cast("long"),
+              lit(2L)) === 1L, lit(1.0f)).otherwise(lit(-1.0f))).as("vec"))
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Similarity.cosineNearDupPairs(
+          vecs, "id", "vec", threshold = 0.95, numPlanes = 18, dim = 20,
+          probeRadius = 0, numTables = 2)
+        val physical = pairs.queryExecution.executedPlan.toString
+        require(!physical.contains("CartesianProduct") &&
+          !physical.contains("BroadcastNestedLoopJoin"),
+          "pruned candidate generator planned a cartesian product")
+        val asg = graft.operators.Dedup.componentAssignments(
+          vecs.select(col("id")), "id", pairs, "id_a", "id_b")
+        val agg = asg.agg(count(lit(1)),
+          sum(when(col("cluster_size") === 5L, 1L).otherwise(0L)),
+          sum(col("is_canonical"))).head
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(agg.getLong(0) == n && agg.getLong(1) == n,
+          s"soak_emb_clusters: ${agg.getLong(1)}/${agg.getLong(0)} rows in " +
+            s"5-clusters, expected all $n (candidates lost or spurious merge)")
+        require(agg.getLong(2) == n / 5,
+          s"soak_emb_clusters: ${agg.getLong(2)} canonicals != ${n / 5}")
+        sec
+      }
       soakLeg("soak_pack_10m", slowSec = 16.0) { () =>
         val n = 10000000L
         val docs = spark.range(0, n).select(col("id").as("doc_id"),

@@ -544,6 +544,7 @@ object SparkEntry {
     "q101_length_buckets" -> Queries.lengthBucketReport _,
     "q102_token_budget" -> Queries.tokenBudgetDraw _,
     "q103_pruned_clusters" -> Queries.prunedSemanticClusters _,
+    "q104_stream_clusters" -> Queries.streamingClusterMaintenance _,
     "q105_canonical_dedup" -> Queries.canonicalDedupCollapse _,
     "q106_graded_metrics" -> Queries.annRankMetricsGraded _,
     "q107_events_contract" -> Queries.eventsContract _
@@ -898,6 +899,10 @@ object SparkEntry {
     "q59_lsh_recall" -> lshRecallOracleSql(7),
     "q98_rank_metrics" -> lshRankMetricsOracleSql(11),
     "q103_pruned_clusters" -> prunedClusterOracleSql(0.35),
+    // q104: the streaming incremental maintenance must land on EXACTLY the
+    // batch pruned build over the whole corpus — same oracle as q103 (the
+    // incremental==full theorem, applied per micro-batch).
+    "q104_stream_clusters" -> prunedClusterOracleSql(0.35),
     "q106_graded_metrics" -> lshGradedMetricsOracleSql(17),
     // q105: the canonical-dedup key replayed as md5(lower(nfc_normalize)) —
     // equal to the engine's md5(lower(NFKC)) because the injected variants

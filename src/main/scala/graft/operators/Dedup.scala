@@ -382,10 +382,17 @@ object Dedup {
       .persist(lvl)
     val nodes = real.select(col("s")).distinct()
     // Symmetrized + self-edge-seeded + deduped once; reused every round.
+    // localCheckpoint (not persist): a persisted frame still CARRIES the
+    // upstream logical plan inside its InMemoryRelation, and every one of
+    // the O(log) per-round actions re-runs analysis + optimization over
+    // it — for an edge plan holding a large expression tree (the pruned
+    // LSH candidate generator: 64 hyperplane literal arrays) that driver
+    // cost dwarfed the actual stages (measured 10x on q104's per-batch
+    // folds). The checkpoint truncates the plan to a LogicalRDD leaf, so
+    // every round plans over a two-column table no matter what produced
+    // the edges.
     val und = real.union(nodes.select(col("s"), col("s").as("d"))).distinct()
-      .persist(lvl)
-    // Initial labels read the self-edges back out of `und` — the eager
-    // checkpoint is the action that materializes both caches.
+      .localCheckpoint(true)
     var labels = und.filter(col("s") === col("d"))
       .select(col("s").as("node"), col("s").as("lbl"))
       .localCheckpoint(true)
@@ -425,7 +432,7 @@ object Dedup {
       prevSum = s
       it += 1
     }
-    und.unpersist()
+    release(und)
     if (!done)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")

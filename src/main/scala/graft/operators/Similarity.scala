@@ -65,13 +65,19 @@ object Similarity {
     * Seq of unit-ish vectors; output = bit-packed sign pattern as long. */
   def rpSignature(vec: Column, planes: Seq[Array[Double]], dim: Int = -1): Column = {
     require(planes.nonEmpty && planes.size <= 63)
-    // Deliberately the dynamic (HOF) dot here: unrolling planes x dim terms
-    // into one expression tree (8x64x2 ≈ 1000 nodes) produces janino methods
-    // past JIT limits — signature is computed once per ROW, so the
-    // interpreted fold is cheap; only the per-PAIR cosine merits unrolling.
+    // Native VectorDot against a SINGLE array literal per plane: one
+    // expression node each (a runtime loop in codegen — no planes x dim
+    // unroll, so no janino method-size risk), identical left-to-right
+    // double accumulation to the HOF fold it replaces, so every sign
+    // decision — hence every signature and every oracle replay — is
+    // unchanged. The node-count matters beyond speed: a per-element
+    // literal tree here (64 planes x 64 lit nodes + HOF machinery) made
+    // every downstream analyzer/optimizer pass O(tree) — measured as
+    // multi-second DRIVER cost per action on plans that carried the
+    // signature stage (q104's per-batch folds).
+    import graft.plans.VectorExpressions.vec_dot
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit, -1) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(vec_dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
