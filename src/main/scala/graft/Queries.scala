@@ -1904,6 +1904,55 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Hybrid dense+sparse retrieval (q108): the two ranked retrievers this
+    * engine already ships — the pruned multi-table LSH ANN over
+    * embeddings (dense) and per-query BM25 over text (sparse) — fused by
+    * reciprocal-rank fusion into one top-5 per probe. Probe set: docs
+    * with id % 50 == 29 (vec_id aligns with doc_id in the testdata);
+    * each probe's dense query is its embedding, its sparse query its own
+    * top-3 most-frequent terms (ties by term — deterministic), self
+    * excluded on both sides. RRF uses only RANKS (k0 = 60), so the two
+    * incomparable score scales never meet — the standard production
+    * recipe for retrieval-augmented eval mining. The oracle replays BOTH
+    * retrievers (the q59 LSH CTE stack + the q78 BM25 arithmetic
+    * per-query) and the fusion sum. On this testdata the embeddings are
+    * statistically independent of the text, so the two top-5s rarely
+    * intersect and the gated rows mostly pin the rank-interleave of
+    * disjoint lists (which docs + which order); the both-lists agreement
+    * arithmetic is pinned by RelevanceStatsSpec's crafted case. */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tb = t(spark, dir)
+    val emb = tb.embeddings
+    val queries = emb.filter(col("vec_id") % 50 === 29)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val dense = Similarity.lshCosineTopK(emb, "vec_id", "embedding", queries,
+        "qid", "qvec", k = 5, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16)
+      .select(col("qid"), col("id"), col("rank"))
+    // sparse probes: each probe doc's top-3 terms (per-probe window — the
+    // partition is one document's vocabulary, bounded by doc length)
+    val ptoks = tb.documents.filter(col("doc_id") % 50 === 29)
+      .select(col("doc_id").as("query_id"),
+        explode(functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("c"))
+    val wp = Window.partitionBy("query_id").orderBy(col("c").desc, col("term"))
+    val probes = ptoks.withColumn("term_rank", row_number().over(wp))
+      .filter(col("term_rank") <= 3)
+      .select("query_id", "term", "term_rank")
+    val ws = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc"))
+    val sparse = Relevance.bm25PerQuery(tb.documents, "doc_id", "text",
+        probes, nTerms = 3)
+      .filter(col("doc") =!= col("query_id"))
+      .withColumn("rank", row_number().over(ws)).filter(col("rank") <= 5)
+      .select(col("query_id").as("qid"), col("doc").as("id"), col("rank"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id"))
+    Relevance.rrfFuse(Seq(dense, sparse), k0 = 60)
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("id"), col("rrf"))
+      .orderBy("qid", "rank")
+  }
+
   /** Canonical-key exact dedup (q105): the variant-collapse semantics of
     * the pipeline's `canonicalDedupKey` option, gated. Every document is
     * exploded into THREE encoding/case variants of the same page —

@@ -301,6 +301,46 @@ object SparkEntry {
        |    ELSE 0.0 END, 6) AS ndcg
        |FROM ideal i LEFT JOIN per p ON p.qid = i.qid ORDER BY i.qid""".stripMargin
 
+  /** q108: both retrievers replayed — the pruned-LSH stack (shared CTEs)
+    * for the dense side, the q78 BM25 arithmetic generalized per-query for
+    * the sparse side (probe terms = each probe doc's top-3 words), fused
+    * with the fixed-order RRF sum 1/(60+r_dense) + 1/(60+r_sparse). */
+  private def hybridRetrievalOracleSql(mod: Int): String =
+    s"""WITH ${lshPipelineCtes(mod)},
+       |w2 AS (SELECT doc_id AS doc, unnest(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) AS word
+       |  FROM documents),
+       |wf2 AS (SELECT doc, word FROM w2 WHERE word <> ''),
+       |probes AS (SELECT doc AS query_id, word AS term,
+       |    row_number() OVER (PARTITION BY doc ORDER BY count(*) DESC, word) AS term_rank
+       |  FROM wf2 WHERE doc % 50 = $mod GROUP BY doc, word
+       |  QUALIFY term_rank <= 3),
+       |dl AS (SELECT doc, count(*) AS dl FROM wf2 GROUP BY doc),
+       |corpus AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT p.query_id, f.doc, p.term, p.term_rank, count(*) AS tf
+       |  FROM wf2 f JOIN probes p ON f.word = p.term GROUP BY 1, 2, 3, 4),
+       |dfq AS (SELECT query_id, term, count(*) AS df FROM tf GROUP BY 1, 2),
+       |s2 AS (SELECT query_id, doc, term_rank,
+       |    ((CAST(n_docs AS DOUBLE) - df + 0.5e0) / (df + 0.5e0)) *
+       |    ((tf * 2.2e0) / (tf + (1.2e0 * (0.25e0 + (0.75e0 * (CAST(dl AS DOUBLE) / avgdl)))))) AS s
+       |  FROM tf JOIN dfq USING (query_id, term) JOIN dl USING (doc) CROSS JOIN corpus),
+       |sc2 AS (SELECT query_id, doc, round(
+       |    coalesce(max(CASE WHEN term_rank = 1 THEN s END), 0.0e0)
+       |    + coalesce(max(CASE WHEN term_rank = 2 THEN s END), 0.0e0)
+       |    + coalesce(max(CASE WHEN term_rank = 3 THEN s END), 0.0e0), 6) AS score
+       |  FROM s2 WHERE doc <> query_id GROUP BY query_id, doc),
+       |sp AS (SELECT qid, id, rank FROM (SELECT query_id AS qid, doc AS id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank
+       |  FROM sc2) WHERE rank <= 5),
+       |fu AS (SELECT coalesce(l.qid, sp.qid) AS qid, coalesce(l.id, sp.id) AS id,
+       |    round(coalesce(1.0e0 / (60 + l.rank), 0.0e0)
+       |      + coalesce(1.0e0 / (60 + sp.rank), 0.0e0), 6) AS rrf
+       |  FROM lsh l FULL OUTER JOIN sp ON sp.qid = l.qid AND sp.id = l.id)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id, rrf FROM (
+       |  SELECT qid, id, rrf,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank FROM fu)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** DuckDB replay of the PRUNED-candidate semantic clustering (q103, and —
     * via the incremental==full theorem — the streaming-maintenance q104):
     * the 16x4-bit radius-1 signatures (shared `lshSigCtes` prefix), the
@@ -547,7 +587,8 @@ object SparkEntry {
     "q104_stream_clusters" -> Queries.streamingClusterMaintenance _,
     "q105_canonical_dedup" -> Queries.canonicalDedupCollapse _,
     "q106_graded_metrics" -> Queries.annRankMetricsGraded _,
-    "q107_events_contract" -> Queries.eventsContract _
+    "q107_events_contract" -> Queries.eventsContract _,
+    "q108_hybrid_retrieval" -> Queries.hybridRetrieval _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -904,6 +945,7 @@ object SparkEntry {
     // incremental==full theorem, applied per micro-batch).
     "q104_stream_clusters" -> prunedClusterOracleSql(0.35),
     "q106_graded_metrics" -> lshGradedMetricsOracleSql(17),
+    "q108_hybrid_retrieval" -> hybridRetrievalOracleSql(29),
     // q105: the canonical-dedup key replayed as md5(lower(nfc_normalize)) —
     // equal to the engine's md5(lower(NFKC)) because the injected variants
     // and the corpus are NFC-foldable with no compatibility characters.

@@ -79,4 +79,26 @@ object Relevance {
     val total = perRank.reduceLeft(_ + _)
     scored.groupBy("query_id", "doc").agg(round(total, 6).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): fuse N ranked
+    * lists — each (qid, id, rank ∈ 1..) — into one score per (qid, id):
+    * rrf = Σ_lists 1/(k0 + rank), a list missing the doc contributing 0.
+    * The standard way to combine a dense (embedding ANN) and a sparse
+    * (BM25) retriever without score calibration: only RANKS enter, so the
+    * two systems' incomparable score scales never meet. Summation is in
+    * list order (fixed float association, oracle-replayable); joins are on
+    * per-query result sets — negligible next to the retrievers. k0 = 60 is
+    * the paper's constant: small enough to reward top ranks, large enough
+    * that one system's #1 cannot be drowned by the other's absence. */
+  def rrfFuse(lists: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case (d, i) =>
+      d.select(col("qid"), col("id"), col("rank").cast("long").as(s"__r$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq("qid", "id"), "full_outer"))
+    val score = lists.indices
+      .map(i => coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"__r$i")), lit(0.0)))
+      .reduceLeft(_ + _)
+    joined.select(col("qid"), col("id"), round(score, 6).as("rrf"))
+  }
 }

@@ -122,6 +122,20 @@ class RelevanceStatsSpec extends SparkSpec {
     assert(scores(3L) > scores(5L))
   }
 
+  test("rrfFuse: exact reciprocal-rank sums; one-sided docs score one term; agreement wins") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: doc 10 is #1 dense and #2 sparse (agreement), doc 20 only dense #2,
+    // doc 30 only sparse #1; agreement must outrank either single #1
+    val dense = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("qid", "id", "rank")
+    val sparse = Seq((1L, 30L, 1), (1L, 10L, 2)).toDF("qid", "id", "rank")
+    val got = Relevance.rrfFuse(Seq(dense, sparse), k0 = 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L) == r6(1.0 / 61 + 1.0 / 62))
+    assert(got(20L) == r6(1.0 / 62))
+    assert(got(30L) == r6(1.0 / 61))
+    assert(got(10L) > got(30L) && got(30L) > got(20L))
+  }
+
   // ---- Histogram quantile sketch (Sketches.histogramQuantiles, q77) ----
 
   test("histogram quantile bounds the true quantile from above within 1/scale") {
