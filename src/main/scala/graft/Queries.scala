@@ -1904,6 +1904,24 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Exact substring (span-level) dedup (q109): every 8-token window
+    * occurring more than once in the corpus marks its positions covered;
+    * covered positions merge into maximal spans and the cleaned document
+    * is the uncovered remainder — the Lee-et-al-style dedup tier that
+    * catches shared boilerplate and quoted passages whole-document dedup
+    * (q23) and near-dup clustering (q74/q93) cannot see. The report hash
+    * pins the full span arithmetic: per doc, token count, duplicated
+    * window starts, merged span count, covered-token count, and the md5
+    * of the cleaned text (so WHICH tokens survived is hashed, not just
+    * how many). ~10% of window starts are duplicated in this corpus at
+    * both gate SFs — the counts are data-dependent everywhere. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(t(spark, dir).documents, "doc_id", "text", n = 8)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
+        col("n_spans"), col("n_covered"),
+        md5(to_binary(col("clean_text"), lit("utf-8"))).as("clean_md5"))
+      .orderBy("doc_id")
+
   /** Hybrid dense+sparse retrieval (q108): the two ranked retrievers this
     * engine already ships — the pruned multi-table LSH ANN over
     * embeddings (dense) and per-query BM25 over text (sparse) — fused by

@@ -588,7 +588,8 @@ object SparkEntry {
     "q105_canonical_dedup" -> Queries.canonicalDedupCollapse _,
     "q106_graded_metrics" -> Queries.annRankMetricsGraded _,
     "q107_events_contract" -> Queries.eventsContract _,
-    "q108_hybrid_retrieval" -> Queries.hybridRetrieval _
+    "q108_hybrid_retrieval" -> Queries.hybridRetrieval _,
+    "q109_span_dedup" -> Queries.spanDedup _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -946,6 +947,41 @@ object SparkEntry {
     "q104_stream_clusters" -> prunedClusterOracleSql(0.35),
     "q106_graded_metrics" -> lshGradedMetricsOracleSql(17),
     "q108_hybrid_retrieval" -> hybridRetrievalOracleSql(29),
+    // q109: the full span arithmetic replayed — window enumeration, corpus
+    // gram counts, interval merge (fixed-length intervals: new span iff
+    // start > prev + n-1), covered positions, cleaned-token string_agg.
+    "q109_span_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, start, array_to_string(toks[start + 1 : start + 8], ' ') AS gram FROM idx),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |d AS (SELECT doc_id, start FROM g JOIN c USING (gram)),
+        |m AS (SELECT doc_id, start, CASE WHEN lag(start) OVER w IS NULL
+        |    OR start > lag(start) OVER w + 7 THEN 1 ELSE 0 END AS ng
+        |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        |mg AS (SELECT doc_id, start,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY start) AS grp FROM m),
+        |sp AS (SELECT doc_id, grp, min(start) AS s, max(start) + 8 AS e,
+        |    count(*) AS n_starts FROM mg GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_covered,
+        |    CAST(sum(n_starts) AS BIGINT) AS n_dup_starts
+        |  FROM sp GROUP BY doc_id),
+        |posn AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+        |keep AS (SELECT p.doc_id, p.i, p.toks[p.i] AS tok FROM posn p
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = p.doc_id AND p.i - 1 >= sp.s AND p.i - 1 < sp.e)),
+        |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_dup_starts, 0) AS n_dup_starts,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_covered, 0) AS n_covered,
+        |  md5(coalesce(ct.clean, '')) AS clean_md5
+        |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // q105: the canonical-dedup key replayed as md5(lower(nfc_normalize)) —
     // equal to the engine's md5(lower(NFKC)) because the injected variants
     // and the corpus are NFC-foldable with no compatibility characters.

@@ -513,6 +513,67 @@ object Dedup {
     componentAssignments(universe, "id", star.unionByName(fresh), "s", "d", maxIter)
   }
 
+  /** Exact SUBSTRING (span-level) dedup — the within-document member of
+    * the dedup family (Lee et al. 2022, arXiv:2107.06499: duplicated
+    * spans, not just duplicated documents, hurt LM training): every
+    * position whose `n`-token window occurs more than once in the WHOLE
+    * corpus (any doc, including elsewhere in the same doc) is "covered";
+    * covered positions merge into maximal spans; the cleaned document is
+    * the uncovered tokens in order. Returns one row per input doc:
+    * (id, n_tokens, n_dup_starts, n_spans, n_covered, clean_text) —
+    * docs with no duplicated span (or shorter than n) pass through with
+    * zero counts and their full text.
+    *
+    * Scale shape: the window enumeration is shuffle-free (per-row
+    * sequence explode, the chunker's shape); corpus-wide gram counts are
+    * ONE groupBy on the joined-token string (map-side combined) + one
+    * join back (AQE handles hot boilerplate grams); span merging is a
+    * per-document window ordered by start — bounded by document length,
+    * like the chunker (intervals share length n, so ends are monotone in
+    * starts and "new span iff start > prev start + n − 1" is exact).
+    * The cleaned-text rebuild pays O(tokens × spans) per doc inside one
+    * codegen'd projection — no extra shuffle. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // every n-token window, joined with ' ' (tokens cannot contain
+    // whitespace, so the join is unambiguous — no digest needed)
+    val starts = base.select(col("id"),
+        explode(when(size(col("toks")) >= n,
+            sequence(lit(0), size(col("toks")) - n))
+          .otherwise(array().cast("array<int>"))).as("start"),
+        col("toks"))
+      .select(col("id"), col("start"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(n))).as("gram"))
+    val dupGrams = starts.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gram")
+    val dupStarts = starts.join(dupGrams, Seq("gram")).select("id", "start")
+    val w = Window.partitionBy("id").orderBy("start")
+    val spans = dupStarts
+      .withColumn("ng", when(lag(col("start"), 1).over(w).isNull ||
+        col("start") > lag(col("start"), 1).over(w) + (n - 1), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("ng")).over(w))
+      .groupBy("id", "grp")
+      .agg(min(col("start")).as("s"), (max(col("start")) + n).as("e"),
+        count(lit(1)).as("n_starts"))
+    val perDoc = spans.groupBy("id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s")).as("n_covered"),
+      sum(col("n_starts")).as("n_dup_starts"),
+      collect_list(struct(col("s"), col("e"))).as("spans"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"), size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        concat_ws(" ", filter(col("toks"), (_, i) =>
+          !coalesce(exists(col("spans"), sp =>
+            i >= sp.getField("s") && i < sp.getField("e")), lit(false))))
+          .as("clean_text"))
+  }
+
   /** Incremental dedup: rows of `batch` whose `key` does not appear in
     * `reference` — the "today's crawl vs the accumulated corpus" step of a
     * continuously ingested training pipeline.

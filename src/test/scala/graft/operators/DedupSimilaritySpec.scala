@@ -220,6 +220,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pr.keySet == ex.keySet) // full coverage on both sides
   }
 
+  test("removeDuplicateSpans: corpus-wide coverage, overlap merge, adjacency, cleaned text") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ") // the shared 8-gram
+    val docs = Seq(
+      (1L, s"alpha $a beta"),     // one covered span [1,9)
+      (2L, s"$a gamma delta"),    // span at position 0
+      (3L, s"x y $a $a"),         // SAME gram twice in one doc: adjacent spans [2,10)+[10,18)
+      (4L, "seven unique tokens never repeated anywhere here"), // 7 tokens < n: no grams
+      (5L, s"p $a q"),            // starts 1 (a1..a8) and 2 (a2..a8 q) OVERLAP -> one span [1,10)
+      (6L, (2 to 8).map(i => s"a$i").mkString(" ") + " q r s t u v w x")) // shares doc5's start-2 gram
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((10L, 1L, 1L, 8L, "alpha beta")))
+    assert(out(2L) == ((10L, 1L, 1L, 8L, "gamma delta")))
+    // adjacent equal-length spans stay two spans but cover contiguously
+    assert(out(3L) == ((18L, 2L, 2L, 16L, "x y")))
+    assert(out(4L) == ((7L, 0L, 0L, 0L,
+      "seven unique tokens never repeated anywhere here")))
+    // overlapping dup starts merge into ONE span [1,10): 9 covered
+    assert(out(5L) == ((10L, 2L, 1L, 9L, "p")))
+    assert(out(6L)._2 == 1L && out(6L)._4 == 8L) // its shared prefix window
+  }
+
   test("ngramJaccardPairs df-cap keeps a stop-shingle corpus near-linear") {
     // 40 docs, pairwise-disjoint content except ONE ubiquitous shingle
     // ("the same") present in every doc. Uncapped, that shingle alone fans
