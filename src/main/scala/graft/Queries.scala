@@ -1796,7 +1796,7 @@ object Queries {
     * operator driven from the file-source ingest path via foreachBatch,
     * with a kill/outage/restart through the checkpoint.
     *
-    * The corpus arrives as four ascending-id wave files (modification
+    * The corpus arrives as three ascending-id wave files (modification
     * times stamped explicitly, so batch order is deterministic — the
     * append-only-id discipline the incremental theorem needs). Each
     * micro-batch runs the PRUNED candidate generator
@@ -1833,7 +1833,11 @@ object Queries {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0) // bounded scalar
-    val nWaves = 4
+    // three waves = the minimal shape that exercises every tier: a
+    // bootstrap fold (empty prior), a committed pre-kill fold, and a
+    // post-restart fold (often the replay of an in-flight batch); each
+    // extra wave would re-pay the per-fold CC fixed cost for no new claim
+    val nWaves = 3
     val hconf = spark.sparkContext.hadoopConfiguration
     val stagePath = new org.apache.hadoop.fs.Path(stage)
     val sfs = stagePath.getFileSystem(hconf)
