@@ -54,6 +54,29 @@ class TestdataCompatSpec extends SparkSpec {
       "documents.n_chars (q100 bounds check) missing")
   }
 
+  test("documents.text is NFKC==NFC clean and embeddings ids align with documents (q105/q108 premises)") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.TextExpressions.normalize_text
+    // q105's oracle replays the canonical key as md5(lower(nfc_normalize))
+    // because DuckDB has no NFKC — sound ONLY while the corpus carries no
+    // compatibility characters (ligatures, full-width forms, ℕ-style
+    // symbols). If a testdata regeneration introduces one, flag it HERE
+    // before q105 hash-mismatches mysteriously.
+    val drifted = graft.Engine.tables(spark, sf).documents
+      .filter(normalize_text(col("text"), "NFKC") =!= normalize_text(col("text"), "NFC"))
+      .count()
+    assert(drifted == 0,
+      s"$drifted documents carry compatibility characters (NFKC != NFC): " +
+        "q105's DuckDB replay assumption no longer holds")
+    // q108 fuses BM25 over doc_id with ANN over vec_id as ONE id space
+    val docs = graft.Engine.tables(spark, sf).documents
+      .select(col("doc_id").cast("long").as("id"))
+    val vecs = graft.Engine.tables(spark, sf).embeddings
+      .select(col("vec_id").cast("long").as("id"))
+    assert(docs.exceptAll(vecs).count() == 0 && vecs.exceptAll(docs).count() == 0,
+      "doc_id and vec_id no longer enumerate the same id space (q108 premise)")
+  }
+
   test("TPC-H-ish date columns read as a timestamp family (oracle strings depend on it)") {
     Seq(tables.lineitem.schema("l_shipdate").dataType,
         tables.orders.schema("o_orderdate").dataType).foreach { t =>
