@@ -1908,6 +1908,49 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** PMI collocation mining (q110): the top-20 adjacent word pairs by
+    * pointwise mutual information — the collocation/stop-phrase
+    * extraction tier of text analysis (which bigrams co-occur far more
+    * than their unigram frequencies predict). PMI is kept as the RAW
+    * probability ratio p(w1,w2)/(p(w1)p(w2)) — the log is monotone, so
+    * the ranking is unchanged, and the raw form is a FIXED-ORDER chain
+    * of integer-valued divisions both engines replay bit-identically
+    * (the q64/q78 no-ln discipline). Pairs under 5 occurrences are
+    * dropped (singleton pairs of two rare words would otherwise dominate
+    * any PMI list). Shape: one shuffle-free bigram explode (chunker
+    * pattern), two grouped counts, two joins of the (vocab-sized)
+    * unigram table onto the bigram table, and a distributed top-k
+    * (TakeOrderedAndProject). */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(spark, dir).documents
+      .select(functions.TextFunctions.tokens(col("text")).as("toks"))
+    val bigrams = toks.select(
+        explode(when(size(col("toks")) >= 2,
+            sequence(lit(0), size(col("toks")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"), col("toks"))
+      .select(element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = words(t(spark, dir)).groupBy("word").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+    val np = bc.agg(sum(col("c12")).cast("double").as("n_bi"))
+    val scored = bc.filter(col("c12") >= 5)
+      .join(uni.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(np))
+      .select(col("w1"), col("w2"), col("c12"),
+        // fixed-order chain, mirrored verbatim in the oracle:
+        // (((c12 * n_uni) / c1) * (n_uni / c2)) / n_bi
+        round((((col("c12").cast("double") * col("n_uni")) / col("c1")) *
+          (col("n_uni") / col("c2"))) / col("n_bi"), 6).as("pmi_raw"))
+    scored.orderBy(col("pmi_raw").desc, col("w1"), col("w2")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_raw").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("pmi_raw"))
+      .orderBy("rank")
+  }
+
   /** Exact substring (span-level) dedup (q109): every 8-token window
     * occurring more than once in the corpus marks its positions covered;
     * covered positions merge into maximal spans and the cleaned document

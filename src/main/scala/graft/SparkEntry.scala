@@ -589,7 +589,8 @@ object SparkEntry {
     "q106_graded_metrics" -> Queries.annRankMetricsGraded _,
     "q107_events_contract" -> Queries.eventsContract _,
     "q108_hybrid_retrieval" -> Queries.hybridRetrieval _,
-    "q109_span_dedup" -> Queries.spanDedup _
+    "q109_span_dedup" -> Queries.spanDedup _,
+    "q110_pmi_collocations" -> Queries.pmiCollocations _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -947,6 +948,27 @@ object SparkEntry {
     "q104_stream_clusters" -> prunedClusterOracleSql(0.35),
     "q106_graded_metrics" -> lshGradedMetricsOracleSql(17),
     "q108_hybrid_retrieval" -> hybridRetrievalOracleSql(29),
+    // q110: raw-ratio PMI replayed with the identical fixed-order division
+    // chain; bigrams per doc (never across doc boundaries), unigrams over
+    // the same token stream, min-count 5, top-20 (ties by pair).
+    "q110_pmi_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |    FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+        |uni AS (SELECT w1 AS word, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+        |n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+        |np AS (SELECT CAST(sum(c12) AS DOUBLE) AS n_bi FROM bc),
+        |sc AS (SELECT b.w1, b.w2, b.c12, round(
+        |    (((CAST(b.c12 AS DOUBLE) * n_uni) / u1.c) * (n_uni / u2.c)) / n_bi, 6) AS pmi_raw
+        |  FROM bc b JOIN uni u1 ON u1.word = b.w1 JOIN uni u2 ON u2.word = b.w2
+        |  CROSS JOIN n1 CROSS JOIN np WHERE b.c12 >= 5)
+        |SELECT CAST(row_number() OVER (ORDER BY pmi_raw DESC, w1, w2) AS BIGINT) AS rank,
+        |  w1, w2, c12, pmi_raw
+        |FROM sc QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
     // q109: the full span arithmetic replayed — window enumeration, corpus
     // gram counts, interval merge (fixed-length intervals: new span iff
     // start > prev + n-1), covered positions, cleaned-token string_agg.
