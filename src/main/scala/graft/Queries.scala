@@ -1908,6 +1908,24 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Span-deduped chunking (q111): q109's cleaned token streams chunked
+    * into q80's 64/48 sliding windows — the composed form the pipeline's
+    * `spanDedupN` option runs (span dedup consumes the tokenize-once
+    * attribute, the chunker consumes the CLEANED stream; a fully-covered
+    * document chunks to nothing). The chunk md5s hash the exact
+    * post-removal token content, so the oracle must replay the span
+    * arithmetic AND the chunk slice arithmetic end-to-end. */
+  def spanDedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = Dedup.removeDuplicateSpansOfTokens(
+        t(spark, dir).documents.select(col("doc_id"),
+          functions.TextFunctions.tokens(col("text")).as("toks")),
+        "doc_id", "toks", n = 8)
+      .select(col("id"), col("clean_toks"))
+    Packing.chunkTokens(cleaned, "id", "clean_toks", size = 64, stride = 48)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** PMI collocation mining (q110): the top-20 adjacent word pairs by
     * pointwise mutual information — the collocation/stop-phrase
     * extraction tier of text analysis (which bigrams co-occur far more

@@ -590,7 +590,8 @@ object SparkEntry {
     "q107_events_contract" -> Queries.eventsContract _,
     "q108_hybrid_retrieval" -> Queries.hybridRetrieval _,
     "q109_span_dedup" -> Queries.spanDedup _,
-    "q110_pmi_collocations" -> Queries.pmiCollocations _
+    "q110_pmi_collocations" -> Queries.pmiCollocations _,
+    "q111_span_dedup_chunks" -> Queries.spanDedupChunks _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -948,6 +949,39 @@ object SparkEntry {
     "q104_stream_clusters" -> prunedClusterOracleSql(0.35),
     "q106_graded_metrics" -> lshGradedMetricsOracleSql(17),
     "q108_hybrid_retrieval" -> hybridRetrievalOracleSql(29),
+    // q111: the q109 span CTEs composed with the q80 chunk arithmetic over
+    // the CLEANED per-doc token lists (list(tok ORDER BY position)).
+    "q111_span_dedup_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, start, array_to_string(toks[start + 1 : start + 8], ' ') AS gram FROM idx),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |d AS (SELECT doc_id, start FROM g JOIN c USING (gram)),
+        |m AS (SELECT doc_id, start, CASE WHEN lag(start) OVER w IS NULL
+        |    OR start > lag(start) OVER w + 7 THEN 1 ELSE 0 END AS ng
+        |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        |mg AS (SELECT doc_id, start,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY start) AS grp FROM m),
+        |sp AS (SELECT doc_id, grp, min(start) AS s, max(start) + 8 AS e
+        |  FROM mg GROUP BY doc_id, grp),
+        |posn AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+        |keep AS (SELECT p.doc_id, p.i, p.toks[p.i] AS tok FROM posn p
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = p.doc_id AND p.i - 1 >= sp.s AND p.i - 1 < sp.e)),
+        |ck AS (SELECT doc_id, list(tok ORDER BY i) AS ctoks FROM keep GROUP BY doc_id),
+        |n2 AS (SELECT doc_id, ctoks, len(ctoks) AS n FROM ck WHERE len(ctoks) > 0),
+        |ch AS (SELECT doc_id, ctoks, n,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(0.0e0, ceil((n - 64) / 48.0e0)) AS BIGINT))) AS chunk_idx
+        |  FROM n2)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS token_cnt,
+        |  md5(array_to_string(
+        |    ctoks[CAST(chunk_idx * 48 + 1 AS BIGINT):CAST(chunk_idx * 48 + 64 AS BIGINT)],
+        |    ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // q110: raw-ratio PMI replayed with the identical fixed-order division
     // chain; bigrams per doc (never across doc boundaries), unigrams over
     // the same token stream, min-count 5, top-20 (ties by pair).

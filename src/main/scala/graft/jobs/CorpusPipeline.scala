@@ -42,6 +42,13 @@ object CorpusPipeline {
                           // rewriting the stored text the way
                           // normalizeUnicode does (keys fold, content stays)
                           canonicalDedupKey: Boolean = false,
+                          // exact SUBSTRING dedup for the sequence tier:
+                          // Some(n) removes every n-token span occurring
+                          // more than once among the cluster-dedup
+                          // survivors BEFORE chunking (Lee et al. 2022 —
+                          // duplicated spans, not just duplicated docs,
+                          // hurt training). None skips the stage.
+                          spanDedupN: Option[Int] = None,
                           // token hash for the MinHash sketch: xxhash64 (fast
                           // default) or TextFunctions.md5Hash32 when the run
                           // must be replayable by an ANSI-SQL oracle (q65)
@@ -195,7 +202,9 @@ object CorpusPipeline {
     *
     *   quality gate → exact dedup → near-dup CLUSTER dedup (connected
     *   components over MinHash pairs; the canonical min-id document per
-    *   cluster survives) → sliding-window chunking (chunkSize/chunkStride)
+    *   cluster survives) → [optional span-level exact-substring dedup
+    *   among the survivors (cfg.spanDedupN)]
+    *   → sliding-window chunking (chunkSize/chunkStride)
     *   → [optional chunk-level decontamination against a benchmark corpus]
     *   → sequence packing (capacity) → per-(chunk, sequence) segment map
     *   → parquet partitioned by sequence bucket.
@@ -313,7 +322,16 @@ object CorpusPipeline {
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       finally releaseSigs()
-    val kept = exact.join(losers, Seq("doc_id"), "left_anti")
+    val kept0 = exact.join(losers, Seq("doc_id"), "left_anti")
+    // optional span-level exact-substring dedup among the survivors:
+    // consumes the cached toks attribute (no tokenize added — the
+    // one-tokenize plan spec covers this configuration too) and feeds the
+    // chunker the CLEANED token stream; a fully-covered doc chunks to
+    // nothing and packing closes ranks over the remainder
+    val kept = cfg.spanDedupN.fold(kept0) { nSpan =>
+      Dedup.removeDuplicateSpansOfTokens(kept0, "doc_id", "toks", nSpan)
+        .select(col("id").as("doc_id"), col("clean_toks").as("toks"))
+    }
     val allChunks = Packing.chunkTokens(kept, "doc_id", "toks",
       chunkSize, chunkStride)
     // optional CHUNK-level decontamination: benchmark-shingle positions map

@@ -534,10 +534,23 @@ object Dedup {
     * The cleaned-text rebuild pays O(tokens × spans) per doc inside one
     * codegen'd projection — no extra shuffle. */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame = {
+                           n: Int): DataFrame =
+    removeDuplicateSpansOfTokens(
+        docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")),
+        "id", "toks", n)
+      .withColumn("clean_text", concat_ws(" ", col("clean_toks")))
+      .drop("clean_toks")
+
+  /** [[removeDuplicateSpans]] over an EXISTING token-array column — the
+    * composed-pipeline form (`CorpusPipeline.segmentPlan` projects
+    * `tokens(text)` exactly once; this variant consumes that attribute so
+    * adding span dedup to the chain adds no tokenize). Returns
+    * (id, n_tokens, n_dup_starts, n_spans, n_covered, clean_toks). */
+  def removeDuplicateSpansOfTokens(docs: DataFrame, idCol: String,
+                                   toksCol: String, n: Int): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val base = docs.select(col(idCol).as("id"), col(toksCol).as("toks"))
     // every n-token window, joined with ' ' (tokens cannot contain
     // whitespace, so the join is unambiguous — no digest needed)
     val starts = base.select(col("id"),
@@ -568,10 +581,10 @@ object Dedup {
         coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-        concat_ws(" ", filter(col("toks"), (_, i) =>
+        filter(col("toks"), (_, i) =>
           !coalesce(exists(col("spans"), sp =>
-            i >= sp.getField("s") && i < sp.getField("e")), lit(false))))
-          .as("clean_text"))
+            i >= sp.getField("s") && i < sp.getField("e")), lit(false)))
+          .as("clean_toks"))
   }
 
   /** Incremental dedup: rows of `batch` whose `key` does not appear in

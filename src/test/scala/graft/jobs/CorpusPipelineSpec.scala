@@ -123,6 +123,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(segs.select("doc_id").distinct().count() == 2)
   }
 
+  test("spanDedupN: the sequence tier chunks the CLEANED token stream; token totals shrink by the covered spans") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // 8-token shared span
+    // two UNRELATED docs (not near-dups — both survive cluster dedup)
+    // sharing one 8-token span; with spanDedupN the span vanishes from BOTH
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi $shared"))
+      .toDF("doc_id", "text")
+    val base = CorpusPipeline.Config(minUniqRatio = 0.0)
+    def totalTok(cfg: CorpusPipeline.Config): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("span-seq").toString
+      val segs = CorpusPipeline.curateToSequences(docs, dir, cfg,
+        chunkSize = 8, chunkStride = 8, capacity = 16)
+      segs.agg(org.apache.spark.sql.functions.sum("n_tok")).head.getLong(0)
+    }
+    val without = totalTok(base)
+    val withSpan = totalTok(base.copy(spanDedupN = Some(8)))
+    assert(without == 32L, s"expected 2x16 tokens, got $without")
+    assert(withSpan == 16L, s"both spans must vanish: got $withSpan of $without")
+  }
+
   test("validateAndCurate: clean batch curates; violating batch stops at the gate with the report") {
     import spark.implicits._
     import graft.operators.Contracts._
