@@ -1808,9 +1808,12 @@ object Queries {
     * mode(overwrite) keyed by batchId, so a replayed in-flight batch
     * rewrites v=N byte-identically — idempotence IS the exactly-once
     * story for a foreachBatch sink, and it makes the final state
-    * kill-point independent. Run 1 is killed once batch 1 commits (later
-    * files unread; stop can land mid-batch); run 2 resumes from the
-    * checkpoint, replays any in-flight batch, and drains.
+    * kill-point independent. Version RETENTION bounds the state of the
+    * long-running service: a replay reads only v=N-1, so versions
+    * <= N-2 are deleted as each batch commits — two assignments of
+    * state at any stream length. Run 1 is killed once batch 1 commits
+    * (later files unread; stop can land mid-batch); run 2 resumes from
+    * the checkpoint, replays any in-flight batch, and drains.
     *
     * The final assignment equals the BATCH pruned build over the whole
     * corpus (q103's oracle, verbatim): induction over batches on the
@@ -1882,6 +1885,21 @@ object Queries {
             b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
           next.write.mode("overwrite").parquet(s"$state/v=$batchId")
           b.write.mode("overwrite").parquet(s"$corpusDir/b=$batchId")
+          // state RETENTION (the long-running-service story): a restart
+          // replays at most the current batch, which reads only v=N-1 —
+          // so once v=N is written, versions <= N-2 are dead. Keeping two
+          // versions bounds the state at 2x one assignment no matter how
+          // long the stream runs. (The per-batch corpus dirs are NOT
+          // garbage: they are the accumulated corpus every future batch
+          // probes; compacting many small b= dirs into consolidated
+          // generations is an offline `tools.Compact`-style cadence.)
+          if (batchId >= 2) {
+            val p = new org.apache.hadoop.fs.Path(s"$state/v=${batchId - 2}")
+            val fs = p.getFileSystem(
+              b.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(p, true)
+            ()
+          }
         } finally b.unpersist(false)
         ()
       }

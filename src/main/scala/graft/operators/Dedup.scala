@@ -527,7 +527,11 @@ object Dedup {
     * Scale shape: the window enumeration is shuffle-free (per-row
     * sequence explode, the chunker's shape); corpus-wide gram counts are
     * ONE groupBy on the joined-token string (map-side combined) + one
-    * join back (AQE handles hot boilerplate grams); span merging is a
+    * join back — and unlike PAIR generation, that join is LINEAR in
+    * window starts (each start matches its own gram's one distinct-dup
+    * row, never the other occurrences), so a boilerplate gram with 10^6
+    * occurrences contributes 10^6 covered starts, not 10^12 pairs — no
+    * df cap needed (AQE handles the hot-key skew); span merging is a
     * per-document window ordered by start — bounded by document length,
     * like the chunker (intervals share length n, so ends are monotone in
     * starts and "new span iff start > prev start + n − 1" is exact).
