@@ -39,8 +39,9 @@ object DevRun {
       println(f"[devrun] stage $id%4d ${ms}%7d ms $tasks%4d tasks  $n")
     }
     val all = stages.asScala.toSeq
-    println(f"[devrun] stages total: n=${all.size} sum=${all.map(_._3).sum / 1000.0}%.1f s " +
-      f"median=${all.map(_._3).sorted.apply(all.size / 2)} ms")
+    if (all.nonEmpty)
+      println(f"[devrun] stages total: n=${all.size} sum=${all.map(_._3).sum / 1000.0}%.1f s " +
+        f"median=${all.map(_._3).sorted.apply(all.size / 2)} ms")
     spark.stop()
   }
 }

@@ -1649,21 +1649,44 @@ object Queries {
     * in-query (its entry IS the build measurement); q94's prior and the
     * q95/q99 consumers read the stage. computeIfAbsent serializes
     * concurrent first-callers per key (Verify runs queries on a pool). */
-  private val stagedBuilds = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedBuilds = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
   private def stagedParquet(spark: SparkSession, key: String)
                            (build: => DataFrame): DataFrame = {
-    val path = stagedBuilds.computeIfAbsent(key, _ => {
-      val out = scratchDir(spark, s"stage_$key")
-      build.write.mode("overwrite").parquet(out)
-      out
-    })
-    spark.read.parquet(path)
+    // a CompletableFuture placeholder keeps the map mutation instant (no
+    // multi-second Spark write inside computeIfAbsent's bin lock — a
+    // colliding-bin key would block on an unrelated build); concurrent
+    // same-key callers await the creator, a failed build is removed so a
+    // retry rebuilds instead of caching the exception forever
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val f = stagedBuilds.putIfAbsent(key, fresh) match {
+      case null =>
+        try {
+          val out = scratchDir(spark, s"stage_$key")
+          build.write.mode("overwrite").parquet(out)
+          fresh.complete(out)
+        } catch {
+          case e: Throwable =>
+            fresh.completeExceptionally(e)
+            stagedBuilds.remove(key, fresh)
+        }
+        fresh
+      case existing => existing
+    }
+    spark.read.parquet(f.get())
   }
+
+  /** Collision-free stage key for a testdata dir: full-width md5, NOT
+    * String.hashCode — two dirs with colliding 32-bit hashes must never
+    * silently share a staged build. */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
 
   /** The q93 exhaustive-config assignment, staged once per process —
     * the shared upstream of q95 and q99. */
   private def exhaustiveAssignment(spark: SparkSession, dir: String): DataFrame =
-    stagedParquet(spark, s"asg_${Integer.toHexString(dir.hashCode)}") {
+    stagedParquet(spark, s"asg_${dirKey(dir)}") {
       val emb = t(spark, dir).embeddings
       Dedup.componentAssignments(
         emb.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
@@ -1729,8 +1752,7 @@ object Queries {
     // "yesterday's" assignment, staged once per process: the query's bench
     // cost then measures the INCREMENTAL fold (the operator under test),
     // not a second full prior build on every repetition
-    val prior = stagedParquet(spark,
-        s"prior80_${Integer.toHexString(dir.hashCode)}") {
+    val prior = stagedParquet(spark, s"prior80_${dirKey(dir)}") {
       Dedup.componentAssignments(
         old.select(col("vec_id").cast("long").as("vec_id")), "vec_id",
         Similarity.cosineNearDupPairs(old, "vec_id", "embedding",
@@ -1904,17 +1926,21 @@ object Queries {
         ()
       }
       .start()
-    (0 until nWaves).foreach(writeWave) // all staged before ingest begins
-    val sq1 = start()
+    // one finally owns the corpus cache: a failure in staging, run 1, or
+    // run 2 must not leak the persisted blocks into the rest of the process
     try {
-      // kill once batch 1 commits — files 2/3 unread, stop may land with
-      // batch 2 in flight (the restart then replays it idempotently)
-      val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-      while (sq1.isActive && System.nanoTime() < deadline &&
-             Option(sq1.lastProgress).forall(_.batchId < 1)) Thread.sleep(20)
-    } finally sq1.stop()
-    val sq2 = start()
-    try sq2.processAllAvailable() finally { sq2.stop(); emb.unpersist(false) }
+      (0 until nWaves).foreach(writeWave) // all staged before ingest begins
+      val sq1 = start()
+      try {
+        // kill once batch 1 commits — files 2/3 unread, stop may land with
+        // batch 2 in flight (the restart then replays it idempotently)
+        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+        while (sq1.isActive && System.nanoTime() < deadline &&
+               Option(sq1.lastProgress).forall(_.batchId < 1)) Thread.sleep(20)
+      } finally sq1.stop()
+      val sq2 = start()
+      try sq2.processAllAvailable() finally sq2.stop()
+    } finally emb.unpersist(false)
     val latest = new org.apache.hadoop.fs.Path(state)
       .getFileSystem(hconf)
       .listStatus(new org.apache.hadoop.fs.Path(state))
@@ -1968,7 +1994,10 @@ object Queries {
       .select(element_at(col("toks"), col("i") + 1).as("w1"),
         element_at(col("toks"), col("i") + 2).as("w2"))
     val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = words(t(spark, dir)).groupBy("word").agg(count(lit(1)).as("c"))
+    // unigrams from the SAME toks projection — one corpus scan + one
+    // tokenize feeds both count tables
+    val uni = toks.select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
     val n1 = uni.agg(sum(col("c")).cast("double").as("n_uni"))
     val np = bc.agg(sum(col("c12")).cast("double").as("n_bi"))
     val scored = bc.filter(col("c12") >= 5)

@@ -68,9 +68,14 @@ object Similarity {
     // Native VectorDot against a SINGLE array literal per plane: one
     // expression node each (a runtime loop in codegen — no planes x dim
     // unroll, so no janino method-size risk), identical left-to-right
-    // double accumulation to the HOF fold it replaces, so every sign
-    // decision — hence every signature and every oracle replay — is
-    // unchanged. The node-count matters beyond speed: a per-element
+    // double accumulation to the HOF fold it replaces, so for any
+    // full-length vector every sign decision — hence every signature and
+    // every oracle replay — is unchanged. (A MALFORMED vector shorter
+    // than dim differs: the HOF fold nulled its dot — all-zero signature,
+    // short rows piling into one obvious bucket — while VectorDot takes a
+    // min-length partial dot; TestdataCompatSpec pins the corpus
+    // dimension so the case cannot arise silently.)
+    // The node-count matters beyond speed: a per-element
     // literal tree here (64 planes x 64 lit nodes + HOF machinery) made
     // every downstream analyzer/optimizer pass O(tree) — measured as
     // multi-second DRIVER cost per action on plans that carried the

@@ -75,6 +75,14 @@ class TestdataCompatSpec extends SparkSpec {
       .select(col("vec_id").cast("long").as("id"))
     assert(docs.exceptAll(vecs).count() == 0 && vecs.exceptAll(docs).count() == 0,
       "doc_id and vec_id no longer enumerate the same id space (q108 premise)")
+    // every LSH/ANN query hashes with dim-64 planes and the oracles'
+    // list_dot_product errors on unequal lengths — a truncated embedding
+    // must fail HERE, not as a silent partial-dot signature downstream
+    val dims = graft.Engine.tables(spark, sf).embeddings
+      .select(size(col("embedding")).as("d"))
+      .agg(min(col("d")), max(col("d"))).head
+    assert(dims.getInt(0) == 64 && dims.getInt(1) == 64,
+      s"embedding dimension drifted: [${dims.getInt(0)}, ${dims.getInt(1)}] != 64")
   }
 
   test("TPC-H-ish date columns read as a timestamp family (oracle strings depend on it)") {
