@@ -1883,47 +1883,21 @@ object Queries {
       }
     }
     val embSchema = emb.schema
+    // the per-batch fold is the LIBRARY service (jobs.ClusterMaintenance):
+    // this harness contributes only the file-source plumbing and the
+    // kill/restart choreography. (The per-batch corpus dirs the service
+    // accumulates are NOT garbage — they are the corpus every future
+    // batch probes; compacting many small b= dirs into consolidated
+    // generations is an offline `tools.Compact`-style cadence.)
+    val mcfg = jobs.ClusterMaintenance.Config(threshold = 0.35,
+      numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16)
     def start() = ss.readStream.schema(embSchema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream.option("checkpointLocation", chk)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val sess = b.sparkSession
-          val corpus =
-            if (batchId == 0) b.limit(0)
-            else sess.read.schema(embSchema)
-              .parquet((0L until batchId).map(i => s"$corpusDir/b=$i"): _*)
-          val prior =
-            if (batchId == 0)
-              b.limit(0).select(col("vec_id").as("id"),
-                col("vec_id").as("cluster_id"))
-            else sess.read.parquet(s"$state/v=${batchId - 1}")
-          val pairs = Similarity.cosineNearDupPairsAgainst(b, corpus,
-            "vec_id", "embedding", threshold = 0.35, numPlanes = 4, dim = 64,
-            probeRadius = 1, numTables = 16)
-          val next = Dedup.incrementalComponentAssignments(prior,
-            b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
-          next.write.mode("overwrite").parquet(s"$state/v=$batchId")
-          b.write.mode("overwrite").parquet(s"$corpusDir/b=$batchId")
-          // state RETENTION (the long-running-service story): a restart
-          // replays at most the current batch, which reads only v=N-1 —
-          // so once v=N is written, versions <= N-2 are dead. Keeping two
-          // versions bounds the state at 2x one assignment no matter how
-          // long the stream runs. (The per-batch corpus dirs are NOT
-          // garbage: they are the accumulated corpus every future batch
-          // probes; compacting many small b= dirs into consolidated
-          // generations is an offline `tools.Compact`-style cadence.)
-          if (batchId >= 2) {
-            val p = new org.apache.hadoop.fs.Path(s"$state/v=${batchId - 2}")
-            val fs = p.getFileSystem(
-              b.sparkSession.sparkContext.hadoopConfiguration)
-            fs.delete(p, true)
-            ()
-          }
-        } finally b.unpersist(false)
-        ()
+        jobs.ClusterMaintenance.foldBatch(batch, batchId, state, corpusDir,
+          "vec_id", "embedding", mcfg)
       }
       .start()
     // one finally owns the corpus cache: a failure in staging, run 1, or
@@ -1941,12 +1915,7 @@ object Queries {
       val sq2 = start()
       try sq2.processAllAvailable() finally sq2.stop()
     } finally emb.unpersist(false)
-    val latest = new org.apache.hadoop.fs.Path(state)
-      .getFileSystem(hconf)
-      .listStatus(new org.apache.hadoop.fs.Path(state))
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.drop(2).toLong).max
-    spark.read.parquet(s"$state/v=$latest")
+    jobs.ClusterMaintenance.latestAssignment(spark, state)
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
         col("is_canonical"))
       .orderBy("vec_id")
