@@ -704,6 +704,55 @@ object Bench {
           s"soak_emb_clusters: ${agg.getLong(2)} canonicals != ${n / 5}")
         sec
       }
+      soakLeg("soak_cluster_service", slowSec = 25.0) { () =>
+        // The MAINTENANCE SERVICE at synthetic scale: the soak_emb_clusters
+        // corpus (5-member identical-vector clusters, exact expected
+        // structure) arriving as THREE ascending-id batches through
+        // jobs.ClusterMaintenance.foldBatch — with batch boundaries chosen
+        // to STRADDLE clusters (n/3 is not a multiple of 5), so the
+        // cross-batch probe path must stitch split clusters back together
+        // or the exact structure check fails. Also validates the
+        // two-version state retention. 50x the gate corpus by default
+        // (SPARK_GRAFT_SOAK_SVC_N; the 50k run measured 36 s on a slow
+        // host window — three CC builds over a growing universe dominate).
+        val n = sys.env.getOrElse("SPARK_GRAFT_SOAK_SVC_N", "25000").toLong
+        require(n % 5 == 0 && n / 5 <= (1L << 20) && (n / 3) % 5 != 0,
+          s"soak_cluster_service needs n % 5 == 0, n/5 <= 2^20, and " +
+            s"cluster-straddling batch boundaries (n/3 % 5 != 0), got $n")
+        val pows = typedLit((0 until 20).map(j => 1L << j).toArray)
+        val vecs = spark.range(0, n)
+          .select(col("id"), expr("id div 5").as("c"))
+          .select(col("id").as("vec_id"), transform(sequence(lit(0), lit(19)), i =>
+            when(pmod(floor(col("c") / element_at(pows, i + lit(1))).cast("long"),
+              lit(2L)) === 1L, lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
+        val root = java.nio.file.Files.createTempDirectory("soak_svc").toString
+        val (stateDir, corpusDir) = (s"$root/state", s"$root/corpus")
+        val cfg = graft.jobs.ClusterMaintenance.Config(threshold = 0.95,
+          numPlanes = 18, dim = 20, probeRadius = 0, numTables = 2)
+        val t0 = System.nanoTime()
+        (0 until 3).foreach { w =>
+          val lo = n * w / 3
+          val hi = n * (w + 1) / 3
+          graft.jobs.ClusterMaintenance.foldBatch(
+            vecs.filter(col("vec_id") >= lo && col("vec_id") < hi), w.toLong,
+            stateDir, corpusDir, "vec_id", "embedding", cfg)
+        }
+        val asg = graft.jobs.ClusterMaintenance.latestAssignment(spark, stateDir)
+        val agg = asg.agg(count(lit(1)),
+          sum(when(col("cluster_size") === 5L, 1L).otherwise(0L)),
+          sum(col("is_canonical"))).head
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(agg.getLong(0) == n && agg.getLong(1) == n,
+          s"service soak: ${agg.getLong(1)}/${agg.getLong(0)} rows in " +
+            s"5-clusters, expected all $n (a straddled cluster was not stitched)")
+        require(agg.getLong(2) == n / 5,
+          s"service soak: ${agg.getLong(2)} canonicals != ${n / 5}")
+        val versions = new java.io.File(stateDir).listFiles()
+          .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+        require(versions == Seq("v=1", "v=2"),
+          s"service soak: retention left $versions, expected [v=1, v=2]")
+        sec
+      }
       soakLeg("soak_pack_10m", slowSec = 16.0) { () =>
         val n = 10000000L
         val docs = spark.range(0, n).select(col("id").as("doc_id"),
