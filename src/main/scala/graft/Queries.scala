@@ -970,6 +970,22 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join (q112): for each click, the same user's FIRST
+    * purchase at-or-after it (ties → smallest purchase id) — the
+    * conversion-attribution complement of q38's backward as-of, on the
+    * same one-sort linear machinery (time-descending order, never an
+    * unbounded-following frame — see Joins.asOfForward). */
+  def asofClickNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir).events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    Joins.asOfForward(clicks, purchases, Seq("user_id"), "ts", "p_ts", "purchase_id")
+      .select(col("event_id"), col("user_id"), col("r_purchase_id").as("purchase_id"))
+      .orderBy("event_id")
+  }
+
   def sampleFilter(spark: SparkSession, dir: String): DataFrame =
     Sampling.md5Filter(t(spark, dir).documents, col("text"), 16)
       .select(col("doc_id"), col("lang"))

@@ -591,7 +591,8 @@ object SparkEntry {
     "q108_hybrid_retrieval" -> Queries.hybridRetrieval _,
     "q109_span_dedup" -> Queries.spanDedup _,
     "q110_pmi_collocations" -> Queries.pmiCollocations _,
-    "q111_span_dedup_chunks" -> Queries.spanDedupChunks _
+    "q111_span_dedup_chunks" -> Queries.spanDedupChunks _,
+    "q112_asof_forward" -> Queries.asofClickNextPurchase _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -804,6 +805,16 @@ object SparkEntry {
         |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
         |FROM p ORDER BY p.event_id""".stripMargin,
+    // q112: the forward mirror of q38 — first at-or-after, ties by the
+    // SMALLEST right id.
+    "q112_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |(SELECT p.event_id FROM p
+        |  WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        |  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS purchase_id
+        |FROM c ORDER BY c.event_id""".stripMargin,
     "q39_bpe_tokens" ->
       """WITH t AS (SELECT lang, unnest(regexp_extract_all(text,
         |  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS tok FROM documents)

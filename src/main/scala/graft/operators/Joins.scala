@@ -67,7 +67,29 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, rightTie: String,
-           rightPrefix: String = "r_"): DataFrame = {
+           rightPrefix: String = "r_"): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, rightTie, rightPrefix,
+      forward = false)
+
+  /** FORWARD as-of join: for each left row, the single right row with the
+    * smallest `rightTime >= leftTime` for the same key (ties broken by the
+    * SMALLEST `rightTie`) — the conversion-attribution shape ("first
+    * purchase at-or-after this click"). Implemented as [[asOf]] over
+    * time-DESCENDING sort order, NOT an unbounded-FOLLOWING window frame:
+    * Spark's running-aggregate optimization applies only to
+    * [unboundedPreceding, currentRow] frames (an unbounded-following
+    * last/first re-scans the frame per row — quadratic per partition), and
+    * reversing the sort turns "earliest at-or-after" into "last seen
+    * at-or-before" under the same linear machinery. */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String, rightTie: String,
+                  rightPrefix: String = "r_"): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, rightTie, rightPrefix,
+      forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String, rightTie: String,
+                       rightPrefix: String, forward: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StructType
     val rightPayloadCols = right.columns.filterNot(keys.contains)
@@ -83,8 +105,19 @@ object Joins {
         Seq(col(rightTime).as("__t"), lit(1).as("__isR"), col(rightTie).cast("long").as("__tie"),
           lit(null).cast(lType).as("__l"),
           struct(rightPayloadCols.map(col): _*).as("__r")): _*)
+    // Both directions run the SAME running [unboundedPreceding, currentRow]
+    // frame; direction lives entirely in the sort. Backward: time asc,
+    // right-before-left at equal time, ties asc so the LARGEST tie is the
+    // last seen. Forward: time desc (preceding rows now have time >=
+    // left's), right still before left at equal time, ties desc so the
+    // SMALLEST tie is the last seen.
+    val order =
+      if (forward)
+        Seq(col("__t").desc, col("__isR").desc, col("__tie").desc_nulls_first)
+      else
+        Seq(col("__t").asc, col("__isR").desc, col("__tie").asc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__isR").desc, col("__tie").asc_nulls_first)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

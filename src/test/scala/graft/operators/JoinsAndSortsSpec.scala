@@ -51,6 +51,18 @@ class JoinsAndSortsSpec extends SparkSpec {
     assert(out("p3").isEmpty)        // no click at or before t=10
   }
 
+  test("asOfForward picks smallest right time >= left time, ties by smallest tie id") {
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 12L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 40L, 900L), (1L, 100L, 901L), (1L, 100L, 902L), (1L, 120L, 903L),
+      (2L, 11L, 904L)).toDF("k", "rt", "rid")
+    val out = Joins.asOfForward(left, right, Seq("k"), "t", "rt", "rid")
+      .collect().map(r => (r.getAs[String]("name"), Option(r.getAs[Any]("r_rid")))).toMap
+    assert(out("p1").contains(901L)) // rt=100 >= 100, tie → SMALLER rid
+    assert(out("p2").contains(901L)) // earliest at-or-after 50 is rt=100, smaller tie
+    assert(out("p3").isEmpty)        // nothing at or after t=12 for key 2
+  }
+
   test("typed secondarySort streams values in sorted order per group") {
     val ds = Seq((1, 30, "c"), (1, 10, "a"), (1, 20, "b"), (2, 5, "z")).toDS()
     val out = Sorts.secondarySort(ds, (t: (Int, Int, String)) => t._1, Seq(col("_2"))) {
