@@ -62,19 +62,24 @@ object Similarity {
   }
 
   /** Random-hyperplane sign signature (for cosine LSH): `planes` is a fixed
-    * Seq of unit-ish vectors; output = bit-packed sign pattern as long. */
+    * Seq of unit-ish vectors; output = bit-packed sign pattern as long.
+    * The input vector's length is CHECKED per row against the plane
+    * dimension: a vector shorter or longer than the planes raises a
+    * runtime error instead of silently signing a partial dot (VectorDot
+    * takes a min-length dot, so a ragged corpus would otherwise hash short
+    * rows by a truncated projection — different buckets than any oracle
+    * replay expects). Full-length vectors pay one `size()` comparison. */
   def rpSignature(vec: Column, planes: Seq[Array[Double]], dim: Int = -1): Column = {
     require(planes.nonEmpty && planes.size <= 63)
+    val planeDim = planes.head.length
+    require(planes.forall(_.length == planeDim),
+      "rpSignature: all hyperplanes must share one dimension")
     // Native VectorDot against a SINGLE array literal per plane: one
     // expression node each (a runtime loop in codegen — no planes x dim
     // unroll, so no janino method-size risk), identical left-to-right
     // double accumulation to the HOF fold it replaces, so for any
     // full-length vector every sign decision — hence every signature and
-    // every oracle replay — is unchanged. (A MALFORMED vector shorter
-    // than dim differs: the HOF fold nulled its dot — all-zero signature,
-    // short rows piling into one obvious bucket — while VectorDot takes a
-    // min-length partial dot; TestdataCompatSpec pins the corpus
-    // dimension so the case cannot arise silently.)
+    // every oracle replay — is unchanged.
     // The node-count matters beyond speed: a per-element
     // literal tree here (64 planes x 64 lit nodes + HOF machinery) made
     // every downstream analyzer/optimizer pass O(tree) — measured as
@@ -84,7 +89,12 @@ object Similarity {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       when(vec_dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    bits.reduce(_.bitwiseOR(_))
+    // CASE WHEN evaluates lazily, so conforming rows never touch the
+    // raise_error branch and the signature arithmetic is untouched.
+    when(size(vec) === lit(planeDim), bits.reduce(_.bitwiseOR(_)))
+      .otherwise(raise_error(concat(
+        lit(s"rpSignature: expected a $planeDim-dim vector, got length "),
+        size(vec).cast("string"))))
   }
 
   /** IVF(-flat) approximate top-k: the corpus is coarse-quantized into
