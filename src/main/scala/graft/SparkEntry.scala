@@ -967,7 +967,7 @@ object SparkEntry {
         |  FROM documents),
         |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
         |  FROM t WHERE len(toks) >= 8),
-        |g AS (SELECT doc_id, start, array_to_string(toks[start + 1 : start + 8], ' ') AS gram FROM idx),
+        |g AS (SELECT doc_id, start, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram FROM idx),
         |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
         |d AS (SELECT doc_id, start FROM g JOIN c USING (gram)),
         |m AS (SELECT doc_id, start, CASE WHEN lag(start) OVER w IS NULL
@@ -1022,7 +1022,7 @@ object SparkEntry {
         |  FROM documents),
         |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
         |  FROM t WHERE len(toks) >= 8),
-        |g AS (SELECT doc_id, start, array_to_string(toks[start + 1 : start + 8], ' ') AS gram FROM idx),
+        |g AS (SELECT doc_id, start, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram FROM idx),
         |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
         |d AS (SELECT doc_id, start FROM g JOIN c USING (gram)),
         |m AS (SELECT doc_id, start, CASE WHEN lag(start) OVER w IS NULL

@@ -324,7 +324,10 @@ object Dedup {
     * per node and only labels travel between rounds, so a 10⁸-member
     * component costs the same shuffle volume as 10⁸ singletons — nothing
     * component-shaped is ever materialized in one place. Each round's
-    * labels are `localCheckpoint`ed — MANDATORY, not an optimization: the
+    * labels are checkpointed (see [[truncate]]: RELIABLE checkpoint when
+    * the session configures a checkpoint dir — the cluster-deployment
+    * fault-tolerance path — executor-local otherwise) — MANDATORY, not an
+    * optimization: the
     * jump references the relaxed table twice, so without truncation the
     * logical plan doubles every round and plan traversal goes exponential
     * (measured: an 8-round run OOMs the driver building an explain
@@ -356,14 +359,47 @@ object Dedup {
                           maxIter: Int = 64): DataFrame =
     connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
 
+  /** Eager, plan-truncating checkpoint for the CC loop's reused frames.
+    * When the session has a RELIABLE checkpoint directory configured
+    * (`SparkContext.setCheckpointDir`), use it: checkpoint files live on
+    * the DFS and survive executor loss, so a cluster deployment keeps
+    * fault tolerance through the loop (set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` if the app
+    * outlives many builds). Otherwise `localCheckpoint`: faster (executor-
+    * local blocks, no DFS round-trip) but NON-REPLAYABLE — losing an
+    * executor mid-loop fails the query and a retry recomputes from source.
+    * That is the right default for the ≲40-round loops here on local or
+    * retry-tolerant jobs; a cluster job that cannot afford a query retry
+    * opts into durability by setting a checkpoint dir — no API change. */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** [[connectedComponents]] plus the number of label-propagation rounds the
     * build ran (including the final confirming round whose label sum was
     * unchanged) — the observable the O(log diameter) claim is measured by:
     * the soak bench pins rounds ≈ log₂(diameter) on a synthetic
     * million-node chain, turning the complexity argument into a number. */
+  /** `seed`, when given, WARM-STARTS the label propagation: a (node, lbl)
+    * frame whose labels replace the self-label start for the nodes it
+    * covers (uncovered nodes still start at themselves). Contract — for
+    * EXACTNESS, not just speed — each seeded `lbl` must be (a) ≤ its
+    * `node` and (b) the id of a node REACHABLE from `node` in the edge
+    * graph. Both invariants are what the convergence proof rests on
+    * (labels never increase, labels always name reachable nodes, so the
+    * fixpoint label is the component min); self-labels satisfy them
+    * trivially, and a prior component assignment whose clusters are
+    * star-edged into the graph satisfies them by construction (the star
+    * edge member→label makes the label reachable, min-labels are ≤ member
+    * ids). A seed violating the contract silently mislabels — hence the
+    * spec-gated warm==cold equality in DedupSimilaritySpec rather than a
+    * (corpus-sized) runtime check. Seeding near the fixpoint cuts rounds
+    * from O(log diameter) to the few needed to merge NEW structure —
+    * measured 6–10 → ~3 on the incremental maintenance folds. */
   def connectedComponentsWithRounds(edges: DataFrame, srcCol: String,
                                     dstCol: String,
-                                    maxIter: Int = 64): (DataFrame, Int) = {
+                                    maxIter: Int = 64,
+                                    seed: Option[DataFrame] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     Seq(srcCol, dstCol).foreach { c =>
       val dt = edges.schema(c).dataType
@@ -382,7 +418,7 @@ object Dedup {
       .persist(lvl)
     val nodes = real.select(col("s")).distinct()
     // Symmetrized + self-edge-seeded + deduped once; reused every round.
-    // localCheckpoint (not persist): a persisted frame still CARRIES the
+    // truncate, i.e. a checkpoint (not persist): a persisted frame still CARRIES the
     // upstream logical plan inside its InMemoryRelation, and every one of
     // the O(log) per-round actions re-runs analysis + optimization over
     // it — for an edge plan holding a large expression tree (the pruned
@@ -391,11 +427,21 @@ object Dedup {
     // folds). The checkpoint truncates the plan to a LogicalRDD leaf, so
     // every round plans over a two-column table no matter what produced
     // the edges.
-    val und = real.union(nodes.select(col("s"), col("s").as("d"))).distinct()
-      .localCheckpoint(true)
-    var labels = und.filter(col("s") === col("d"))
+    val und = truncate(
+      real.union(nodes.select(col("s"), col("s").as("d"))).distinct())
+    val selfStart = und.filter(col("s") === col("d"))
       .select(col("s").as("node"), col("s").as("lbl"))
-      .localCheckpoint(true)
+    var labels = truncate(seed match {
+      case None => selfStart
+      case Some(sd) =>
+        // warm start: prior labels where provided, self elsewhere — the
+        // seed is restricted to the graph's own node set so stray rows
+        // cannot inject labels for absent nodes
+        val s0 = sd.select(col("node").cast("long").as("node"),
+          col("lbl").cast("long").as("pl"))
+        selfStart.join(s0, Seq("node"), "left")
+          .select(col("node"), coalesce(col("pl"), col("lbl")).as("lbl"))
+    })
     real.unpersist() // und is materialized; the build cache is done
     // Deterministic release of a localCheckpoint's persisted blocks: the
     // checkpointed Dataset is backed by a LogicalRDD leaf whose RDD holds
@@ -418,10 +464,9 @@ object Dedup {
       // ids), so the lookup is total; left+coalesce guards the invariant.
       // The eager localCheckpoint both materializes the round and truncates
       // the otherwise per-round-doubling plan (relaxed appears twice).
-      val jumped = relaxed.join(
+      val jumped = truncate(relaxed.join(
           relaxed.select(col("node").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
-        .select(col("node"), coalesce(col("ll"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .select(col("node"), coalesce(col("ll"), col("lbl")).as("lbl")))
       val sum = jumped.agg(
           org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
@@ -462,12 +507,13 @@ object Dedup {
     * (corpus-sized, anti-join) runtime check. */
   def componentAssignments(universe: DataFrame, idCol: String,
                            edges: DataFrame, srcCol: String, dstCol: String,
-                           maxIter: Int = 64): DataFrame = {
+                           maxIter: Int = 64,
+                           seed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = universe.schema(idCol).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
       s"componentAssignments: id column '$idCol' must be integral, got $dt")
-    val cc = connectedComponents(edges, srcCol, dstCol, maxIter)
+    val cc = connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter, seed)._1
     val ids = universe.select(col(idCol).cast("long").as("id"))
     val assigned = ids
       .join(cc.select(col("node").as("id"), col("component")), Seq("id"), "left")
@@ -497,12 +543,25 @@ object Dedup {
     *
     * This is the 100 TB maintenance story: a daily batch pays
     * |batch| × candidate-bucket similarity plus CC over
-    * (|corpus| star edges + new pairs), instead of corpus × corpus. */
+    * (|corpus| star edges + new pairs), instead of corpus × corpus.
+    *
+    * `warmStart` (default on) seeds the label propagation from the prior
+    * assignment itself instead of self-labels — valid EXACTLY (not
+    * approximately) because the prior labels satisfy the seed contract of
+    * [[connectedComponentsWithRounds]] under this method's own input
+    * contract: each prior label is the min of its old cluster, hence
+    * ≤ the member id, and the star edge (member → label) this method adds
+    * makes it reachable by construction. The fold then converges in the
+    * few rounds needed to merge NEW bridges (label distance already 0
+    * inside unchanged old clusters) instead of re-walking every old
+    * cluster's diameter — warm==cold equality is spec-gated in
+    * DedupSimilaritySpec alongside the incremental==full gate. */
   def incrementalComponentAssignments(assignment: DataFrame,
                                       newUniverse: DataFrame, idCol: String,
                                       newEdges: DataFrame, srcCol: String,
                                       dstCol: String,
-                                      maxIter: Int = 64): DataFrame = {
+                                      maxIter: Int = 64,
+                                      warmStart: Boolean = true): DataFrame = {
     val star = assignment
       .select(col("id").cast("long").as("s"), col("cluster_id").cast("long").as("d"))
     val fresh = newEdges
@@ -510,7 +569,13 @@ object Dedup {
     val universe = assignment.select(col("id").cast("long").as("id"))
       .unionByName(newUniverse.select(col(idCol).cast("long").as("id")))
       .distinct()
-    componentAssignments(universe, "id", star.unionByName(fresh), "s", "d", maxIter)
+    val seed =
+      if (warmStart)
+        Some(assignment.select(col("id").cast("long").as("node"),
+          col("cluster_id").cast("long").as("lbl")))
+      else None
+    componentAssignments(universe, "id", star.unionByName(fresh), "s", "d",
+      maxIter, seed)
   }
 
   /** Exact SUBSTRING (span-level) dedup — the within-document member of
@@ -526,7 +591,8 @@ object Dedup {
     *
     * Scale shape: the window enumeration is shuffle-free (per-row
     * sequence explode, the chunker's shape); corpus-wide gram counts are
-    * ONE groupBy on the joined-token string (map-side combined) + one
+    * ONE groupBy on the gram's md5 DIGEST (map-side combined; see
+    * [[windowStarts]] — the raw n-token string never shuffles) + one
     * join back — and unlike PAIR generation, that join is LINEAR in
     * window starts (each start matches its own gram's one distinct-dup
     * row, never the other occurrences), so a boilerplate gram with 10^6
@@ -552,21 +618,44 @@ object Dedup {
     * (id, n_tokens, n_dup_starts, n_spans, n_covered, clean_toks). */
   def removeDuplicateSpansOfTokens(docs: DataFrame, idCol: String,
                                    toksCol: String, n: Int): DataFrame = {
-    require(n >= 2, "span length must be at least 2 tokens")
-    import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("id"), col(toksCol).as("toks"))
-    // every n-token window, joined with ' ' (tokens cannot contain
-    // whitespace, so the join is unambiguous — no digest needed)
-    val starts = base.select(col("id"),
+    val starts = windowStarts(base, n)
+    val dupGrams = starts.groupBy("gram_md5").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gram_md5")
+    val dupStarts = starts.join(dupGrams, Seq("gram_md5")).select("id", "start")
+    spanOutput(base, dupStarts, n)
+  }
+
+  /** Every n-token window start of (id, toks): one row (id, start,
+    * gram_md5) per position 0..len−n. The gram travels as its md5 DIGEST,
+    * never the raw joined string: both corpus-wide movements of this
+    * column — the gram-count groupBy's exchange and the join back onto
+    * starts — carry a fixed 32-hex key instead of an ~n-token string
+    * (~3–5× less shuffle payload at n = 8 for any corpus). Joining tokens
+    * with ' ' keeps gram identity unambiguous (tokens cannot contain
+    * whitespace), and md5's 128 bits make a colliding pair vanishingly
+    * improbable at any realistic gram count (birthday bound ~2⁻³⁸ even at
+    * 10¹⁵ grams); the DuckDB oracles replay md5 natively. */
+  private def windowStarts(base: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    base.select(col("id"),
         explode(when(size(col("toks")) >= n,
             sequence(lit(0), size(col("toks")) - n))
           .otherwise(array().cast("array<int>"))).as("start"),
         col("toks"))
       .select(col("id"), col("start"),
-        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(n))).as("gram"))
-    val dupGrams = starts.groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("gram")
-    val dupStarts = starts.join(dupGrams, Seq("gram")).select("id", "start")
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(n))))
+          .as("gram_md5"))
+  }
+
+  /** Shared back half of the span-dedup family: merge covered window
+    * starts into maximal spans (per-document window, bounded by doc
+    * length — fixed-length intervals make "new span iff start >
+    * prev + n − 1" exact) and rebuild each doc's cleaned token stream in
+    * one codegen'd projection. */
+  private def spanOutput(base: DataFrame, dupStarts: DataFrame,
+                         n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("start")
     val spans = dupStarts
       .withColumn("ng", when(lag(col("start"), 1).over(w).isNull ||
@@ -589,6 +678,76 @@ object Dedup {
           !coalesce(exists(col("spans"), sp =>
             i >= sp.getField("s") && i < sp.getField("e")), lit(false)))
           .as("clean_toks"))
+  }
+
+  /** Corpus gram-count state for the INCREMENTAL span-dedup path:
+    * (gram_md5, cnt) over every `n`-token window of `docs` — the
+    * accumulated table a continuously-ingested pipeline maintains beside
+    * its corpus. Counts from successive batches merge by plain summation
+    * (`union.groupBy(gram_md5).sum(cnt)`), so the table is mergeable
+    * monoid state: one map-side-combined groupBy per batch, never a
+    * corpus recount. */
+  def spanGramCounts(docs: DataFrame, idCol: String, toksCol: String,
+                     n: Int): DataFrame =
+    windowStarts(docs.select(col(idCol).as("id"), col(toksCol).as("toks")), n)
+      .groupBy("gram_md5").agg(count(lit(1)).as("cnt"))
+
+  /** Cross-batch (incremental) exact-substring dedup —
+    * [[removeDuplicateSpans]] for a continuously ingested corpus: a window
+    * start in `batch` is covered iff its gram occurs MORE THAN ONCE across
+    * batch ∪ corpus, where the corpus side enters as its accumulated
+    * [[spanGramCounts]] table rather than being re-scanned. EXACTLY equals
+    * the full recompute over (batch ∪ corpus) restricted to the batch's
+    * docs, for ANY split: covered-ness of a start depends only on the
+    * TOTAL count of its gram, and that total splits as
+    * batch count + corpus count (spec-gated in DedupSimilaritySpec).
+    *
+    * Scale shape per batch: the batch's own gram counts are one map-side-
+    * combined groupBy; a broadcast Bloom over the corpus gram table (the
+    * [[novelAgainst]] pattern) then prefilters the corpus join — a gram
+    * occurring once in the batch and DEFINITELY absent from the corpus is
+    * proven unique without shuffling toward the corpus table, so a
+    * mostly-novel daily batch pays ~|batch| local work plus an exact semi
+    * join sized by fpp·|batch grams| + true cross-batch dups — never
+    * |corpus|. (The Bloom build itself scans the gram table once per
+    * call; a long-running service should build it once per corpus
+    * generation and use the prebuilt-filter overload.) The result is
+    * EXACT either way — the Bloom only ever skips work, never decides
+    * dup-ness (false positives fall through to the exact join). */
+  def removeDuplicateSpansIncrementalOfTokens(batch: DataFrame, idCol: String,
+                                              toksCol: String, n: Int,
+                                              corpusGrams: DataFrame,
+                                              expectedCorpusGrams: Long,
+                                              fpp: Double = 0.01): DataFrame = {
+    val bf = corpusGrams.select(col("gram_md5"))
+      .stat.bloomFilter("gram_md5", math.max(1L, expectedCorpusGrams), fpp)
+    removeDuplicateSpansIncrementalOfTokens(batch, idCol, toksCol, n,
+      corpusGrams, bf)
+  }
+
+  /** [[removeDuplicateSpansIncrementalOfTokens]] with a PREBUILT Bloom
+    * filter over the corpus gram digests — the service form (build the
+    * filter once per corpus generation, reuse across batches). */
+  def removeDuplicateSpansIncrementalOfTokens(batch: DataFrame, idCol: String,
+                                              toksCol: String, n: Int,
+                                              corpusGrams: DataFrame,
+                                              corpusBloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val base = batch.select(col(idCol).as("id"), col(toksCol).as("toks"))
+    val starts = windowStarts(base, n)
+    val batchCnt = starts.groupBy("gram_md5").agg(count(lit(1)).as("cnt"))
+    // ≥2 in the batch alone: duplicated regardless of the corpus
+    val dupInBatch = batchCnt.filter(col("cnt") > 1).select("gram_md5")
+    // exactly 1 in the batch: duplicated iff the corpus has it — Bloom
+    // prefilter (definite-miss ⇒ provably unique), exact semi join for
+    // the possible hits
+    val mightContain = udf((s: String) =>
+      s != null && corpusBloom.mightContainString(s))
+    val viaCorpus = batchCnt.filter(col("cnt") === 1)
+      .filter(mightContain(col("gram_md5")))
+      .join(corpusGrams.select("gram_md5"), Seq("gram_md5"), "left_semi")
+    val dupGrams = dupInBatch.unionByName(viaCorpus.select("gram_md5"))
+    val dupStarts = starts.join(dupGrams, Seq("gram_md5")).select("id", "start")
+    spanOutput(base, dupStarts, n)
   }
 
   /** Incremental dedup: rows of `batch` whose `key` does not appear in

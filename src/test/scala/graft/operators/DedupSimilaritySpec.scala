@@ -244,6 +244,114 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(6L)._2 == 1L && out(6L)._4 == 8L) // its shared prefix window
   }
 
+  test("span dedup shuffles the gram digest, never the raw gram string") {
+    // The corpus-wide movements of the gram column (count groupBy + join
+    // back) must exchange the fixed 32-hex md5, not the ~n-token string:
+    // after optimization NO node in the plan may output a raw `gram`
+    // attribute, and the digest must be the attribute the dup-gram
+    // aggregation and join carry (≈3-5x less shuffle payload at n=8).
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h j"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 8)
+    val attrs = out.queryExecution.optimizedPlan
+      .collect { case p => p.output.map(_.name) }.flatten.toSet
+    assert(attrs.contains("gram_md5"),
+      s"expected the gram digest attribute in the plan, got $attrs")
+    assert(!attrs.contains("gram"),
+      "raw gram string attribute survived optimization — the exchanges " +
+        "would shuffle the full n-token string")
+  }
+
+  test("incremental span dedup == full recompute over batch ∪ corpus restricted to batch") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ") // gram shared batch<->corpus
+    val b = (1 to 8).map(i => s"b$i").mkString(" ") // gram duplicated INSIDE the batch
+    val corpus = Seq(
+      (1L, s"old text $a more old text"),
+      (2L, "completely unrelated corpus content here okay then")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"x $a y"),            // covered only VIA THE CORPUS (batch count 1)
+      (11L, s"$b p q"),            // covered via the batch's own other doc
+      (12L, s"r s $b"),
+      (13L, "wholly novel tokens never seen in either side at all")) // bloom definite-miss path
+      .toDF("doc_id", "text")
+    import graft.functions.TextFunctions.tokens
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id").as("id"), tokens(col("text")).as("toks"))
+    def key(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id"), col("n_tokens"), col("n_dup_starts"), col("n_spans"),
+        col("n_covered"), concat_ws(" ", col("clean_toks")).as("clean"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    val full = key(Dedup.removeDuplicateSpansOfTokens(
+        toks(corpus.unionByName(batch)), "id", "toks", n = 8)
+      .filter(col("id") >= 10L))
+    val grams = Dedup.spanGramCounts(toks(corpus), "id", "toks", n = 8)
+    val incr = key(Dedup.removeDuplicateSpansIncrementalOfTokens(
+      toks(batch), "id", "toks", n = 8, grams,
+      expectedCorpusGrams = 100L))
+    assert(incr == full, s"incremental diverged:\n$incr\nvs full:\n$full")
+    // the crafted rows did exercise all three paths
+    val byId = incr.map(t => t._1 -> t._4).toMap
+    assert(byId(10L) == 1L && byId(11L) == 1L && byId(13L) == 0L)
+  }
+
+  test("warm-started CC from a prior assignment equals cold start with no extra rounds") {
+    // the incremental-fold shape: star edges from a prior assignment plus
+    // new-batch pairs that bridge two old clusters through a chain of new
+    // nodes — the case where labels must travel farthest
+    val star = ((1L to 15L).map(i => (i, 0L)) ++ (17L to 31L).map(i => (i, 16L)))
+      .toDF("s", "d")
+    val fresh = ((32L to 39L).map(i => (i, i + 1)) ++ Seq((15L, 32L), (40L, 31L)))
+      .toDF("s", "d")
+    val edges = star.unionByName(fresh)
+    val seed = ((0L to 15L).map(i => (i, 0L)) ++ (16L to 31L).map(i => (i, 16L)))
+      .toDF("node", "lbl")
+    val (coldDf, coldRounds) =
+      Dedup.connectedComponentsWithRounds(edges, "s", "d")
+    val cold = coldDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (warmDf, warmRounds) =
+      Dedup.connectedComponentsWithRounds(edges, "s", "d", seed = Some(seed))
+    val warm = warmDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(warm == cold, "warm-started labels diverged from cold start")
+    assert(cold.forall(_._2 == 0L), "everything bridges into component 0")
+    assert(warmRounds <= coldRounds,
+      s"warm start took MORE rounds ($warmRounds) than cold ($coldRounds)")
+  }
+
+  test("incrementalComponentAssignments: warmStart=false equals the default warm path") {
+    val oldEdges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val prior = Dedup.componentAssignments((0L to 9L).toDF("id"), "id",
+      oldEdges, "a", "b")
+    val newEdges = Seq((2L, 10L), (6L, 10L), (9L, 12L)).toDF("a", "b")
+    val newU = (10L to 12L).toDF("id")
+    def rows(warm: Boolean) = Dedup.incrementalComponentAssignments(prior,
+        newU, "id", newEdges, "a", "b", warmStart = warm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows(warm = true) == rows(warm = false))
+  }
+
+  test("CC truncation uses the RELIABLE checkpoint path when a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_chk").toString
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite session unexpectedly has a checkpoint dir")
+    sc.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("s", "d")
+      val got = Dedup.connectedComponents(edges, "s", "d")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+      // the durable path actually wrote checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written despite configured dir")
+    } finally {
+      // SparkContext has no unset API; empty string disables the dir again
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+    }
+  }
+
   test("ngramJaccardPairs df-cap keeps a stop-shingle corpus near-linear") {
     // 40 docs, pairwise-disjoint content except ONE ubiquitous shingle
     // ("the same") present in every doc. Uncapped, that shingle alone fans
