@@ -727,8 +727,14 @@ object Bench {
               lit(2L)) === 1L, lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
         val root = java.nio.file.Files.createTempDirectory("soak_svc").toString
         val (stateDir, corpusDir) = (s"$root/state", s"$root/corpus")
+        // compactEvery=1: consolidate the corpus on EVERY fold — the
+        // tightest cadence, so this soak also pins the corpus-dir bound
+        // (the service must end on one generation + the last batch dir,
+        // never an unbounded b= accumulation) while the straddled-cluster
+        // structure check proves compaction lost no corpus rows
         val cfg = graft.jobs.ClusterMaintenance.Config(threshold = 0.95,
-          numPlanes = 18, dim = 20, probeRadius = 0, numTables = 2)
+          numPlanes = 18, dim = 20, probeRadius = 0, numTables = 2,
+          compactEvery = 1)
         val t0 = System.nanoTime()
         (0 until 3).foreach { w =>
           val lo = n * w / 3
@@ -751,6 +757,11 @@ object Bench {
           .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
         require(versions == Seq("v=1", "v=2"),
           s"service soak: retention left $versions, expected [v=1, v=2]")
+        val cdirs = new java.io.File(corpusDir).listFiles()
+          .map(_.getName).filter(n => n.startsWith("b=") || n.startsWith("gen="))
+          .sorted.toSeq
+        require(cdirs == Seq("b=2", "gen=1"),
+          s"service soak: corpus compaction left $cdirs, expected [b=2, gen=1]")
         sec
       }
       soakLeg("soak_pack_10m", slowSec = 16.0) { () =>

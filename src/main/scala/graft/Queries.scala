@@ -1694,10 +1694,28 @@ object Queries {
 
   /** Collision-free stage key for a testdata dir: full-width md5, NOT
     * String.hashCode — two dirs with colliding 32-bit hashes must never
-    * silently share a staged build. */
-  private def dirKey(dir: String): String =
+    * silently share a staged build. The digest folds in a cheap DATA
+    * fingerprint (every file's relative path, length, and mtime, two
+    * levels deep — local listing, no file reads), so regenerating the
+    * testdata under the same path in-process invalidates the key instead
+    * of silently serving a staged build of the old data. The staleness
+    * contract that remains: an EXTERNALLY deleted scratch dir during a
+    * run still breaks consumers (acceptable for the bench/verify harness —
+    * nothing else writes scratch). */
+  private def dirKey(dir: String): String = {
+    val root = new java.io.File(dir)
+    val level1 = Option(root.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+    val entries = level1.flatMap { f =>
+      val self = Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      if (f.isDirectory)
+        self ++ Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${f.getName}/${c.getName}:${c.length}:${c.lastModified}")
+      else self
+    }
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest((dir + "\n" + entries.mkString("\n")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
 
   /** The q93 exhaustive-config assignment, staged once per process —
     * the shared upstream of q95 and q99. */
@@ -1901,12 +1919,14 @@ object Queries {
     val embSchema = emb.schema
     // the per-batch fold is the LIBRARY service (jobs.ClusterMaintenance):
     // this harness contributes only the file-source plumbing and the
-    // kill/restart choreography. (The per-batch corpus dirs the service
-    // accumulates are NOT garbage — they are the corpus every future
-    // batch probes; compacting many small b= dirs into consolidated
-    // generations is an offline `tools.Compact`-style cadence.)
+    // kill/restart choreography. compactEvery=2 makes the THIRD fold run
+    // the corpus-compaction path (b=0,b=1 → gen=1) under this query's
+    // oracle — the final assignment must still equal the batch pruned
+    // build, so a compaction that dropped or duplicated corpus rows
+    // hash-fails here, not just in the spec.
     val mcfg = jobs.ClusterMaintenance.Config(threshold = 0.35,
-      numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16)
+      numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16,
+      compactEvery = 2)
     def start() = ss.readStream.schema(embSchema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream.option("checkpointLocation", chk)

@@ -1,6 +1,7 @@
 package graft.jobs
 
 import graft.operators.{Dedup, Similarity}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,10 +11,22 @@ import org.apache.spark.sql.functions._
   *
   * State layout (all plain parquet — restartable from nothing but the
   * directories):
-  *  - `stateDir/v=N`  — the full-coverage assignment after batch N
+  *  - `stateDir/v=N`    — the full-coverage assignment after batch N
   *    (id, cluster_id, cluster_size, is_canonical);
-  *  - `corpusDir/b=N` — batch N's vectors (the accumulated corpus every
-  *    later batch probes).
+  *  - `corpusDir/b=N`   — batch N's vectors;
+  *  - `corpusDir/gen=G` — a COMPACTED consolidation of batches 0..G
+  *    (written every `Config.compactEvery` folds), so the accumulated
+  *    corpus every batch probes is read as ONE generation dir plus the
+  *    few batch dirs after it — per-fold listing and small-file overhead
+  *    stay bounded by `compactEvery` at any stream length, instead of
+  *    growing linearly with batch count.
+  *
+  * Commit protocol: a state version or generation dir is COMMITTED iff it
+  * contains the `_SUCCESS` marker Spark's file committer writes last — a
+  * crash mid-overwrite leaves a torn dir that every reader (the next
+  * fold, [[latestAssignment]], a standalone batch job) skips in favor of
+  * the previous committed one; the replayed fold then overwrites the torn
+  * dir in place.
   *
   * Contracts:
   *  - batches carry APPEND-ONLY ids (every id in batch N greater than all
@@ -23,7 +36,12 @@ import org.apache.spark.sql.functions._
   *  - [[foldBatch]] is IDEMPOTENT per (batchId, batch content): every
   *    write is a keyed overwrite, so a replay after a mid-fold crash
   *    rewrites the same state — exactly-once for a foreachBatch caller
-  *    without any sink-side transaction;
+  *    without any sink-side transaction. Compaction keeps the invariant:
+  *    `gen=G` only ever covers batches ≤ G < current batchId, so a replay
+  *    of fold N never reads its own batch back as corpus, and a crash
+  *    between the generation commit and the batch-dir deletes only leaves
+  *    stale `b=` dirs that every reader already ignores (they are ≤ the
+  *    committed generation) and the next compaction deletes;
   *  - state retention: a replay reads only v=N-1, so versions ≤ N-2 are
   *    deleted as each fold commits — the long-running service holds two
   *    assignment versions at any stream length.
@@ -31,18 +49,28 @@ import org.apache.spark.sql.functions._
   * Scale shape per fold: |batch| x bucket-candidate similarity
   * ([[Similarity.cosineNearDupPairsAgainst]], the pruned multi-table LSH
   * probe — never corpus x corpus) plus connected components over
-  * (corpus star edges + new pairs).
+  * (corpus star edges + new pairs), warm-started from the prior
+  * assignment (see [[Dedup.incrementalComponentAssignments]] — label
+  * distance is already 0 inside unchanged clusters, so rounds track the
+  * NEW structure, not the corpus diameter).
   */
 object ClusterMaintenance {
 
+  /** `numTables = 16` matches the configuration every gated oracle
+    * certifies (q103/q104 and the service soak) — a caller accepting the
+    * defaults gets exactly the recall the correctness gates measure.
+    * `compactEvery = 8`: consolidate the corpus once the latest committed
+    * generation trails the fold by this many batch dirs (≤ 0 disables). */
   final case class Config(threshold: Double = 0.35, numPlanes: Int = 4,
                           dim: Int = 64, probeRadius: Int = 1,
-                          numTables: Int = 8)
+                          numTables: Int = 16, compactEvery: Int = 8)
 
   /** Fold one ingest batch — (idCol: integral, vecCol: array<float>) —
-    * into the versioned state. Reads `stateDir/v=${batchId-1}` and
-    * `corpusDir/b=0..batchId-1`; writes `stateDir/v=$batchId` and
-    * `corpusDir/b=$batchId`; deletes `stateDir/v=${batchId-2}`. */
+    * into the versioned state. Reads `stateDir/v=${batchId-1}` and the
+    * accumulated corpus (latest committed generation + later batch dirs);
+    * writes `stateDir/v=$batchId` and `corpusDir/b=$batchId`; deletes
+    * `stateDir/v=${batchId-2}`; compacts the corpus when the generation
+    * lag reaches `cfg.compactEvery`. */
   def foldBatch(batch: DataFrame, batchId: Long,
                 stateDir: String, corpusDir: String,
                 idCol: String, vecCol: String,
@@ -52,10 +80,16 @@ object ClusterMaintenance {
     val b = b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sess = b.sparkSession
+      val hconf = sess.sparkContext.hadoopConfiguration
+      val cpath = new Path(corpusDir)
+      val fs = cpath.getFileSystem(hconf)
+      val gen = latestGeneration(fs, cpath, maxGen = batchId - 1)
+      val corpusParts =
+        gen.map(g => s"$corpusDir/gen=$g").toSeq ++
+          ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$corpusDir/b=$i")
       val corpus =
-        if (batchId == 0) b.limit(0)
-        else sess.read.schema(b.schema)
-          .parquet((0L until batchId).map(i => s"$corpusDir/b=$i"): _*)
+        if (corpusParts.isEmpty) b.limit(0)
+        else sess.read.schema(b.schema).parquet(corpusParts: _*)
       val prior =
         if (batchId == 0)
           b.limit(0).select(col("vec_id").as("id"),
@@ -70,22 +104,66 @@ object ClusterMaintenance {
       next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
       b.write.mode("overwrite").parquet(s"$corpusDir/b=$batchId")
       if (batchId >= 2) {
-        val p = new org.apache.hadoop.fs.Path(s"$stateDir/v=${batchId - 2}")
-        p.getFileSystem(sess.sparkContext.hadoopConfiguration).delete(p, true)
+        val p = new Path(s"$stateDir/v=${batchId - 2}")
+        p.getFileSystem(hconf).delete(p, true)
         ()
+      }
+      // Compact AFTER the fold's own commits, consolidating exactly the
+      // corpus this fold just read (batches 0..batchId-1 — never b=batchId,
+      // so a replay of THIS fold still finds a generation ≤ batchId-1 and
+      // reads a corpus that excludes its own batch). The write re-reads the
+      // same paths once — one extra corpus read+write per compactEvery
+      // folds, amortized O(1/compactEvery) per fold.
+      if (cfg.compactEvery > 0 &&
+          (batchId - 1) - gen.getOrElse(-1L) >= cfg.compactEvery) {
+        val newGen = batchId - 1
+        corpus.write.mode("overwrite").parquet(s"$corpusDir/gen=$newGen")
+        val stale = fs.listStatus(cpath).map(_.getPath.getName).filter { nm =>
+          (nm.startsWith("b=") && nm.drop(2).toLong <= newGen) ||
+            (nm.startsWith("gen=") && nm.drop(4).toLong < newGen)
+        }
+        stale.foreach(nm => fs.delete(new Path(s"$corpusDir/$nm"), true))
       }
     } finally b.unpersist(false)
     ()
   }
 
-  /** The latest committed assignment version under `stateDir` (bounded
-    * directory listing — at most the retained two versions exist). */
+  /** Latest COMMITTED generation ≤ `maxGen` under the corpus dir: a
+    * `gen=G` dir counts only with its `_SUCCESS` marker (a torn dir from
+    * a crash mid-compaction is invisible — readers fall back to the
+    * previous generation plus the still-present batch dirs). */
+  private def latestGeneration(fs: FileSystem, corpusDir: Path,
+                               maxGen: Long): Option[Long] = {
+    if (!fs.exists(corpusDir)) return None
+    val gens = fs.listStatus(corpusDir).map(_.getPath)
+      .filter(_.getName.startsWith("gen="))
+      .flatMap { p =>
+        val g = p.getName.drop(4).toLong
+        if (g <= maxGen && fs.exists(new Path(p, "_SUCCESS"))) Some(g) else None
+      }
+    if (gens.isEmpty) None else Some(gens.max)
+  }
+
+  /** The latest COMMITTED assignment version under `stateDir` (bounded
+    * directory listing — at most the retained two versions plus possibly
+    * one torn overwrite exist). Versions without a `_SUCCESS` marker are
+    * skipped: a crash mid-overwrite of v=N must resolve to v=N-1, not a
+    * torn parquet dir. An empty or never-committed state dir raises a
+    * clear error instead of an opaque empty-collection failure. */
   def latestAssignment(spark: SparkSession, stateDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val latest = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .listStatus(p)
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.drop(2).toLong).max
-    spark.read.parquet(s"$stateDir/v=$latest")
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(p)) Array.empty[Long]
+      else fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith("v="))
+        .flatMap { vp =>
+          if (fs.exists(new Path(vp, "_SUCCESS"))) Some(vp.getName.drop(2).toLong)
+          else None
+        }
+    require(committed.nonEmpty,
+      s"ClusterMaintenance: no committed assignment version under $stateDir " +
+        "(the service has not completed any fold — or the dir is wrong)")
+    spark.read.parquet(s"$stateDir/v=${committed.max}")
   }
 }

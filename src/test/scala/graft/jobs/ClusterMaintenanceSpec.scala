@@ -42,4 +42,59 @@ class ClusterMaintenanceSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
     assert(versions == Seq("v=1", "v=2"), s"unexpected versions: $versions")
   }
+
+  test("corpus compaction mid-sequence changes nothing and bounds the dir count") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 120)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16, compactEvery = 2)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_cpt").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 6).foreach { w =>
+      ClusterMaintenance.foldBatch(batch(w), w.toLong, state, corpus,
+        "vec_id", "embedding", cfg)
+    }
+    val got = rows(ClusterMaintenance.latestAssignment(spark, state))
+    val full = rows(Dedup.componentAssignments(
+      emb.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(got == full,
+      s"compacted service diverged from the full build (${got.size} vs ${full.size})")
+    // compactEvery=2 over 6 folds: gen=1 at fold 2 (superseded), gen=3 at
+    // fold 4; folds 5 leaves b=4,b=5 pending — bounded by compactEvery+1
+    // dirs total, never the 6 b= dirs an uncompacted service accumulates
+    val cdirs = new java.io.File(corpus).listFiles()
+      .map(_.getName).filter(n => n.startsWith("b=") || n.startsWith("gen=")).sorted.toSeq
+    assert(cdirs == Seq("b=4", "b=5", "gen=3"), s"unexpected corpus dirs: $cdirs")
+  }
+
+  test("latestAssignment skips torn (uncommitted) versions and errors clearly on empty state") {
+    val root = java.nio.file.Files.createTempDirectory("cmaint_torn").toString
+    val state = s"$root/state"
+    // empty state dir: a service restart before any fold commits must get
+    // a clear error, not an empty-collection UnsupportedOperationException
+    new java.io.File(state).mkdirs()
+    val err = intercept[IllegalArgumentException] {
+      ClusterMaintenance.latestAssignment(spark, state)
+    }
+    assert(err.getMessage.contains("no committed assignment version"))
+    // one committed version + one TORN overwrite (dir without _SUCCESS —
+    // the crash-mid-write shape): the reader must resolve to the committed one
+    import spark.implicits._
+    Seq((1L, 1L, 2L, 1), (2L, 1L, 2L, 0))
+      .toDF("id", "cluster_id", "cluster_size", "is_canonical")
+      .write.parquet(s"$state/v=0")
+    val torn = new java.io.File(s"$state/v=1")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$state/v=1/part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // garbage a parquet reader would choke on
+    val got = ClusterMaintenance.latestAssignment(spark, state)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), "latestAssignment read a torn version")
+  }
 }
