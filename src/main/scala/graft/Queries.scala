@@ -2309,4 +2309,78 @@ object Queries {
         round(col("n_docs").cast("double") / col("n_total"), 6).as("corpus_frac"))
       .orderBy("cluster_size")
   }
+
+  /** Incremental (cross-batch) span dedup (q113): q109's exact-substring
+    * dedup in its production shape for a continuously ingested corpus.
+    * The low-id 80% of documents is "yesterday's" accumulated corpus,
+    * present only as its [[Dedup.spanGramCounts]] gram-count table (the
+    * mergeable state a service persists beside the corpus); the high-id
+    * 20% arrives as today's batch and is span-deduped against
+    * batch ∪ corpus without re-scanning corpus text —
+    * [[Dedup.removeDuplicateSpansIncrementalOfTokens]], whose Bloom
+    * prefilter proves mostly-novel grams unique without shuffling toward
+    * the gram table. The oracle replays the FULL recompute over all
+    * documents restricted to batch ids — exactly what the incremental
+    * path must equal (the split identity: covered-ness depends only on a
+    * gram's total count, which splits as batch + corpus). Both dup paths
+    * are data-exercised at the gate SFs: grams duplicated within the
+    * batch alone AND batch-unique grams covered only via the corpus
+    * (measured 88/386 grams at sf0.001, 76/299 at sf0.01). */
+  def incrementalSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val h = maxId * 4 / 5 // bounded scalar read; oracle derives the same split
+    def toks(d: DataFrame) = d.select(col("doc_id").cast("long").as("doc_id"),
+      functions.TextFunctions.tokens(col("text")).as("toks"))
+    val corpus = toks(docs.filter(col("doc_id") < h))
+    val batch = toks(docs.filter(col("doc_id") >= h))
+    val grams = Dedup.spanGramCounts(corpus, "doc_id", "toks", n = 8)
+    // Bloom sizing: token count bounds gram count from above (one gram per
+    // window start, at most one start per token) — a bounded scalar read
+    val expected = corpus.agg(sum(size(col("toks"))).cast("long")).head().getLong(0)
+    Dedup.removeDuplicateSpansIncrementalOfTokens(batch, "doc_id", "toks",
+        n = 8, grams, expectedCorpusGrams = expected)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
+        col("n_spans"), col("n_covered"),
+        md5(to_binary(concat_ws(" ", col("clean_toks")), lit("utf-8")))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Hybrid fusion of two OVERLAPPING retrievers (q114): q108's RRF gate
+    * covers the rank-interleave of (on this testdata) disjoint dense and
+    * sparse lists; this query gates the AGREEMENT path — the summed-rank
+    * arithmetic for documents both retrievers return — by fusing two
+    * rankings of the SAME signal at different precisions: full-precision
+    * brute-force cosine top-5 (the q31 declared ground-truth tier) and
+    * int8-quantized cosine top-5 (the q63 tier). Quantization preserves
+    * most of the ranking (measured overlap 47/50 fused rows at sf0.001,
+    * 50/50 at sf0.01 — RelevanceStatsSpec pins overlap > 0), so nearly
+    * every output row sums contributions from BOTH lists, and the few
+    * disagreement rows exercise the one-list fallback beside them. The
+    * oracle replays both retrievers (the q31 cosine CTE + the q63
+    * quantization CTEs) and the RRF sum. Query set % 50 == 13, disjoint
+    * from every other ANN query. */
+  def hybridQuantFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") % 50 === 13)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val full = Similarity.cosineTopK(emb, "vec_id", "embedding", queries,
+        "qid", "qvec", k = 5, dim = 64)
+      .select(col("qid"), col("id"), col("rank"))
+    val qemb = emb.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).as("qv"))
+    val qqueries = qemb.filter(col("vec_id") % 50 === 13)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val quant = Similarity.cosineTopK(qemb, "vec_id", "qv", qqueries,
+        "qid", "qvec", k = 5, dim = 64)
+      .select(col("qid"), col("id"), col("rank"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id"))
+    Relevance.rrfFuse(Seq(full, quant), k0 = 60)
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("id"), col("rrf"))
+      .orderBy("qid", "rank")
+  }
 }

@@ -592,7 +592,9 @@ object SparkEntry {
     "q109_span_dedup" -> Queries.spanDedup _,
     "q110_pmi_collocations" -> Queries.pmiCollocations _,
     "q111_span_dedup_chunks" -> Queries.spanDedupChunks _,
-    "q112_asof_forward" -> Queries.asofClickNextPurchase _
+    "q112_asof_forward" -> Queries.asofClickNextPurchase _,
+    "q113_incr_span_dedup" -> Queries.incrementalSpanDedup _,
+    "q114_hybrid_quant_fusion" -> Queries.hybridQuantFusion _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1856,6 +1858,75 @@ object SparkEntry {
         |array_to_string([CAST((((i // 9) * 3 + (i // 9) // 3 + (i % 9) + pid) % 9) + 1 AS VARCHAR)
         |  for i in range(0, 81)], '') AS solution,
         |CAST(1 AS BIGINT) AS n_solutions
-        |FROM range(0, 10) t(pid) ORDER BY puzzle_id""".stripMargin
+        |FROM range(0, 10) t(pid) ORDER BY puzzle_id""".stripMargin,
+    // q113: the q109 span CTE stack re-derived over ALL documents (batch ∪
+    // corpus — gram counts split by document id nowhere in the arithmetic,
+    // which is exactly the identity the incremental operator rests on),
+    // restricted at the end to the batch's docs. The 80/20 split threshold
+    // is derived in SQL with the same integer floor as the Spark side.
+    "q113_incr_span_dedup" ->
+      """WITH h AS (SELECT (max(doc_id) * 4) // 5 AS h FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, start, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram FROM idx),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |d AS (SELECT doc_id, start FROM g JOIN c USING (gram)),
+        |m AS (SELECT doc_id, start, CASE WHEN lag(start) OVER w IS NULL
+        |    OR start > lag(start) OVER w + 7 THEN 1 ELSE 0 END AS ng
+        |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        |mg AS (SELECT doc_id, start,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY start) AS grp FROM m),
+        |sp AS (SELECT doc_id, grp, min(start) AS s, max(start) + 8 AS e,
+        |    count(*) AS n_starts FROM mg GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_covered,
+        |    CAST(sum(n_starts) AS BIGINT) AS n_dup_starts
+        |  FROM sp GROUP BY doc_id),
+        |posn AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+        |keep AS (SELECT p.doc_id, p.i, p.toks[p.i] AS tok FROM posn p
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = p.doc_id AND p.i - 1 >= sp.s AND p.i - 1 < sp.e)),
+        |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_dup_starts, 0) AS n_dup_starts,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_covered, 0) AS n_covered,
+        |  md5(coalesce(ct.clean, '')) AS clean_md5
+        |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)
+        |CROSS JOIN h WHERE t.doc_id >= h.h
+        |ORDER BY t.doc_id""".stripMargin,
+    // q114: both retrievers replayed — full-precision brute-force cosine
+    // top-5 (the q31 CTE) and int8-quantized cosine top-5 (the q63
+    // quantization CTEs) — then the RRF sum over their full outer join
+    // (the q108 fusion arithmetic, here mostly exercising the BOTH-lists
+    // summed-rank branch because quantization preserves the ranking).
+    "q114_hybrid_quant_fusion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+        |qz AS (SELECT vec_id, CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+        |  ELSE list_transform(v, x -> floor(x / sc)) END AS qv FROM s),
+        |nq AS (SELECT vec_id AS id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+        |sq AS (SELECT q.id AS qid, x.id, list_dot_product(q.qv, x.qv) / (q.nrm * x.nrm) AS cos
+        |  FROM nq q JOIN nq x ON x.id <> q.id WHERE q.id % 50 = 13),
+        |qt AS (SELECT qid, id, rank FROM (SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM sq)
+        |  WHERE rank <= 5),
+        |nf AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |sf AS (SELECT q.id AS qid, x.id, list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+        |  FROM nf q JOIN nf x ON x.id <> q.id WHERE q.id % 50 = 13),
+        |ft AS (SELECT qid, id, rank FROM (SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM sf)
+        |  WHERE rank <= 5),
+        |fu AS (SELECT coalesce(f.qid, l.qid) AS qid, coalesce(f.id, l.id) AS id,
+        |    round(coalesce(1.0e0 / (60 + f.rank), 0.0e0)
+        |      + coalesce(1.0e0 / (60 + l.rank), 0.0e0), 6) AS rrf
+        |  FROM ft f FULL OUTER JOIN qt l ON l.qid = f.qid AND l.id = f.id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, id, rrf FROM (
+        |  SELECT qid, id, rrf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank FROM fu)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

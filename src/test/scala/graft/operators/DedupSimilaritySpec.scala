@@ -295,6 +295,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(10L) == 1L && byId(11L) == 1L && byId(13L) == 0L)
   }
 
+  test("q113 gate premise: the 80/20 split exercises BOTH dup paths on the gate corpus") {
+    // the gated row only pins the cross-batch arithmetic if the corpus
+    // actually contains: grams duplicated within the batch alone AND
+    // batch-unique grams covered only via the corpus side — measured
+    // 88/386 grams at sf0.001 and 76/299 at sf0.01
+    import graft.functions.TextFunctions.tokens
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val h = maxId * 4 / 5
+    def toks(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("toks"))
+    val corpusGrams = Dedup.spanGramCounts(
+      toks(docs.filter(col("doc_id") < h)), "doc_id", "toks", n = 8)
+    val batchGrams = Dedup.spanGramCounts(
+      toks(docs.filter(col("doc_id") >= h)), "doc_id", "toks", n = 8)
+    val dupInBatch = batchGrams.filter(col("cnt") > 1).count()
+    val viaCorpusOnly = batchGrams.filter(col("cnt") === 1)
+      .join(corpusGrams.select("gram_md5"), Seq("gram_md5"), "left_semi").count()
+    assert(dupInBatch > 0, "no gram duplicated within the batch alone")
+    assert(viaCorpusOnly > 0, "no batch-unique gram covered via the corpus " +
+      "— q113 would never exercise the cross-batch join")
+  }
+
   test("warm-started CC from a prior assignment equals cold start with no extra rounds") {
     // the incremental-fold shape: star edges from a prior assignment plus
     // new-batch pairs that bridge two old clusters through a chain of new

@@ -136,6 +136,30 @@ class RelevanceStatsSpec extends SparkSpec {
     assert(got(10L) > got(30L) && got(30L) > got(20L))
   }
 
+  test("q114 gate premise: full-precision and int8-quantized top-5 lists overlap on the gate corpus") {
+    // q114 exists to gate the BOTH-lists summed-rank branch of rrfFuse on
+    // real data (q108's dense/sparse lists are disjoint on this testdata);
+    // that only holds if quantization actually preserves most of the
+    // ranking here — measured 47/50 fused rows at sf0.001, 50/50 at sf0.01
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 13)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val full = Similarity.cosineTopK(emb, "vec_id", "embedding", queries,
+        "qid", "qvec", k = 5, dim = 64)
+      .select("qid", "id")
+    val qemb = emb.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).as("qv"))
+    val qq = qemb.filter(col("vec_id") % 50 === 13)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val quant = Similarity.cosineTopK(qemb, "vec_id", "qv", qq,
+        "qid", "qvec", k = 5, dim = 64)
+      .select("qid", "id")
+    val both = full.join(quant, Seq("qid", "id")).count()
+    val fullN = full.count()
+    assert(both > 0, "no overlap — q114 would gate only the disjoint interleave")
+    assert(both * 2 >= fullN, s"overlap $both of $fullN fused rows unexpectedly low")
+  }
+
   // ---- Histogram quantile sketch (Sketches.histogramQuantiles, q77) ----
 
   test("histogram quantile bounds the true quantile from above within 1/scale") {
