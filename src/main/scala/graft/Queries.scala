@@ -2347,6 +2347,45 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Span-dedup maintenance SERVICE (q115): [[jobs.SpanDedupMaintenance]]
+    * driven end-to-end — documents arrive as three ascending doc_id
+    * terciles, each fold span-dedupes its batch against everything
+    * ingested before it (the accumulated gram-count state, never the
+    * corpus text) and contributes its own counts; the query returns the
+    * union of the three folds' clean outputs. compactEvery=2 makes the
+    * THIRD fold run the gram-state compaction path under this oracle —
+    * a compaction that dropped or double-counted grams changes coverage
+    * and hash-fails here, not just in the spec. The oracle replays the
+    * whole SEQUENCE in one pass: per-(gram, batch) counts, a cumulative
+    * window sum over batch order, covered iff the PREFIX count at the
+    * start's own batch exceeds one — the service's append-only semantics
+    * (batch k sees batches 0..k, earlier batches are never re-deduped)
+    * derived independently from the same constants. */
+  def spanDedupService(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val lims = docs.agg(min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head()
+    val (mn, span) = (lims.getLong(0), lims.getLong(1) - lims.getLong(0) + 1)
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      functions.TextFunctions.tokens(col("text")).as("toks"),
+      least(lit(2L), floor((col("doc_id").cast("long") - mn) * 3 /
+        lit(span.toDouble)).cast("long")).as("b"))
+    val root = java.nio.file.Files.createTempDirectory("q115_svc").toString
+    val (gramDir, cleanDir) = (s"$root/grams", s"$root/clean")
+    val cfg = jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
+    (0 until 3).foreach { k =>
+      jobs.SpanDedupMaintenance.foldBatch(
+        base.filter(col("b") === k).select("doc_id", "toks"), k.toLong,
+        gramDir, cleanDir, "doc_id", "toks", cfg)
+    }
+    spark.read.parquet((0 until 3).map(k => s"$cleanDir/b=$k"): _*)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
+        col("n_spans"), col("n_covered"),
+        md5(to_binary(concat_ws(" ", col("clean_toks")), lit("utf-8")))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid fusion of two OVERLAPPING retrievers (q114): q108's RRF gate
     * covers the rank-interleave of (on this testdata) disjoint dense and
     * sparse lists; this query gates the AGREEMENT path — the summed-rank

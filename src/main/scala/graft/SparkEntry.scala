@@ -594,7 +594,8 @@ object SparkEntry {
     "q111_span_dedup_chunks" -> Queries.spanDedupChunks _,
     "q112_asof_forward" -> Queries.asofClickNextPurchase _,
     "q113_incr_span_dedup" -> Queries.incrementalSpanDedup _,
-    "q114_hybrid_quant_fusion" -> Queries.hybridQuantFusion _
+    "q114_hybrid_quant_fusion" -> Queries.hybridQuantFusion _,
+    "q115_span_dedup_service" -> Queries.spanDedupService _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1927,6 +1928,48 @@ object SparkEntry {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, id, rrf FROM (
         |  SELECT qid, id, rrf,
         |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank FROM fu)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q115: the whole fold SEQUENCE replayed in one pass — per-(gram,
+    // batch) counts, a cumulative sum over batch order, covered iff the
+    // PREFIX count at the start's own tercile exceeds one (the service's
+    // append-only semantics: batch k is deduped against batches 0..k and
+    // earlier batches are never revisited). Span merge and cleaned-text
+    // reconstruction are the q109 stack.
+    "q115_span_dedup_service" ->
+      """WITH lim AS (SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks,
+        |  least(2, ((doc_id - mn) * 3) // span) AS b
+        |  FROM documents CROSS JOIN lim),
+        |idx AS (SELECT doc_id, b, toks, unnest(generate_series(0, len(toks) - 8)) AS start
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, b, start, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram FROM idx),
+        |gc AS (SELECT gram, b, count(*) AS c FROM g GROUP BY gram, b),
+        |gcc AS (SELECT gram, b, sum(c) OVER (PARTITION BY gram ORDER BY b) AS cum FROM gc),
+        |d AS (SELECT g.doc_id, g.start FROM g JOIN gcc ON gcc.gram = g.gram AND gcc.b = g.b
+        |  WHERE gcc.cum > 1),
+        |m AS (SELECT doc_id, start, CASE WHEN lag(start) OVER w IS NULL
+        |    OR start > lag(start) OVER w + 7 THEN 1 ELSE 0 END AS ng
+        |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        |mg AS (SELECT doc_id, start,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY start) AS grp FROM m),
+        |sp AS (SELECT doc_id, grp, min(start) AS s, max(start) + 8 AS e,
+        |    count(*) AS n_starts FROM mg GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_covered,
+        |    CAST(sum(n_starts) AS BIGINT) AS n_dup_starts
+        |  FROM sp GROUP BY doc_id),
+        |posn AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+        |keep AS (SELECT p.doc_id, p.i, p.toks[p.i] AS tok FROM posn p
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = p.doc_id AND p.i - 1 >= sp.s AND p.i - 1 < sp.e)),
+        |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_dup_starts, 0) AS n_dup_starts,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_covered, 0) AS n_covered,
+        |  md5(coalesce(ct.clean, '')) AS clean_md5
+        |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -132,7 +132,7 @@ object ClusterMaintenance {
     * `gen=G` dir counts only with its `_SUCCESS` marker (a torn dir from
     * a crash mid-compaction is invisible — readers fall back to the
     * previous generation plus the still-present batch dirs). */
-  private def latestGeneration(fs: FileSystem, corpusDir: Path,
+  private[jobs] def latestGeneration(fs: FileSystem, corpusDir: Path,
                                maxGen: Long): Option[Long] = {
     if (!fs.exists(corpusDir)) return None
     val gens = fs.listStatus(corpusDir).map(_.getPath)

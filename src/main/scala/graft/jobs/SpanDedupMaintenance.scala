@@ -1,0 +1,133 @@
+package graft.jobs
+
+import graft.operators.Dedup
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuous exact-substring (span-level) dedup as a batch-fold SERVICE —
+  * the [[graft.operators.Dedup.removeDuplicateSpansIncrementalOfTokens]]
+  * operator wrapped in restartable parquet state, the way
+  * [[ClusterMaintenance]] wraps the incremental clustering. Each ingest
+  * batch is span-deduped against everything ingested before it and its own
+  * gram counts join the accumulated state; earlier batches are never
+  * touched again (append-only processing — the production semantics for a
+  * continuously crawled corpus).
+  *
+  * State layout (plain parquet — restartable from nothing but the dirs):
+  *  - `gramDir/b=N`   — batch N's own gram counts (gram_md5, cnt), one
+  *    map-side-combined groupBy per batch;
+  *  - `gramDir/gen=G` — a COMPACTED sum-merge of batches 0..G (written
+  *    every `Config.compactEvery` folds) — counts are a mergeable monoid,
+  *    so compaction is one groupBy-sum and per-fold listing overhead stays
+  *    bounded by `compactEvery` at any stream length;
+  *  - `cleanDir/b=N`  — batch N's deduped output (the q109 report shape
+  *    with `clean_toks`), the service's deliverable.
+  *
+  * Unlike the cluster service there is NO versioned assignment state:
+  * gram counts are append-only facts (batch N's contribution never
+  * changes), so the accumulated state is just the union of committed dirs
+  * and a replayed fold simply overwrites its own `b=N` — idempotent
+  * without any version chain. A `gen=G` dir counts only with its
+  * `_SUCCESS` marker (same commit protocol as [[ClusterMaintenance]]);
+  * compaction only ever covers batches ≤ batchId−1, so a replay of fold N
+  * never finds its own batch folded into the corpus side.
+  *
+  * Semantics contract (spec-gated in SpanDedupMaintenanceSpec): fold k's
+  * clean output EXACTLY equals the full [[Dedup.removeDuplicateSpansOfTokens]]
+  * recompute over batches 0..k restricted to batch k's docs, for any batch
+  * assignment — covered-ness of a window start depends only on the total
+  * count of its gram over the prefix, and that total splits as
+  * batch count + accumulated count (the operator's split identity, folded).
+  *
+  * Scale shape per fold: the batch's own gram counts are one map-side-
+  * combined groupBy; the accumulated gram table is read once for the Bloom
+  * build and once for the exact semi join (presence is all the dedup
+  * needs — the union of dirs is passed unmerged, no corpus-wide groupBy
+  * per fold); a mostly-novel batch shuffles ~fpp·|batch grams| toward the
+  * state table. A deployment that cannot afford the per-fold Bloom scan
+  * builds the filter once per generation via the operator's
+  * prebuilt-filter overload. */
+object SpanDedupMaintenance {
+
+  /** `n = 8` matches the q109/q111/q113 gated gram length.
+    * `compactEvery`: sum-merge the gram dirs once the latest committed
+    * generation trails the fold by this many batch dirs (≤ 0 disables). */
+  final case class Config(n: Int = 8, fpp: Double = 0.01, compactEvery: Int = 8)
+
+  /** Fold one ingest batch — (idCol: integral, toksCol: array<string>) —
+    * through the span dedup and into the gram state. Reads the accumulated
+    * gram dirs (latest committed generation + later batch dirs); writes
+    * `cleanDir/b=$batchId` and `gramDir/b=$batchId` (both keyed
+    * overwrites — a replay after a mid-fold crash rewrites the same
+    * state); compacts the gram dirs when the generation lag reaches
+    * `cfg.compactEvery`. Returns the deduped batch as written. */
+  def foldBatch(batch: DataFrame, batchId: Long,
+                gramDir: String, cleanDir: String,
+                idCol: String, toksCol: String,
+                cfg: Config = Config()): DataFrame = {
+    val sess = batch.sparkSession
+    val hconf = sess.sparkContext.hadoopConfiguration
+    val gpath = new Path(gramDir)
+    val fs = gpath.getFileSystem(hconf)
+    val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = batchId - 1)
+    val priorParts =
+      gen.map(g => s"$gramDir/gen=$g").toSeq ++
+        ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$gramDir/b=$i")
+    val gramSchema = "gram_md5 string, cnt long"
+    val prior =
+      if (priorParts.isEmpty)
+        sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(gramSchema))
+      else sess.read.schema(gramSchema).parquet(priorParts: _*)
+    // Bloom sizing: state rows upper-bound distinct grams (the unmerged
+    // union may repeat a gram across dirs — a slightly roomier filter,
+    // never a tighter one). One bounded count job per fold.
+    val expected = if (priorParts.isEmpty) 0L else prior.count()
+    val clean =
+      if (expected == 0L)
+        Dedup.removeDuplicateSpansOfTokens(batch, idCol, toksCol, cfg.n)
+      else
+        Dedup.removeDuplicateSpansIncrementalOfTokens(batch, idCol, toksCol,
+          cfg.n, prior, expectedCorpusGrams = expected, fpp = cfg.fpp)
+    clean.write.mode("overwrite").parquet(s"$cleanDir/b=$batchId")
+    Dedup.spanGramCounts(batch, idCol, toksCol, cfg.n)
+      .write.mode("overwrite").parquet(s"$gramDir/b=$batchId")
+    // Compact AFTER the fold's own commits, sum-merging exactly the state
+    // this fold just read (batches 0..batchId-1 — never b=batchId, so a
+    // replay of THIS fold still resolves a generation ≤ batchId-1).
+    if (cfg.compactEvery > 0 &&
+        (batchId - 1) - gen.getOrElse(-1L) >= cfg.compactEvery) {
+      val newGen = batchId - 1
+      prior.groupBy("gram_md5").agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$gramDir/gen=$newGen")
+      val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
+        (nm.startsWith("b=") && nm.drop(2).toLong <= newGen) ||
+          (nm.startsWith("gen=") && nm.drop(4).toLong < newGen)
+      }
+      stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
+    }
+    sess.read.parquet(s"$cleanDir/b=$batchId")
+  }
+
+  /** The accumulated corpus gram counts (sum-merged across the committed
+    * generation and later batch dirs) — for a standalone batch job that
+    * wants the state table itself (e.g. boilerplate mining over the most
+    * frequent grams). */
+  def gramCounts(spark: SparkSession, gramDir: String): DataFrame = {
+    val gpath = new Path(gramDir)
+    val fs = gpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bs =
+      if (!fs.exists(gpath)) Seq.empty[Long]
+      else fs.listStatus(gpath).map(_.getPath.getName)
+        .filter(_.startsWith("b=")).map(_.drop(2).toLong).toSeq
+    val maxB = if (bs.isEmpty) -1L else bs.max
+    val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = maxB)
+    val parts = gen.map(g => s"$gramDir/gen=$g").toSeq ++
+      bs.filter(_ > gen.getOrElse(-1L)).sorted.map(i => s"$gramDir/b=$i")
+    require(parts.nonEmpty,
+      s"SpanDedupMaintenance: no committed gram state under $gramDir")
+    spark.read.schema("gram_md5 string, cnt long").parquet(parts: _*)
+      .groupBy("gram_md5").agg(sum(col("cnt")).as("cnt"))
+  }
+}
