@@ -1703,13 +1703,21 @@ object Queries {
     * run still breaks consumers (acceptable for the bench/verify harness —
     * nothing else writes scratch). */
   private def dirKey(dir: String): String = {
+    // NIO mtimes, not File.lastModified: the legacy API truncates to
+    // 1-second granularity on several filesystems, so a same-second
+    // same-size regeneration could silently serve a stale staged build —
+    // Files.getLastModifiedTime preserves the FS's full (ms/ns) precision
+    def mtime(f: java.io.File): Long =
+      try java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => f.lastModified }
     val root = new java.io.File(dir)
     val level1 = Option(root.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
     val entries = level1.flatMap { f =>
-      val self = Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      val self = Seq(s"${f.getName}:${f.length}:${mtime(f)}")
       if (f.isDirectory)
         self ++ Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-          .map(c => s"${f.getName}/${c.getName}:${c.length}:${c.lastModified}")
+          .map(c => s"${f.getName}/${c.getName}:${c.length}:${mtime(c)}")
       else self
     }
     java.security.MessageDigest.getInstance("MD5")
@@ -2336,10 +2344,19 @@ object Queries {
     val batch = toks(docs.filter(col("doc_id") >= h))
     val grams = Dedup.spanGramCounts(corpus, "doc_id", "toks", n = 8)
     // Bloom sizing: token count bounds gram count from above (one gram per
-    // window start, at most one start per token) — a bounded scalar read
-    val expected = corpus.agg(sum(size(col("toks"))).cast("long")).head().getLong(0)
-    Dedup.removeDuplicateSpansIncrementalOfTokens(batch, "doc_id", "toks",
+    // window start, at most one start per token) — a bounded scalar read.
+    // sum() over an EMPTY corpus side is SQL NULL (possible when doc_ids
+    // don't start near 0 and the 80% split captures nothing), so the read
+    // is Option-guarded and an empty corpus falls back to the plain
+    // single-corpus dedup — the incremental path's exact degenerate case.
+    val expected = Option(corpus.agg(sum(size(col("toks"))).cast("long"))
+      .head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    val deduped =
+      if (expected == 0L)
+        Dedup.removeDuplicateSpansOfTokens(batch, "doc_id", "toks", n = 8)
+      else Dedup.removeDuplicateSpansIncrementalOfTokens(batch, "doc_id", "toks",
         n = 8, grams, expectedCorpusGrams = expected)
+    deduped
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
         col("n_spans"), col("n_covered"),
         md5(to_binary(concat_ws(" ", col("clean_toks")), lit("utf-8")))

@@ -119,13 +119,25 @@ object ClusterMaintenance {
         val newGen = batchId - 1
         corpus.write.mode("overwrite").parquet(s"$corpusDir/gen=$newGen")
         val stale = fs.listStatus(cpath).map(_.getPath.getName).filter { nm =>
-          (nm.startsWith("b=") && nm.drop(2).toLong <= newGen) ||
-            (nm.startsWith("gen=") && nm.drop(4).toLong < newGen)
+          numericSuffix(nm, "b=").exists(_ <= newGen) ||
+            numericSuffix(nm, "gen=").exists(_ < newGen)
         }
         stale.foreach(nm => fs.delete(new Path(s"$corpusDir/$nm"), true))
       }
     } finally b.unpersist(false)
     ()
+  }
+
+  /** `Some(numeric tail)` iff `name` is exactly `prefix` + digits — the
+    * gate every directory-name parse in the services goes through, so a
+    * foreign entry that merely shares the prefix (a `gen=3.tmp` leftover,
+    * an editor backup) is skipped instead of throwing
+    * NumberFormatException out of a fold or a sweep. */
+  private[jobs] def numericSuffix(name: String, prefix: String): Option[Long] = {
+    val tail = name.stripPrefix(prefix)
+    if ((tail ne name) && tail.nonEmpty && tail.forall(_.isDigit))
+      Some(tail.toLong)
+    else None
   }
 
   /** Latest COMMITTED generation ≤ `maxGen` under the corpus dir: a
@@ -136,10 +148,9 @@ object ClusterMaintenance {
                                maxGen: Long): Option[Long] = {
     if (!fs.exists(corpusDir)) return None
     val gens = fs.listStatus(corpusDir).map(_.getPath)
-      .filter(_.getName.startsWith("gen="))
       .flatMap { p =>
-        val g = p.getName.drop(4).toLong
-        if (g <= maxGen && fs.exists(new Path(p, "_SUCCESS"))) Some(g) else None
+        numericSuffix(p.getName, "gen=").filter(g =>
+          g <= maxGen && fs.exists(new Path(p, "_SUCCESS")))
       }
     if (gens.isEmpty) None else Some(gens.max)
   }
@@ -156,10 +167,9 @@ object ClusterMaintenance {
     val committed =
       if (!fs.exists(p)) Array.empty[Long]
       else fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.startsWith("v="))
         .flatMap { vp =>
-          if (fs.exists(new Path(vp, "_SUCCESS"))) Some(vp.getName.drop(2).toLong)
-          else None
+          numericSuffix(vp.getName, "v=")
+            .filter(_ => fs.exists(new Path(vp, "_SUCCESS")))
         }
     require(committed.nonEmpty,
       s"ClusterMaintenance: no committed assignment version under $stateDir " +

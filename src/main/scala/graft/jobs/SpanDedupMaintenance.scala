@@ -102,8 +102,8 @@ object SpanDedupMaintenance {
       prior.groupBy("gram_md5").agg(sum(col("cnt")).as("cnt"))
         .write.mode("overwrite").parquet(s"$gramDir/gen=$newGen")
       val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
-        (nm.startsWith("b=") && nm.drop(2).toLong <= newGen) ||
-          (nm.startsWith("gen=") && nm.drop(4).toLong < newGen)
+        ClusterMaintenance.numericSuffix(nm, "b=").exists(_ <= newGen) ||
+          ClusterMaintenance.numericSuffix(nm, "gen=").exists(_ < newGen)
       }
       stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
     }
@@ -120,7 +120,7 @@ object SpanDedupMaintenance {
     val bs =
       if (!fs.exists(gpath)) Seq.empty[Long]
       else fs.listStatus(gpath).map(_.getPath.getName)
-        .filter(_.startsWith("b=")).map(_.drop(2).toLong).toSeq
+        .flatMap(ClusterMaintenance.numericSuffix(_, "b=")).toSeq
     val maxB = if (bs.isEmpty) -1L else bs.max
     val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = maxB)
     val parts = gen.map(g => s"$gramDir/gen=$g").toSeq ++

@@ -89,9 +89,14 @@ object Similarity {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       when(vec_dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    // CASE WHEN evaluates lazily, so conforming rows never touch the
-    // raise_error branch and the signature arithmetic is untouched.
-    when(size(vec) === lit(planeDim), bits.reduce(_.bitwiseOR(_)))
+    // CASE WHEN evaluates lazily, so conforming rows never touch a
+    // raise_error branch and the signature arithmetic is untouched. The
+    // null case is tested FIRST and carries its own message: size(null)
+    // is null, so without the explicit branch the length error would
+    // raise with a NULL-concatenated (unreadable) message.
+    when(vec.isNull, raise_error(
+        lit(s"rpSignature: null vector (expected $planeDim-dim array)")))
+      .when(size(vec) === lit(planeDim), bits.reduce(_.bitwiseOR(_)))
       .otherwise(raise_error(concat(
         lit(s"rpSignature: expected a $planeDim-dim vector, got length "),
         size(vec).cast("string"))))
