@@ -41,19 +41,56 @@ import org.apache.spark.sql.functions._
   * batch count + accumulated count (the operator's split identity, folded).
   *
   * Scale shape per fold: the batch's own gram counts are one map-side-
-  * combined groupBy; the accumulated gram table is read once for the Bloom
-  * build and once for the exact semi join (presence is all the dedup
-  * needs — the union of dirs is passed unmerged, no corpus-wide groupBy
-  * per fold); a mostly-novel batch shuffles ~fpp·|batch grams| toward the
-  * state table. A deployment that cannot afford the per-fold Bloom scan
-  * builds the filter once per generation via the operator's
-  * prebuilt-filter overload. */
+  * combined groupBy; the committed generation's Bloom filter is built ONCE
+  * at compaction, persisted beside the generation (`bloom=G.bin`), and
+  * probed by every later fold — a fold's only scan of the generation gram
+  * state is the operator's exact semi join, and its Bloom-build work is
+  * bounded by the ≤ compactEvery post-generation batch dirs (presence is
+  * all the dedup needs — the union of dirs is passed unmerged, no
+  * corpus-wide groupBy per fold). A mostly-novel batch shuffles
+  * ~fpp·|batch grams| toward the state table. Exactness never rides on a
+  * filter file: a missing `bloom=G.bin` (old layout, crash between the
+  * generation commit and the filter write) degrades that fold to the
+  * scan-and-build path with identical results. */
 object SpanDedupMaintenance {
 
   /** `n = 8` matches the q109/q111/q113 gated gram length.
     * `compactEvery`: sum-merge the gram dirs once the latest committed
     * generation trails the fold by this many batch dirs (≤ 0 disables). */
   final case class Config(n: Int = 8, fpp: Double = 0.01, compactEvery: Int = 8)
+
+  /** Serialized Bloom filter beside its generation: `bloom=G.bin` is the
+    * filter over `gen=G`'s gram digests, written (tmp + atomic rename)
+    * AFTER the generation commits. Validity rides on the generation's own
+    * `_SUCCESS` protocol: the filter is consulted only when `gen=G`
+    * resolved as the committed generation, and a crash between the
+    * generation commit and the filter write just leaves the next fold on
+    * the scan-and-build fallback — exactness never depends on the file. */
+  private def bloomPath(gramDir: String, gen: Long) =
+    new Path(s"$gramDir/bloom=$gen.bin")
+
+  private def writeBloom(fs: org.apache.hadoop.fs.FileSystem, gramDir: String,
+                         gen: Long,
+                         bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val fin = bloomPath(gramDir, gen)
+    val tmp = new Path(s"$gramDir/.bloom=$gen.bin.tmp")
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    fs.rename(tmp, fin)
+    ()
+  }
+
+  private def readBloom(fs: org.apache.hadoop.fs.FileSystem, gramDir: String,
+                        gen: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomPath(gramDir, gen)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
 
   /** Fold one ingest batch — (idCol: integral, toksCol: array<string>) —
     * through the span dedup and into the gram state. Reads the accumulated
@@ -71,25 +108,47 @@ object SpanDedupMaintenance {
     val gpath = new Path(gramDir)
     val fs = gpath.getFileSystem(hconf)
     val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = batchId - 1)
-    val priorParts =
-      gen.map(g => s"$gramDir/gen=$g").toSeq ++
-        ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$gramDir/b=$i")
+    val genPart = gen.map(g => s"$gramDir/gen=$g").toSeq
+    val batchParts =
+      ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$gramDir/b=$i")
+    val priorParts = genPart ++ batchParts
     val gramSchema = "gram_md5 string, cnt long"
     val prior =
       if (priorParts.isEmpty)
         sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(gramSchema))
       else sess.read.schema(gramSchema).parquet(priorParts: _*)
-    // Bloom sizing: state rows upper-bound distinct grams (the unmerged
-    // union may repeat a gram across dirs — a slightly roomier filter,
-    // never a tighter one). One bounded count job per fold.
-    val expected = if (priorParts.isEmpty) 0L else prior.count()
     val clean =
-      if (expected == 0L)
+      if (priorParts.isEmpty)
         Dedup.removeDuplicateSpansOfTokens(batch, idCol, toksCol, cfg.n)
-      else
+      else {
+        // Bloom coverage for the prior state: the committed generation's
+        // PERSISTED filter (built once at compaction, reused by every fold
+        // after it — the generation is never re-scanned to prove novelty)
+        // plus a fresh filter over only the ≤ compactEvery post-generation
+        // batch dirs. A fold therefore scans the generation gram state
+        // exactly once (the exact semi join inside the operator), and its
+        // Bloom work is bounded by compactEvery batches, not |corpus|.
+        // Missing filter file (pre-filter layout, or a crash between the
+        // generation commit and the filter write) ⇒ that part joins the
+        // scan-and-build side — slower fold, identical results.
+        val persisted = gen.flatMap(g => readBloom(fs, gramDir, g))
+        val uncovered = (if (persisted.isEmpty) genPart else Nil) ++ batchParts
+        val blooms =
+          if (uncovered.isEmpty) persisted.toSeq
+          else {
+            val unc = sess.read.schema(gramSchema).parquet(uncovered: _*)
+            // sizing: state rows upper-bound distinct grams (the unmerged
+            // union may repeat a gram across dirs — a roomier filter,
+            // never a tighter one); parquet-metadata count over only the
+            // uncovered (batch-bounded) dirs
+            val bf = unc.stat.bloomFilter("gram_md5",
+              math.max(1L, unc.count()), cfg.fpp)
+            persisted.toSeq :+ bf
+          }
         Dedup.removeDuplicateSpansIncrementalOfTokens(batch, idCol, toksCol,
-          cfg.n, prior, expectedCorpusGrams = expected, fpp = cfg.fpp)
+          cfg.n, prior, blooms)
+      }
     clean.write.mode("overwrite").parquet(s"$cleanDir/b=$batchId")
     Dedup.spanGramCounts(batch, idCol, toksCol, cfg.n)
       .write.mode("overwrite").parquet(s"$gramDir/b=$batchId")
@@ -101,9 +160,21 @@ object SpanDedupMaintenance {
       val newGen = batchId - 1
       prior.groupBy("gram_md5").agg(sum(col("cnt")).as("cnt"))
         .write.mode("overwrite").parquet(s"$gramDir/gen=$newGen")
+      // Build + persist the generation's Bloom filter from the compacted
+      // dir it just committed — ONE scan of the gen state here (plus a
+      // parquet-metadata row count for sizing; post-groupBy rows ARE the
+      // distinct grams), amortized over the next compactEvery folds, each
+      // of which then probes the filter instead of re-scanning the state.
+      val genDf = sess.read.schema(gramSchema).parquet(s"$gramDir/gen=$newGen")
+      writeBloom(fs, gramDir, newGen,
+        genDf.stat.bloomFilter("gram_md5", math.max(1L, genDf.count()), cfg.fpp))
       val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
         ClusterMaintenance.numericSuffix(nm, "b=").exists(_ <= newGen) ||
-          ClusterMaintenance.numericSuffix(nm, "gen=").exists(_ < newGen)
+          ClusterMaintenance.numericSuffix(nm, "gen=").exists(_ < newGen) ||
+          // stale persisted filters follow their generations out
+          nm.startsWith("bloom=") && nm.endsWith(".bin") &&
+            ClusterMaintenance.numericSuffix(
+              nm.stripSuffix(".bin"), "bloom=").exists(_ < newGen)
       }
       stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
     }

@@ -731,7 +731,25 @@ object Dedup {
   def removeDuplicateSpansIncrementalOfTokens(batch: DataFrame, idCol: String,
                                               toksCol: String, n: Int,
                                               corpusGrams: DataFrame,
-                                              corpusBloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+                                              corpusBloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    removeDuplicateSpansIncrementalOfTokens(batch, idCol, toksCol, n,
+      corpusGrams, Seq(corpusBloom))
+
+  /** [[removeDuplicateSpansIncrementalOfTokens]] whose corpus Bloom
+    * coverage is SPLIT across several prebuilt filters — the compacted
+    * service's shape: one persisted filter covering the committed
+    * generation plus a small fresh one covering the batch dirs after it.
+    * A gram is a possible corpus hit iff ANY filter might contain it, so
+    * the union of filters covers exactly the union of the state dirs; the
+    * definite-miss guarantee (hence exactness) is preserved filter-wise.
+    * `corpusGrams` must cover at least the rows the filters were built
+    * over (the exact semi join decides; filters only skip work). */
+  def removeDuplicateSpansIncrementalOfTokens(batch: DataFrame, idCol: String,
+                                              toksCol: String, n: Int,
+                                              corpusGrams: DataFrame,
+                                              corpusBlooms: Seq[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    require(corpusBlooms.nonEmpty,
+      "removeDuplicateSpansIncrementalOfTokens: at least one corpus Bloom filter")
     val base = batch.select(col(idCol).as("id"), col(toksCol).as("toks"))
     val starts = windowStarts(base, n)
     val batchCnt = starts.groupBy("gram_md5").agg(count(lit(1)).as("cnt"))
@@ -741,7 +759,7 @@ object Dedup {
     // prefilter (definite-miss ⇒ provably unique), exact semi join for
     // the possible hits
     val mightContain = udf((s: String) =>
-      s != null && corpusBloom.mightContainString(s))
+      s != null && corpusBlooms.exists(_.mightContainString(s)))
     val viaCorpus = batchCnt.filter(col("cnt") === 1)
       .filter(mightContain(col("gram_md5")))
       .join(corpusGrams.select("gram_md5"), Seq("gram_md5"), "left_semi")

@@ -45,6 +45,119 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
     assert(cdirs == (0 until 6).map(k => s"b=$k").sorted)
   }
 
+  /** Executions (SQL actions) whose physical plan scans a `gen=` parquet
+    * dir — walks through AQE wrappers and write commands. Listener
+    * callbacks are async, so callers poll until the count stabilizes. */
+  private def genScanCounter(): (java.util.concurrent.atomic.AtomicInteger,
+                                 org.apache.spark.sql.util.QueryExecutionListener) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansGen(p: SparkPlan): Boolean = {
+      val self = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("/gen="))
+        case _ => false
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self || kids.exists(scansGen)
+    }
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (scansGen(qe.executedPlan)) { hits.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    (hits, l)
+  }
+
+  private def stableCount(hits: java.util.concurrent.atomic.AtomicInteger): Int = {
+    var last = -1
+    var same = 0
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (same < 5 && System.nanoTime() < deadline) {
+      val v = hits.get()
+      if (v == last) same += 1 else { same = 0; last = v }
+      Thread.sleep(100)
+    }
+    last
+  }
+
+  test("post-generation folds probe the persisted filter: gen state scanned once, not rebuilt") {
+    // Synthetic docs with GUARANTEED cross-batch duplicate spans: phrase P
+    // (10 tokens) recurs in batches 0 and 3, phrase Q recurs twice WITHIN
+    // batch 3 — both dup paths (via-corpus semi join, in-batch count) are
+    // live, so AQE cannot empty-relation-prune the generation scan out of
+    // the plan (which it does on a dup-free slice, hiding the very scans
+    // this test counts).
+    val p = (0 until 10).map(i => s"p$i").mkString(" ")
+    val q = (0 until 10).map(i => s"q$i").mkString(" ")
+    def doc(id: Long): (Long, String) = {
+      val uniq = (0 until 12).map(j => s"u${id}_$j").mkString(" ")
+      val phrase = if (id < 5 || (id >= 30 && id < 35)) s" $p" // cross-batch
+                   else if (id == 36 || id == 37) s" $q"       // in-batch (3)
+                   else ""
+      (id, uniq + phrase)
+    }
+    import spark.implicits._
+    val docs = toks((0L until 40L).map(doc).toDF("doc_id", "text"))
+    def batch(k: Int) = docs.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
+    val root = java.nio.file.Files.createTempDirectory("sdm_bloom").toString
+    val (grams, clean) = (s"$root/grams", s"$root/clean")
+    val cfg = SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
+    (0 until 3).foreach(k => SpanDedupMaintenance.foldBatch(batch(k), k.toLong,
+      grams, clean, "doc_id", "toks", cfg))
+    // fold 2 compacted gen=1 and persisted its filter beside it
+    assert(new java.io.File(grams, "bloom=1.bin").exists(),
+      "compaction must persist the generation Bloom filter")
+    // fold 3 (prior = gen=1 + b=2): with the persisted filter, the ONLY
+    // execution that scans the generation gram state is the exact semi
+    // join — no sizing count, no filter rebuild over the generation
+    val (hits, l) = genScanCounter()
+    spark.listenerManager.register(l)
+    val withBloom =
+      try {
+        val got = key(SpanDedupMaintenance.foldBatch(batch(3), 3L,
+          grams, clean, "doc_id", "toks", cfg))
+        val want = key(Dedup.removeDuplicateSpansOfTokens(docs, "doc_id", "toks", n = 8)
+          .filter(col("id") >= 30))
+        assert(got == want, "post-generation fold diverged from prefix recompute")
+        // premise: both dup paths actually fired (P covered via corpus,
+        // Q covered in-batch) — a silent no-dup batch would make the
+        // scan-count claim vacuous
+        assert(got.exists(r => r._1 >= 30 && r._1 < 35 && r._3 > 0),
+          "cross-batch dup premise broken: P spans not covered")
+        assert(got.exists(r => (r._1 == 36 || r._1 == 37) && r._3 > 0),
+          "in-batch dup premise broken: Q spans not covered")
+        stableCount(hits)
+      } finally spark.listenerManager.unregister(l)
+    assert(withBloom == 1,
+      s"expected exactly 1 gen-state scan with the persisted filter, saw $withBloom")
+    // fallback: delete the filter file and replay the same fold — results
+    // identical (exactness never rides on the file), but the fold pays
+    // the scan-and-build path (sizing count + filter build see the gen)
+    assert(new java.io.File(grams, "bloom=1.bin").delete())
+    val (hits2, l2) = genScanCounter()
+    spark.listenerManager.register(l2)
+    val withoutBloom =
+      try {
+        val replay = key(SpanDedupMaintenance.foldBatch(batch(3), 3L,
+          grams, clean, "doc_id", "toks", cfg))
+        val first = key(spark.read.parquet(s"$clean/b=3"))
+        assert(replay == first, "fallback replay diverged")
+        stableCount(hits2)
+      } finally spark.listenerManager.unregister(l2)
+    assert(withoutBloom >= 2,
+      s"scan-and-build fallback should scan the gen state more than once, saw $withoutBloom")
+  }
+
   test("replaying the latest fold after compaction is idempotent (crash-recovery path)") {
     val docs = toks(spark.read.parquet(s"$sf/documents.parquet"))
       .filter(col("doc_id") < 30)
