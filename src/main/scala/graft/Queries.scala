@@ -2403,6 +2403,91 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** STREAMING span-dedup maintenance (q116): q115's service driven the
+    * way q104 drives the cluster service — from the file-source ingest
+    * path via foreachBatch, with a kill/outage/restart through the
+    * checkpoint. The documents arrive as three ascending-doc_id tercile
+    * wave files (the SAME split as q115, so this query answers to q115's
+    * oracle verbatim); each micro-batch tokenizes its slice and folds it
+    * through [[jobs.SpanDedupMaintenance.foldBatch]] — gram-count state,
+    * persisted-generation Bloom, compactEvery=2 so the third fold
+    * compacts UNDER this oracle. Run 1 is killed once batch 1 commits
+    * (stop can land mid-batch); run 2 resumes from the checkpoint,
+    * replays any in-flight batch (foldBatch's keyed overwrites make the
+    * replay byte-identical — idempotence IS the exactly-once story), and
+    * drains. The final clean outputs must equal the batch service's fold
+    * sequence exactly, kill-point independent. */
+  def streamingSpanDedupService(spark: SparkSession, dir: String): DataFrame = {
+    val runId = streamRunCounter.getAndIncrement()
+    val tag = s"q116_${Integer.toHexString(dir.hashCode)}_$runId"
+    val stage = scratchDir(spark, s"${tag}_src")
+    val gramDir = scratchDir(spark, s"${tag}_grams")
+    val cleanDir = scratchDir(spark, s"${tag}_clean")
+    val chk = scratchDir(spark, s"${tag}_chk")
+    // NOT streamSession: foreachBatch owns all state as parquet dirs (no
+    // stateful operator), same adjudication as q104
+    val ss = spark.newSession()
+    val docs = t(spark, dir).documents
+    val lims = docs.agg(min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head()
+    val (mn, span) = (lims.getLong(0), lims.getLong(1) - lims.getLong(0) + 1)
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        least(lit(2L), floor((col("doc_id").cast("long") - mn) * 3 /
+          lit(span.toDouble)).cast("long")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val sfs = stagePath.getFileSystem(hconf)
+    val stamped = scala.collection.mutable.Set[String]()
+    // one single-file wave per tercile; modtimes stamped to a fixed minute
+    // ladder so the file source's timestamp order (hence the batch order
+    // the append-only fold sequence rides on) never depends on write-clock
+    // granularity
+    def writeWave(w: Int): Unit = {
+      base.filter(col("b") === w).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(stage)
+      sfs.listStatus(stagePath).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && stamped.add(n))
+          sfs.setTimes(f.getPath, 1704067200000L + w * 60000L, -1)
+      }
+    }
+    val waveSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id long, text string")
+    val cfg = jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
+    def start() = ss.readStream.schema(waveSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val toks = batch.select(col("doc_id"),
+          functions.TextFunctions.tokens(col("text")).as("toks"))
+        jobs.SpanDedupMaintenance.foldBatch(toks, batchId, gramDir, cleanDir,
+          "doc_id", "toks", cfg)
+        ()
+      }
+      .start()
+    try {
+      (0 until 3).foreach(writeWave) // all staged before ingest begins
+      val sq1 = start()
+      try {
+        // kill once batch 1 commits — file 3 unread, stop may land with
+        // batch 2 in flight (the restart then replays it idempotently)
+        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+        while (sq1.isActive && System.nanoTime() < deadline &&
+               Option(sq1.lastProgress).forall(_.batchId < 1)) Thread.sleep(20)
+      } finally sq1.stop()
+      val sq2 = start()
+      try sq2.processAllAvailable() finally sq2.stop()
+    } finally base.unpersist(false)
+    spark.read.parquet((0 until 3).map(k => s"$cleanDir/b=$k"): _*)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
+        col("n_spans"), col("n_covered"),
+        md5(to_binary(concat_ws(" ", col("clean_toks")), lit("utf-8")))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid fusion of two OVERLAPPING retrievers (q114): q108's RRF gate
     * covers the rank-interleave of (on this testdata) disjoint dense and
     * sparse lists; this query gates the AGREEMENT path — the summed-rank

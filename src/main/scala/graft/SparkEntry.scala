@@ -595,7 +595,8 @@ object SparkEntry {
     "q112_asof_forward" -> Queries.asofClickNextPurchase _,
     "q113_incr_span_dedup" -> Queries.incrementalSpanDedup _,
     "q114_hybrid_quant_fusion" -> Queries.hybridQuantFusion _,
-    "q115_span_dedup_service" -> Queries.spanDedupService _
+    "q115_span_dedup_service" -> Queries.spanDedupService _,
+    "q116_stream_span_dedup" -> Queries.streamingSpanDedupService _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1935,7 +1936,19 @@ object SparkEntry {
     // append-only semantics: batch k is deduped against batches 0..k and
     // earlier batches are never revisited). Span merge and cleaned-text
     // reconstruction are the q109 stack.
-    "q115_span_dedup_service" ->
+    // q116 answers to the SAME replay: the streaming harness drives the
+    // identical tercile fold sequence through foreachBatch with a
+    // kill/outage/restart, and the final clean outputs must be
+    // kill-point independent — i.e. exactly the batch fold sequence.
+    "q116_stream_span_dedup" -> spanServiceFoldOracle,
+    "q115_span_dedup_service" -> spanServiceFoldOracle
+  )
+
+  /** The span-dedup service fold-sequence replay, shared by q115 (batch
+    * folds) and q116 (the same folds driven through the streaming
+    * harness with kill/restart — correctness there IS producing the
+    * batch sequence verbatim). */
+  private val spanServiceFoldOracle =
       """WITH lim AS (SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span FROM documents),
         |t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks,
         |  least(2, ((doc_id - mn) * 3) // span) AS b
@@ -1971,5 +1984,4 @@ object SparkEntry {
         |  md5(coalesce(ct.clean, '')) AS clean_md5
         |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin
-  )
 }
