@@ -2378,7 +2378,11 @@ object Queries {
     * start's own batch exceeds one — the service's append-only semantics
     * (batch k sees batches 0..k, earlier batches are never re-deduped)
     * derived independently from the same constants. */
-  def spanDedupService(spark: SparkSession, dir: String): DataFrame = {
+  /** The q115 tercile fold sequence into (gramDir, cleanDir) — shared by
+    * q115 (fresh run per call: the service IS the measurement) and the
+    * staged state q117 mines. */
+  private def runSpanServiceFolds(spark: SparkSession, dir: String,
+                                  gramDir: String, cleanDir: String): Unit = {
     val docs = t(spark, dir).documents
     val lims = docs.agg(min(col("doc_id").cast("long")),
       max(col("doc_id").cast("long"))).head()
@@ -2387,14 +2391,18 @@ object Queries {
       functions.TextFunctions.tokens(col("text")).as("toks"),
       least(lit(2L), floor((col("doc_id").cast("long") - mn) * 3 /
         lit(span.toDouble)).cast("long")).as("b"))
-    val root = java.nio.file.Files.createTempDirectory("q115_svc").toString
-    val (gramDir, cleanDir) = (s"$root/grams", s"$root/clean")
     val cfg = jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
     (0 until 3).foreach { k =>
       jobs.SpanDedupMaintenance.foldBatch(
         base.filter(col("b") === k).select("doc_id", "toks"), k.toLong,
         gramDir, cleanDir, "doc_id", "toks", cfg)
     }
+  }
+
+  def spanDedupService(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q115_svc").toString
+    val (gramDir, cleanDir) = (s"$root/grams", s"$root/clean")
+    runSpanServiceFolds(spark, dir, gramDir, cleanDir)
     spark.read.parquet((0 until 3).map(k => s"$cleanDir/b=$k"): _*)
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
         col("n_spans"), col("n_covered"),
@@ -2402,6 +2410,48 @@ object Queries {
           .as("clean_md5"))
       .orderBy("doc_id")
   }
+
+  /** The span-dedup service's gram state, staged once per process per
+    * testdata dir (the q93/q95 staging pattern): q117 then measures the
+    * state-table read + sum-merge, not a third repetition of q115's fold
+    * sequence. */
+  private val spanSvcStates = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+  private def spanServiceGramState(spark: SparkSession, dir: String): String = {
+    val key = s"spansvc_${dirKey(dir)}"
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val f = spanSvcStates.putIfAbsent(key, fresh) match {
+      case null =>
+        try {
+          val root = scratchDir(spark, key)
+          runSpanServiceFolds(spark, dir, s"$root/grams", s"$root/clean")
+          fresh.complete(s"$root/grams")
+        } catch {
+          case e: Throwable =>
+            fresh.completeExceptionally(e)
+            spanSvcStates.remove(key, fresh)
+        }
+        fresh
+      case existing => existing
+    }
+    f.get()
+  }
+
+  /** Boilerplate mining over the service's gram-count state (q117): the
+    * accumulated [[jobs.SpanDedupMaintenance.gramCounts]] table — committed
+    * generation sum-merged with the post-generation batch dirs — filtered
+    * to recurring grams and ranked. This is the state table AS a
+    * deliverable (the most frequent 8-gram spans = the corpus's
+    * boilerplate), and its oracle is the strongest arithmetic gate on the
+    * service's bookkeeping: per-batch map-side-combined counts, the
+    * compaction's groupBy-sum, and the reader's final sum-merge must
+    * together equal a flat recount of EVERY window in the corpus — a
+    * dropped batch dir, a double-counted generation, or a torn compaction
+    * all change some gram's total and hash-fail here. */
+  def boilerplateGrams(spark: SparkSession, dir: String): DataFrame =
+    jobs.SpanDedupMaintenance.gramCounts(spark, spanServiceGramState(spark, dir))
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt").desc, col("gram_md5"))
 
   /** STREAMING span-dedup maintenance (q116): q115's service driven the
     * way q104 drives the cluster service — from the file-source ingest

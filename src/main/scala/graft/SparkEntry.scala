@@ -596,7 +596,8 @@ object SparkEntry {
     "q113_incr_span_dedup" -> Queries.incrementalSpanDedup _,
     "q114_hybrid_quant_fusion" -> Queries.hybridQuantFusion _,
     "q115_span_dedup_service" -> Queries.spanDedupService _,
-    "q116_stream_span_dedup" -> Queries.streamingSpanDedupService _
+    "q116_stream_span_dedup" -> Queries.streamingSpanDedupService _,
+    "q117_boilerplate_grams" -> Queries.boilerplateGrams _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1941,6 +1942,19 @@ object SparkEntry {
     // kill/outage/restart, and the final clean outputs must be
     // kill-point independent — i.e. exactly the batch fold sequence.
     "q116_stream_span_dedup" -> spanServiceFoldOracle,
+    // q117: the service's accumulated gram-count state vs a FLAT recount
+    // of every 8-token window in the corpus — per-batch counts, the
+    // compaction's sum-merge, and the reader's final merge must compose
+    // to exactly this (recurring grams only, ranked).
+    "q117_boilerplate_grams" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram_md5 FROM idx)
+        |SELECT gram_md5, CAST(count(*) AS BIGINT) AS cnt FROM g
+        |GROUP BY gram_md5 HAVING count(*) >= 2
+        |ORDER BY cnt DESC, gram_md5""".stripMargin,
     "q115_span_dedup_service" -> spanServiceFoldOracle
   )
 
