@@ -155,6 +155,87 @@ object ClusterMaintenance {
     if (gens.isEmpty) None else Some(gens.max)
   }
 
+  /** Takedown / retraction escape hatch: both service contracts are
+    * APPEND-ONLY (gram counts and cluster edges are never decremented),
+    * so removing documents — takedowns, re-crawl supersessions — is an
+    * explicit OFFLINE rebuild, not a fold. This recomputes the assignment
+    * from scratch over the accumulated corpus MINUS the tombstoned ids
+    * (the same pruned pair generator + full-coverage CC every fold and
+    * gate certifies), overwrites the head version `v=V` in place, rewrites
+    * the corpus as a single filtered generation `gen=V`, and sweeps the
+    * superseded dirs. Afterwards the stream resumes unchanged: the next
+    * fold (batchId = V+1) reads the rebuilt v=V and gen=V, and the
+    * incremental==full theorem applies to the filtered corpus exactly as
+    * before (removal preserves the append-only-id discipline).
+    *
+    * Cost: one full recompute over the retained corpus — O(corpus) by
+    * design (this is the documented price of a retraction against
+    * append-only state, paid per takedown batch, not per fold).
+    *
+    * Crash contract: every step is a keyed overwrite of DERIVED state
+    * (the filtered corpus is staged to a hidden temp dir and renamed over
+    * the generation, so no committed dir is ever half-written), but a
+    * crash BETWEEN steps can leave the assignment rebuilt while the
+    * corpus still holds tombstoned vectors (or a torn v=V that readers
+    * resolve to the stale v=V−1) — the recovery is simply to RE-RUN the
+    * rebuild with the same tombstones; it converges. Run it with the fold
+    * stream quiesced. */
+  def rebuildWithoutTombstones(spark: SparkSession, stateDir: String,
+                               corpusDir: String, tombstones: DataFrame,
+                               idCol: String,
+                               cfg: Config = Config()): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val spath = new Path(stateDir)
+    val sfs = spath.getFileSystem(hconf)
+    val versions = committedVersions(sfs, spath)
+    require(versions.nonEmpty,
+      s"rebuildWithoutTombstones: no committed assignment version under $stateDir")
+    val v = versions.max
+    val cpath = new Path(corpusDir)
+    val cfs = cpath.getFileSystem(hconf)
+    val gen = latestGeneration(cfs, cpath, maxGen = v)
+    val bDirs = cfs.listStatus(cpath).map(_.getPath.getName)
+      .flatMap(numericSuffix(_, "b="))
+      .filter(b => b > gen.getOrElse(-1L) && b <= v).sorted
+    val parts = gen.map(g => s"$corpusDir/gen=$g").toSeq ++
+      bDirs.map(b => s"$corpusDir/b=$b")
+    require(parts.nonEmpty,
+      s"rebuildWithoutTombstones: no corpus state under $corpusDir")
+    val corpus = spark.read.parquet(parts: _*)
+    val dropIds = tombstones.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val keep = corpus.join(dropIds, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stage the filtered corpus FIRST (reads the old dirs, which are
+      // untouched until the swap below)
+      val tmp = new Path(s"$corpusDir/.gen=$v.rebuild")
+      keep.write.mode("overwrite").parquet(tmp.toString)
+      val pairs = Similarity.cosineNearDupPairs(keep, "vec_id", "embedding",
+        threshold = cfg.threshold, numPlanes = cfg.numPlanes, dim = cfg.dim,
+        probeRadius = cfg.probeRadius, numTables = cfg.numTables)
+      Dedup.componentAssignments(keep.select(col("vec_id")), "vec_id",
+          pairs, "id_a", "id_b")
+        .write.mode("overwrite").parquet(s"$stateDir/v=$v")
+      val fin = new Path(s"$corpusDir/gen=$v")
+      if (cfs.exists(fin)) cfs.delete(fin, true)
+      cfs.rename(tmp, fin)
+      val stale = cfs.listStatus(cpath).map(_.getPath.getName).filter { nm =>
+        numericSuffix(nm, "b=").exists(_ <= v) ||
+          numericSuffix(nm, "gen=").exists(_ < v)
+      }
+      stale.foreach(nm => cfs.delete(new Path(s"$corpusDir/$nm"), true))
+    } finally keep.unpersist(false)
+    spark.read.parquet(s"$stateDir/v=$v")
+  }
+
+  private def committedVersions(fs: FileSystem, stateDir: Path): Array[Long] =
+    if (!fs.exists(stateDir)) Array.empty[Long]
+    else fs.listStatus(stateDir).map(_.getPath)
+      .flatMap { vp =>
+        numericSuffix(vp.getName, "v=")
+          .filter(_ => fs.exists(new Path(vp, "_SUCCESS")))
+      }
+
   /** The latest COMMITTED assignment version under `stateDir` (bounded
     * directory listing — at most the retained two versions plus possibly
     * one torn overwrite exist). Versions without a `_SUCCESS` marker are
@@ -164,13 +245,7 @@ object ClusterMaintenance {
   def latestAssignment(spark: SparkSession, stateDir: String): DataFrame = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      if (!fs.exists(p)) Array.empty[Long]
-      else fs.listStatus(p).map(_.getPath)
-        .flatMap { vp =>
-          numericSuffix(vp.getName, "v=")
-            .filter(_ => fs.exists(new Path(vp, "_SUCCESS")))
-        }
+    val committed = committedVersions(fs, p)
     require(committed.nonEmpty,
       s"ClusterMaintenance: no committed assignment version under $stateDir " +
         "(the service has not completed any fold — or the dir is wrong)")

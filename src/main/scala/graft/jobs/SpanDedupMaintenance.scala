@@ -181,6 +181,62 @@ object SpanDedupMaintenance {
     sess.read.parquet(s"$cleanDir/b=$batchId")
   }
 
+  /** Takedown / retraction escape hatch: gram counts are APPEND-ONLY
+    * monoid state (a fold never decrements), so removing documents is an
+    * explicit OFFLINE rebuild — recount the grams of the RETAINED corpus
+    * (caller-provided: the service never stores text) into a single
+    * generation that supersedes every existing dir, with a fresh
+    * persisted Bloom filter. Afterwards the stream resumes unchanged:
+    * the next fold (batchId = maxIngested+1) resolves the rebuilt
+    * generation and dedupes against retained-only counts — equal to the
+    * full recompute over (retained ∪ batch), the same split identity as
+    * always. Already-emitted `cleanDir/b=N` deliverables are keyed by doc
+    * id and are the caller's to filter (this method rebuilds STATE).
+    *
+    * Cost: one gram recount over the retained corpus — O(corpus), the
+    * documented price of a retraction against append-only state.
+    *
+    * Crash contract: the recount is staged to a hidden temp dir and
+    * renamed over the generation (no committed dir is half-written), but
+    * a crash between steps can leave stale batch dirs or a missing
+    * filter — re-running the rebuild with the same retained corpus
+    * converges; readers degrade (scan-and-build, or stale counts) but
+    * never read torn parquet. Run it with the fold stream quiesced. */
+  def rebuildState(retained: DataFrame, gramDir: String,
+                   idCol: String, toksCol: String,
+                   cfg: Config = Config()): Unit = {
+    val sess = retained.sparkSession
+    val gpath = new Path(gramDir)
+    val fs = gpath.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    require(fs.exists(gpath),
+      s"rebuildState: no gram state under $gramDir")
+    val ids = fs.listStatus(gpath).map(_.getPath.getName).flatMap { nm =>
+      ClusterMaintenance.numericSuffix(nm, "b=")
+        .orElse(ClusterMaintenance.numericSuffix(nm, "gen="))
+    }
+    require(ids.nonEmpty,
+      s"rebuildState: no ingested batches or generations under $gramDir")
+    val g = ids.max
+    val tmp = new Path(s"$gramDir/.gen=$g.rebuild")
+    Dedup.spanGramCounts(retained, idCol, toksCol, cfg.n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val fin = new Path(s"$gramDir/gen=$g")
+    if (fs.exists(fin)) fs.delete(fin, true)
+    fs.rename(tmp, fin)
+    val genDf = sess.read.schema("gram_md5 string, cnt long").parquet(fin.toString)
+    writeBloom(fs, gramDir, g,
+      genDf.stat.bloomFilter("gram_md5", math.max(1L, genDf.count()), cfg.fpp))
+    val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
+      ClusterMaintenance.numericSuffix(nm, "b=").exists(_ <= g) ||
+        ClusterMaintenance.numericSuffix(nm, "gen=").exists(_ < g) ||
+        nm.startsWith("bloom=") && nm.endsWith(".bin") &&
+          ClusterMaintenance.numericSuffix(
+            nm.stripSuffix(".bin"), "bloom=").exists(_ < g)
+    }
+    stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
+    ()
+  }
+
   /** The accumulated corpus gram counts (sum-merged across the committed
     * generation and later batch dirs) — for a standalone batch job that
     * wants the state table itself (e.g. boilerplate mining over the most
@@ -192,8 +248,11 @@ object SpanDedupMaintenance {
       if (!fs.exists(gpath)) Seq.empty[Long]
       else fs.listStatus(gpath).map(_.getPath.getName)
         .flatMap(ClusterMaintenance.numericSuffix(_, "b=")).toSeq
-    val maxB = if (bs.isEmpty) -1L else bs.max
-    val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = maxB)
+    // a standalone reader takes the newest committed generation, whatever
+    // its id — after a tombstone rebuild the state can be ONE generation
+    // with no batch dirs at all (the replay-safety maxGen bound is a
+    // FOLD's concern, scoped to its own batchId)
+    val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = Long.MaxValue)
     val parts = gen.map(g => s"$gramDir/gen=$g").toSeq ++
       bs.filter(_ > gen.getOrElse(-1L)).sorted.map(i => s"$gramDir/b=$i")
     require(parts.nonEmpty,

@@ -72,6 +72,50 @@ class ClusterMaintenanceSpec extends SparkSpec {
     assert(cdirs == Seq("b=4", "b=5", "gen=3"), s"unexpected corpus dirs: $cdirs")
   }
 
+  test("tombstone rebuild == from-scratch on the filtered corpus; the stream resumes exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 80)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16, compactEvery = 2)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_tomb").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 3).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+      state, corpus, "vec_id", "embedding", cfg))
+    // takedown: every id divisible by 7 among the ingested 0..59
+    import spark.implicits._
+    val tomb = (0L until 60L).filter(_ % 7 == 0).toDF("vec_id")
+    val retained = emb.filter(col("vec_id") < 60 && col("vec_id") % 7 =!= 0)
+    val rebuilt = rows(ClusterMaintenance.rebuildWithoutTombstones(
+      spark, state, corpus, tomb, "vec_id", cfg))
+    val fromScratch = rows(Dedup.componentAssignments(
+      retained.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(retained, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(rebuilt == fromScratch,
+      s"rebuild diverged from the filtered from-scratch build (${rebuilt.size} vs ${fromScratch.size})")
+    // no tombstoned id survives in the assignment
+    assert(!rebuilt.exists(_._1 % 7 == 0), "tombstoned ids leaked into the rebuilt assignment")
+    // the corpus collapsed to the single filtered generation
+    val cdirs = new java.io.File(corpus).listFiles()
+      .map(_.getName).filter(n => n.startsWith("b=") || n.startsWith("gen=")).sorted.toSeq
+    assert(cdirs == Seq("gen=2"), s"unexpected corpus dirs after rebuild: $cdirs")
+    // the stream resumes: the next fold over the rebuilt state equals the
+    // full pruned build over (retained ∪ new batch) — the incremental
+    // theorem on the filtered corpus
+    ClusterMaintenance.foldBatch(batch(3), 3L, state, corpus, "vec_id", "embedding", cfg)
+    val resumed = rows(ClusterMaintenance.latestAssignment(spark, state))
+    val union = retained.unionByName(batch(3))
+    val fullUnion = rows(Dedup.componentAssignments(
+      union.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(union, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(resumed == fullUnion, "post-rebuild fold diverged from the filtered full build")
+  }
+
   test("latestAssignment skips torn (uncommitted) versions and errors clearly on empty state") {
     val root = java.nio.file.Files.createTempDirectory("cmaint_torn").toString
     val state = s"$root/state"

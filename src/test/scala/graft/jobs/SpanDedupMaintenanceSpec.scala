@@ -158,6 +158,58 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
       s"scan-and-build fallback should scan the gen state more than once, saw $withoutBloom")
   }
 
+  test("tombstone rebuild recounts the retained corpus; retraction semantics reach the next fold") {
+    // P recurs in batch-0 docs 0,1 and batch-3 doc 35; Q recurs in batch-1
+    // doc 10 and batch-3 doc 36. Tombstoning docs 0,1 must UNCOVER doc
+    // 35's P spans (its only other copies are retracted) while doc 36's Q
+    // spans stay covered via the retained doc 10 — the rebuild visibly
+    // changes dedup behavior, not just the state table.
+    val p = (0 until 10).map(i => s"p$i").mkString(" ")
+    val q = (0 until 10).map(i => s"q$i").mkString(" ")
+    def doc(id: Long): (Long, String) = {
+      val uniq = (0 until 12).map(j => s"w${id}_$j").mkString(" ")
+      val phrase = if (id <= 1 || id == 35) s" $p"
+                   else if (id == 10 || id == 36) s" $q"
+                   else ""
+      (id, uniq + phrase)
+    }
+    import spark.implicits._
+    val all = (0L until 40L).map(doc).toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    def batch(k: Int) = all.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
+    val root = java.nio.file.Files.createTempDirectory("sdm_tomb").toString
+    val (grams, clean) = (s"$root/grams", s"$root/clean")
+    val cfg = SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
+    (0 until 3).foreach(k => SpanDedupMaintenance.foldBatch(batch(k), k.toLong,
+      grams, clean, "doc_id", "toks", cfg))
+    val retained = all.filter(col("doc_id") < 30 && col("doc_id") > 1)
+    SpanDedupMaintenance.rebuildState(retained, grams, "doc_id", "toks", cfg)
+    // the state is exactly a recount of the retained corpus
+    val got = SpanDedupMaintenance.gramCounts(spark, grams)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = Dedup.spanGramCounts(retained, "doc_id", "toks", n = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "rebuilt gram state != recount of the retained corpus")
+    // a single filtered generation with its fresh persisted filter
+    val gdirs = new java.io.File(grams).listFiles()
+      .map(_.getName).filter(n => n.startsWith("b=") || n.startsWith("gen=")).sorted.toSeq
+    assert(gdirs == Seq("gen=2"), s"unexpected gram dirs after rebuild: $gdirs")
+    assert(new java.io.File(grams, "bloom=2.bin").exists(),
+      "rebuild must persist the generation filter")
+    // the stream resumes: fold 3 == full recompute over retained ∪ batch 3
+    val folded = key(SpanDedupMaintenance.foldBatch(batch(3), 3L,
+      grams, clean, "doc_id", "toks", cfg))
+    val full = key(Dedup.removeDuplicateSpansOfTokens(
+        retained.unionByName(batch(3)), "doc_id", "toks", n = 8)
+      .filter(col("id") >= 30))
+    assert(folded == full, "post-rebuild fold diverged from the filtered recompute")
+    // retraction is VISIBLE: doc 35's P spans uncovered, doc 36's Q covered
+    assert(folded.exists(r => r._1 == 35 && r._3 == 0),
+      "doc 35 should be uncovered after its duplicates were retracted")
+    assert(folded.exists(r => r._1 == 36 && r._3 > 0),
+      "doc 36 should stay covered via the retained doc 10")
+  }
+
   test("replaying the latest fold after compaction is idempotent (crash-recovery path)") {
     val docs = toks(spark.read.parquet(s"$sf/documents.parquet"))
       .filter(col("doc_id") < 30)
