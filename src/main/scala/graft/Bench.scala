@@ -122,6 +122,28 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // Stage warmup (untimed): entries whose DECLARED measurement is an
+    // increment over a shared per-process staged build (q94's incremental
+    // fold over the staged prior, the q95/q99 consumers of the staged
+    // exhaustive assignment, q117's read of the staged service state)
+    // would otherwise absorb the one-time first-caller staging cost into
+    // whichever timed entry happens to run first — visible only when that
+    // first pass lands UNDER the stall-defense re-bench threshold, which
+    // is exactly what the round-11 warm-start speedup did to q95 (staging
+    // dropped 4.x -> 2.7 s, the re-run stopped firing, and the entry's
+    // recorded minimum silently became build+read). The build costs stay
+    // measured where they are declared to live: q93 constructs the
+    // exhaustive assignment in-query and q115/q116 run the full fold
+    // sequence inside their own entries on every pass.
+    selected.foreach { case (name, fn) =>
+      if (Seq("q94_", "q95_", "q99_", "q117_").exists(name.startsWith)) {
+        spark.sparkContext.setJobDescription(s"stagewarm:$name")
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] stage warmup $name failed: ${e.getMessage}")
+        } finally spark.sparkContext.setJobDescription(null)
+      }
+    }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val q0 = System.nanoTime()
       // thread-local job description: tags this query's jobs in the Spark
@@ -845,6 +867,18 @@ object Bench {
       "q61_pentomino_onesided")
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
         && scalingDir != sfDir) {
+      // same untimed stage warmup as the main pass, at the scaling dir —
+      // the staged-consumer entries' ratios must compare increment to
+      // increment, not (clean big) / (build+read small)
+      selected.foreach { case (name, fn) =>
+        if (Seq("q94_", "q95_", "q99_", "q117_").exists(name.startsWith)) {
+          spark.sparkContext.setJobDescription(s"stagewarm:$name")
+          try fn(spark, scalingDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] scaling stage warmup $name failed: ${e.getMessage}")
+          } finally spark.sparkContext.setJobDescription(null)
+        }
+      }
       selected.filterNot(q => dirIndependent(q._1)).foreach { case (name, fn) =>
         val q0 = System.nanoTime()
         try {

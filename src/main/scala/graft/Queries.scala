@@ -2460,11 +2460,14 @@ object Queries {
     * wave files (the SAME split as q115, so this query answers to q115's
     * oracle verbatim); each micro-batch tokenizes its slice and folds it
     * through [[jobs.SpanDedupMaintenance.foldBatch]] — gram-count state,
-    * persisted-generation Bloom, compactEvery=2 so the third fold
-    * compacts UNDER this oracle. Run 1 is killed once batch 1 commits
-    * (stop can land mid-batch); run 2 resumes from the checkpoint,
-    * replays any in-flight batch (foldBatch's keyed overwrites make the
-    * replay byte-identical — idempotence IS the exactly-once story), and
+    * persisted-generation Bloom, compactEvery=1 (the tightest cadence):
+    * fold 1 commits `gen=0` + its filter, so the POST-RESTART fold
+    * resolves its prior through a committed generation and probes the
+    * persisted Bloom in-stream, and fold 2's own compaction also runs
+    * UNDER this oracle. Run 1 is killed once batch 1 commits (stop can
+    * land mid-batch); run 2 resumes from the checkpoint, replays any
+    * in-flight batch (foldBatch's keyed overwrites make the replay
+    * byte-identical — idempotence IS the exactly-once story), and
     * drains. The final clean outputs must equal the batch service's fold
     * sequence exactly, kill-point independent. */
   def streamingSpanDedupService(spark: SparkSession, dir: String): DataFrame = {
@@ -2504,7 +2507,7 @@ object Queries {
     }
     val waveSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id long, text string")
-    val cfg = jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
+    val cfg = jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 1)
     def start() = ss.readStream.schema(waveSchema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream.option("checkpointLocation", chk)
