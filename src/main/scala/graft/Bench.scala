@@ -135,8 +135,9 @@ object Bench {
     // measured where they are declared to live: q93 constructs the
     // exhaustive assignment in-query and q115/q116 run the full fold
     // sequence inside their own entries on every pass.
+    val stagedConsumers = Seq("q94_", "q95_", "q99_", "q117_", "q118_", "q119_")
     selected.foreach { case (name, fn) =>
-      if (Seq("q94_", "q95_", "q99_", "q117_").exists(name.startsWith)) {
+      if (stagedConsumers.exists(name.startsWith)) {
         spark.sparkContext.setJobDescription(s"stagewarm:$name")
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>

@@ -2453,6 +2453,103 @@ object Queries {
       .filter(col("cnt") >= 2)
       .orderBy(col("cnt").desc, col("gram_md5"))
 
+  /** Recursive copy of a state directory tree through the Hadoop FS API —
+    * the tombstone-rebuild gates copy the per-process STAGED service
+    * state to a private temp root before mutating it (a rebuild
+    * overwrites versions and sweeps dirs; the shared stage must stay
+    * pristine for other entries and repeat runs). */
+  private def copyStateDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf)
+    ()
+  }
+
+  /** Span-service tombstone rebuild, GATED (q118): every doc_id divisible
+    * by 7 is retracted from the accumulated gram state via
+    * [[jobs.SpanDedupMaintenance.rebuildState]] — the service's takedown
+    * escape hatch run against real state (the staged q115 fold sequence,
+    * copied to a private root first) — and the rebuilt state answers to
+    * q117's oracle restricted to the retained corpus: a flat DuckDB
+    * recount over documents WHERE doc_id % 7 <> 0. A rebuild that kept a
+    * tombstoned doc's grams, lost a retained doc's, or failed to
+    * supersede the old generation changes some count and hash-fails. */
+  def tombstoneSpanRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val staged = spanServiceGramState(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("q118_reb").toString
+    copyStateDir(spark, staged, s"$root/grams")
+    val retained = t(spark, dir).documents
+      .filter(col("doc_id").cast("long") % 7 =!= 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        functions.TextFunctions.tokens(col("text")).as("toks"))
+    jobs.SpanDedupMaintenance.rebuildState(retained, s"$root/grams",
+      "doc_id", "toks", jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 2))
+    jobs.SpanDedupMaintenance.gramCounts(spark, s"$root/grams")
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt").desc, col("gram_md5"))
+  }
+
+  /** The cluster service's state after ingesting the whole embedding
+    * corpus as one fold, staged once per process — the takedown gate
+    * (q119) copies and then mutates it, so its bench entry measures the
+    * REBUILD, not a repeated service build. */
+  private val clusterSvcStates = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+  private def clusterServiceState(spark: SparkSession, dir: String): String = {
+    val key = s"clussvc_${dirKey(dir)}"
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val f = clusterSvcStates.putIfAbsent(key, fresh) match {
+      case null =>
+        try {
+          val root = scratchDir(spark, key)
+          val emb = t(spark, dir).embeddings
+            .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          jobs.ClusterMaintenance.foldBatch(emb, 0L,
+            s"$root/state", s"$root/corpus", "vec_id", "embedding",
+            jobs.ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+              dim = 64, probeRadius = 1, numTables = 16))
+          fresh.complete(root)
+        } catch {
+          case e: Throwable =>
+            fresh.completeExceptionally(e)
+            clusterSvcStates.remove(key, fresh)
+        }
+        fresh
+      case existing => existing
+    }
+    f.get()
+  }
+
+  /** Cluster-service tombstone rebuild, GATED (q119): every vec_id
+    * divisible by 7 is retracted via
+    * [[jobs.ClusterMaintenance.rebuildWithoutTombstones]] — the from-
+    * scratch pruned build over the retained corpus, run against real
+    * committed service state (staged, copied to a private root) — and
+    * the rebuilt head assignment answers to q103's full pruned-pipeline
+    * replay restricted to the retained corpus (the identical seeded
+    * signatures / probe masks / bucket join / cosine gate / recursive
+    * closure, over embeddings WHERE vec_id % 7 <> 0). A tombstoned id
+    * surviving, a retained pair lost, or a label drifting from the
+    * filtered min all hash-fail. */
+  def tombstoneClusterRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val staged = clusterServiceState(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("q119_reb").toString
+    copyStateDir(spark, s"$staged/state", s"$root/state")
+    copyStateDir(spark, s"$staged/corpus", s"$root/corpus")
+    val tomb = t(spark, dir).embeddings
+      .select(col("vec_id").cast("long").as("vec_id"))
+      .filter(col("vec_id") % 7 === 0)
+    jobs.ClusterMaintenance.rebuildWithoutTombstones(spark,
+        s"$root/state", s"$root/corpus", tomb, "vec_id",
+        jobs.ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+          dim = 64, probeRadius = 1, numTables = 16))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   /** STREAMING span-dedup maintenance (q116): q115's service driven the
     * way q104 drives the cluster service — from the file-source ingest
     * path via foreachBatch, with a kill/outage/restart through the

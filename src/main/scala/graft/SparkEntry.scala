@@ -218,7 +218,11 @@ object SparkEntry {
     * `MultiTableLsh(numPlanes = 4, numTables = 16, dim = 64)` uses —
     * planes(t*4 + i) is bit i of table t's signature. Emits CTEs
     * `e(vec_id, v)`, `sg`, and the long-form `cs(id, t, sig)`. */
-  private def lshSigCtes: String = {
+  /** `corpusWhere`: optional SQL predicate restricting the embedding
+    * corpus the whole replay runs over — the tombstone-rebuild gate
+    * (q119) replays the identical pruned pipeline on the RETAINED corpus
+    * by injecting the tombstone filter here; empty for q103/q104. */
+  private def lshSigCtes(corpusWhere: String = ""): String = {
     val planes = graft.operators.Similarity.randomPlanes(64, 64)
     def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
     val sigCols = (0 until 16).map { t =>
@@ -228,13 +232,13 @@ object SparkEntry {
       s"${bits.mkString(" + ")} AS sig$t"
     }.mkString(",\n")
     val sigList = (0 until 16).map(t => s"sig$t").mkString("[", ", ", "]")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$corpusWhere),
        |sg AS (SELECT vec_id, v, $sigCols FROM e),
        |cs AS (SELECT vec_id AS id, t, $sigList[t + 1] AS sig FROM sg, range(0, 16) r(t))""".stripMargin
   }
 
   private def lshPipelineCtes(mod: Int): String = {
-    s"""$lshSigCtes,
+    s"""${lshSigCtes()},
        |qp AS (SELECT id AS qid, t,
        |  unnest([xor(sig, 0), xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
        |  FROM cs WHERE id % 50 = $mod),
@@ -350,8 +354,9 @@ object SparkEntry {
     * id_b probed sig, id_a < id_b — Hamming ≤ 1 in some table), the exact
     * cosine gate, then the q93 recursive min-label closure widened to full
     * coverage. Nothing is taken from the Spark run. */
-  private def prunedClusterOracleSql(threshold: Double): String =
-    s"""WITH RECURSIVE $lshSigCtes,
+  private def prunedClusterOracleSql(threshold: Double,
+                                     corpusWhere: String = ""): String =
+    s"""WITH RECURSIVE ${lshSigCtes(corpusWhere)},
        |pb AS (SELECT id, t,
        |  unnest([xor(sig, 0), xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
        |  FROM cs),
@@ -597,7 +602,9 @@ object SparkEntry {
     "q114_hybrid_quant_fusion" -> Queries.hybridQuantFusion _,
     "q115_span_dedup_service" -> Queries.spanDedupService _,
     "q116_stream_span_dedup" -> Queries.streamingSpanDedupService _,
-    "q117_boilerplate_grams" -> Queries.boilerplateGrams _
+    "q117_boilerplate_grams" -> Queries.boilerplateGrams _,
+    "q118_tombstone_span_rebuild" -> Queries.tombstoneSpanRebuild _,
+    "q119_tombstone_cluster_rebuild" -> Queries.tombstoneClusterRebuild _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1946,17 +1953,35 @@ object SparkEntry {
     // of every 8-token window in the corpus — per-batch counts, the
     // compaction's sum-merge, and the reader's final merge must compose
     // to exactly this (recurring grams only, ranked).
-    "q117_boilerplate_grams" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
-        |  FROM t WHERE len(toks) >= 8),
-        |g AS (SELECT md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram_md5 FROM idx)
-        |SELECT gram_md5, CAST(count(*) AS BIGINT) AS cnt FROM g
-        |GROUP BY gram_md5 HAVING count(*) >= 2
-        |ORDER BY cnt DESC, gram_md5""".stripMargin,
+    "q117_boilerplate_grams" -> boilerplateGramsOracle(""),
+    // q118: the span-service TAKEDOWN path — after rebuildState retracts
+    // every doc_id % 7 == 0 from the accumulated state, the state must
+    // equal the flat recount over only the retained documents.
+    "q118_tombstone_span_rebuild" ->
+      boilerplateGramsOracle(" WHERE doc_id % 7 <> 0"),
+    // q119: the cluster-service TAKEDOWN path — after
+    // rebuildWithoutTombstones retracts every vec_id % 7 == 0, the head
+    // assignment must equal the full pruned-pipeline replay over only
+    // the retained embeddings (q103's oracle with the tombstone filter
+    // injected at the corpus source).
+    "q119_tombstone_cluster_rebuild" ->
+      prunedClusterOracleSql(0.35, " WHERE vec_id % 7 <> 0"),
     "q115_span_dedup_service" -> spanServiceFoldOracle
   )
+
+  /** Flat recount of every 8-token window over the (optionally filtered)
+    * documents corpus, recurring grams ranked — q117 checks the service's
+    * accumulated state against it; q118 checks the tombstone-REBUILT
+    * state against the retained-corpus restriction. */
+  private def boilerplateGramsOracle(corpusWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+      |  FROM documents$corpusWhere),
+      |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
+      |  FROM t WHERE len(toks) >= 8),
+      |g AS (SELECT md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram_md5 FROM idx)
+      |SELECT gram_md5, CAST(count(*) AS BIGINT) AS cnt FROM g
+      |GROUP BY gram_md5 HAVING count(*) >= 2
+      |ORDER BY cnt DESC, gram_md5""".stripMargin
 
   /** The span-dedup service fold-sequence replay, shared by q115 (batch
     * folds) and q116 (the same folds driven through the streaming
