@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions._
   *    corpus every batch probes is read as ONE generation dir plus the
   *    few batch dirs after it — per-fold listing and small-file overhead
   *    stay bounded by `compactEvery` at any stream length, instead of
-  *    growing linearly with batch count.
+  *    growing linearly with batch count;
+  *  - `corpusDir/bk=N` / `corpusDir/bkgen=G` — batch N's LSH bucket rows
+  *    ([[Similarity.lshBucketTable]]: id, table, signature) and their
+  *    compacted generation, maintained in lockstep with the vector dirs.
+  *    A fold whose bucket dirs are all committed probes the PERSISTED
+  *    table instead of recomputing numTables·numPlanes·dim signature
+  *    multiplies over the whole corpus — the per-fold corpus cost drops
+  *    to one vector scan (the exact cosine gate). Any missing dir
+  *    (legacy layout, crash window) degrades that fold to the direct
+  *    recomputation with identical results.
   *
   * Commit protocol: a state version or generation dir is COMMITTED iff it
   * contains the `_SUCCESS` marker Spark's file committer writes last — a
@@ -95,14 +104,39 @@ object ClusterMaintenance {
           b.limit(0).select(col("vec_id").as("id"),
             col("vec_id").as("cluster_id"))
         else sess.read.parquet(s"$stateDir/v=${batchId - 1}")
-      val pairs = Similarity.cosineNearDupPairsAgainst(b, corpus,
-        "vec_id", "embedding", threshold = cfg.threshold,
-        numPlanes = cfg.numPlanes, dim = cfg.dim,
-        probeRadius = cfg.probeRadius, numTables = cfg.numTables)
+      // Accumulated corpus BUCKET state (bk=N / bkgen=G beside the corpus
+      // dirs): when every needed dir is committed, the fold probes the
+      // persisted (id, t, sig) rows instead of recomputing
+      // numTables·numPlanes·dim signature multiplies over the whole
+      // corpus — the per-fold corpus term drops to one vector scan (the
+      // exact cosine gate). Any missing dir (pre-upgrade layout, crash
+      // between commits) degrades that fold to the direct recomputation
+      // with identical results — exactness never rides on the cache.
+      val bgen = latestGeneration(fs, cpath, maxGen = batchId - 1,
+        prefix = "bkgen=")
+      val bkParts = bgen.map(g => s"$corpusDir/bkgen=$g").toSeq ++
+        ((bgen.getOrElse(-1L) + 1) until batchId).map(i => s"$corpusDir/bk=$i")
+      val bucketsOk = corpusParts.nonEmpty &&
+        ((bgen.getOrElse(-1L) + 1) until batchId).forall(i =>
+          fs.exists(new Path(s"$corpusDir/bk=$i")))
+      val pairs =
+        if (bucketsOk)
+          Similarity.cosineNearDupPairsAgainstBucketed(b, corpus,
+            sess.read.schema("id long, t int, sig long").parquet(bkParts: _*),
+            "vec_id", "embedding", threshold = cfg.threshold,
+            numPlanes = cfg.numPlanes, dim = cfg.dim,
+            probeRadius = cfg.probeRadius, numTables = cfg.numTables)
+        else Similarity.cosineNearDupPairsAgainst(b, corpus,
+          "vec_id", "embedding", threshold = cfg.threshold,
+          numPlanes = cfg.numPlanes, dim = cfg.dim,
+          probeRadius = cfg.probeRadius, numTables = cfg.numTables)
       val next = Dedup.incrementalComponentAssignments(prior,
         b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
       next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
       b.write.mode("overwrite").parquet(s"$corpusDir/b=$batchId")
+      Similarity.lshBucketTable(b, "vec_id", "embedding",
+          cfg.numPlanes, cfg.dim, cfg.numTables)
+        .write.mode("overwrite").parquet(s"$corpusDir/bk=$batchId")
       if (batchId >= 2) {
         val p = new Path(s"$stateDir/v=${batchId - 2}")
         p.getFileSystem(hconf).delete(p, true)
@@ -118,9 +152,21 @@ object ClusterMaintenance {
           (batchId - 1) - gen.getOrElse(-1L) >= cfg.compactEvery) {
         val newGen = batchId - 1
         corpus.write.mode("overwrite").parquet(s"$corpusDir/gen=$newGen")
+        // the bucket state compacts alongside: bucket rows are row state
+        // (no aggregation), so the generation is just the committed
+        // union of the dirs this fold read — or a recomputation from the
+        // corpus when a dir is missing (legacy layout)
+        val bkGenDf =
+          if (bucketsOk)
+            sess.read.schema("id long, t int, sig long").parquet(bkParts: _*)
+          else Similarity.lshBucketTable(corpus, "vec_id", "embedding",
+            cfg.numPlanes, cfg.dim, cfg.numTables)
+        bkGenDf.write.mode("overwrite").parquet(s"$corpusDir/bkgen=$newGen")
         val stale = fs.listStatus(cpath).map(_.getPath.getName).filter { nm =>
           numericSuffix(nm, "b=").exists(_ <= newGen) ||
-            numericSuffix(nm, "gen=").exists(_ < newGen)
+            numericSuffix(nm, "gen=").exists(_ < newGen) ||
+            numericSuffix(nm, "bk=").exists(_ <= newGen) ||
+            numericSuffix(nm, "bkgen=").exists(_ < newGen)
         }
         stale.foreach(nm => fs.delete(new Path(s"$corpusDir/$nm"), true))
       }
@@ -143,13 +189,16 @@ object ClusterMaintenance {
   /** Latest COMMITTED generation ≤ `maxGen` under the corpus dir: a
     * `gen=G` dir counts only with its `_SUCCESS` marker (a torn dir from
     * a crash mid-compaction is invisible — readers fall back to the
-    * previous generation plus the still-present batch dirs). */
+    * previous generation plus the still-present batch dirs). `prefix`
+    * selects the state namespace: `gen=` for corpus/gram generations,
+    * `bkgen=` for the bucket-table generations beside them. */
   private[jobs] def latestGeneration(fs: FileSystem, corpusDir: Path,
-                               maxGen: Long): Option[Long] = {
+                               maxGen: Long,
+                               prefix: String = "gen="): Option[Long] = {
     if (!fs.exists(corpusDir)) return None
     val gens = fs.listStatus(corpusDir).map(_.getPath)
       .flatMap { p =>
-        numericSuffix(p.getName, "gen=").filter(g =>
+        numericSuffix(p.getName, prefix).filter(g =>
           g <= maxGen && fs.exists(new Path(p, "_SUCCESS")))
       }
     if (gens.isEmpty) None else Some(gens.max)
@@ -219,9 +268,17 @@ object ClusterMaintenance {
       val fin = new Path(s"$corpusDir/gen=$v")
       if (cfs.exists(fin)) cfs.delete(fin, true)
       cfs.rename(tmp, fin)
+      // the bucket state MUST be rebuilt too: stale bk= dirs reference
+      // tombstoned ids, and a later fold probing them would resurrect
+      // retracted vectors as candidates
+      Similarity.lshBucketTable(keep, "vec_id", "embedding",
+          cfg.numPlanes, cfg.dim, cfg.numTables)
+        .write.mode("overwrite").parquet(s"$corpusDir/bkgen=$v")
       val stale = cfs.listStatus(cpath).map(_.getPath.getName).filter { nm =>
         numericSuffix(nm, "b=").exists(_ <= v) ||
-          numericSuffix(nm, "gen=").exists(_ < v)
+          numericSuffix(nm, "gen=").exists(_ < v) ||
+          numericSuffix(nm, "bk=").exists(_ <= v) ||
+          numericSuffix(nm, "bkgen=").exists(_ < v)
       }
       stale.foreach(nm => cfs.delete(new Path(s"$corpusDir/$nm"), true))
     } finally keep.unpersist(false)

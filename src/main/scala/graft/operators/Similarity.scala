@@ -362,6 +362,67 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Per-row multi-table LSH bucket rows — (id, t ∈ 0..numTables-1,
+    * sig) — the PRECOMPUTABLE corpus side of
+    * [[cosineNearDupPairsAgainst]]. The hyperplanes are deterministic in
+    * (numPlanes, numTables, dim) (seeded [[randomPlanes]]), so rows
+    * persisted beside a corpus stay valid for every later call with the
+    * same configuration: a maintenance service appends one batch-sized
+    * bucket table per fold and the accumulated state replaces the
+    * corpus-wide signature recomputation (numTables·numPlanes·dim
+    * multiplies PER CORPUS ROW PER FOLD) with a compact parquet read. */
+  def lshBucketTable(df: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int, dim: Int, numTables: Int): DataFrame = {
+    val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius = 0)
+    df.select(col(idCol).as("id"), lsh.sigs(col(vecCol)).as("sigs"))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+  }
+
+  /** [[cosineNearDupPairsAgainst]] with a PREBUILT corpus bucket table —
+    * the service form. `corpusBuckets` must be [[lshBucketTable]] rows
+    * (id, t, sig) covering EXACTLY the rows of `corpus` at the same
+    * (numPlanes, dim, numTables): the fold then computes signatures only
+    * for the batch, and the corpus's vectors are read once (the exact
+    * cosine gate), not twice. Candidate completeness is unchanged —
+    * probe-mask symmetry cares only about which (t, sig) rows exist,
+    * not how they were produced. The exhaustive configuration
+    * (numTables=1, probeRadius ≥ numPlanes) has no bucket table to
+    * reuse and delegates to the direct form. */
+  def cosineNearDupPairsAgainstBucketed(batch: DataFrame, corpus: DataFrame,
+                                        corpusBuckets: DataFrame,
+                                        idCol: String, vecCol: String,
+                                        threshold: Double, numPlanes: Int,
+                                        dim: Int, probeRadius: Int,
+                                        numTables: Int): DataFrame = {
+    import graft.plans.VectorExpressions.vec_dot
+    if (numTables == 1 && probeRadius >= numPlanes)
+      return cosineNearDupPairsAgainst(batch, corpus, idCol, vecCol,
+        threshold, numPlanes, dim, probeRadius, numTables)
+    val lsh = MultiTableLsh(numPlanes, numTables, dim, probeRadius)
+    val batchBk = lshBucketTable(batch, idCol, vecCol, numPlanes, dim, numTables)
+    val base = corpusBuckets.select(col("id"), col("t"), col("sig"))
+      .unionByName(batchBk)
+    val probed = batchBk
+      .select(col("id").as("bid"), col("t"), lsh.probes(col("sig")).as("sig"))
+    val cand = base.join(probed, Seq("t", "sig"))
+      .filter(col("bid") =!= col("id"))
+      .select(col("bid"), col("id"))
+    val pairs = cand
+      .select(least(col("bid"), col("id")).as("id_a"),
+        greatest(col("bid"), col("id")).as("id_b"))
+      .distinct()
+    val full = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val v = full.select(col("id"), col("vec"),
+      sqrt(vec_dot(col("vec"), col("vec"))).as("norm"))
+    pairs
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Per-query recall of an ANN result against a ground-truth top-k: for each
     * qid, k = |truth rows|, hits = |ann ∩ truth| on (qid, id), recall =
     * hits/k. Both inputs are (qid, id[, ...]) top-k tables; the join is on the

@@ -70,6 +70,37 @@ class ClusterMaintenanceSpec extends SparkSpec {
     val cdirs = new java.io.File(corpus).listFiles()
       .map(_.getName).filter(n => n.startsWith("b=") || n.startsWith("gen=")).sorted.toSeq
     assert(cdirs == Seq("b=4", "b=5", "gen=3"), s"unexpected corpus dirs: $cdirs")
+    // the bucket state compacts in lockstep and is equally bounded
+    val bdirs = new java.io.File(corpus).listFiles()
+      .map(_.getName).filter(n => n.startsWith("bk=") || n.startsWith("bkgen=")).sorted.toSeq
+    assert(bdirs == Seq("bk=4", "bk=5", "bkgen=3"), s"unexpected bucket dirs: $bdirs")
+  }
+
+  test("missing bucket dirs degrade a fold to direct recomputation with identical results") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 60)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_nobk").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 2).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+      state, corpus, "vec_id", "embedding", cfg))
+    // simulate a pre-upgrade layout: the persisted bucket tables vanish
+    new java.io.File(corpus).listFiles()
+      .filter(f => f.getName.startsWith("bk=") || f.getName.startsWith("bkgen="))
+      .foreach(f => { def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); () }
+        rm(f) })
+    ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfg)
+    val got = rows(ClusterMaintenance.latestAssignment(spark, state))
+    val full = rows(Dedup.componentAssignments(
+      emb.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(got == full, "fallback fold diverged from the full pruned build")
   }
 
   test("tombstone rebuild == from-scratch on the filtered corpus; the stream resumes exactly") {

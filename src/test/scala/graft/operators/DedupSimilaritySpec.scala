@@ -635,6 +635,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prebucketed Against == direct Against (the persisted bucket-state path)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val h = 400L
+    val old = emb.filter(col("vec_id") < h)
+    val batch = emb.filter(col("vec_id") >= h)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket rows round-tripped through parquet exactly as the service
+    // persists them — the claim is that STORED (id, t, sig) rows are a
+    // full substitute for recomputing the corpus-side signatures
+    val bkDir = java.nio.file.Files.createTempDirectory("bktab").toString
+    Similarity.lshBucketTable(old, "vec_id", "embedding",
+        numPlanes = 4, dim = 64, numTables = 16)
+      .write.mode("overwrite").parquet(bkDir)
+    val stored = spark.read.schema("id long, t int, sig long").parquet(bkDir)
+    val direct = rows(Similarity.cosineNearDupPairsAgainst(batch, old,
+      "vec_id", "embedding", threshold = 0.3, numPlanes = 4, dim = 64,
+      probeRadius = 1, numTables = 16))
+    val bucketed = rows(Similarity.cosineNearDupPairsAgainstBucketed(batch, old,
+      stored, "vec_id", "embedding", threshold = 0.3, numPlanes = 4, dim = 64,
+      probeRadius = 1, numTables = 16))
+    assert(bucketed == direct,
+      s"prebucketed pairs diverged (${bucketed.size} vs ${direct.size})")
+    assert(direct.nonEmpty, "premise: the config must produce pairs on this data")
+  }
+
   test("cluster-keyed split: no near-dup pair ever crosses a split boundary (q95 leakage property)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
