@@ -723,8 +723,9 @@ object Bench {
         // cartesian-free (the same no-crossJoin property q103's spec pins
         // at the gate SF).
         // Default 2*10^5 (~13 s) keeps the per-round bench affordable; the
-        // one-off MILLION-vector deep soak (SPARK_GRAFT_SOAK_EMB_N=1000000,
-        // 258.7 s — recorded in PLANS.md) validated the identical exact
+        // one-off MILLION-vector deep soak (SPARK_GRAFT_SOAK_EMB_N=1000000;
+        // 258.7 s at r9, re-measured 214.4 s at r12 on the warm-start code —
+        // both recorded in PLANS.md) validated the identical exact
         // structure at 2000x the gate SF's vector count.
         val n = sys.env.getOrElse("SPARK_GRAFT_SOAK_EMB_N", "200000").toLong
         require(n % 5 == 0 && n / 5 <= (1L << 20),
@@ -765,8 +766,9 @@ object Bench {
         // cross-batch probe path must stitch split clusters back together
         // or the exact structure check fails. Also validates the
         // two-version state retention. 50x the gate corpus by default
-        // (SPARK_GRAFT_SOAK_SVC_N; the 50k run measured 36 s on a slow
-        // host window — three CC builds over a growing universe dominate).
+        // (SPARK_GRAFT_SOAK_SVC_N; the 50k run measured 36 s on a slow r10
+        // host window, 34.9 s at r12 with the persisted bucket-table path —
+        // three CC builds over a growing universe dominate).
         val n = sys.env.getOrElse("SPARK_GRAFT_SOAK_SVC_N", "25000").toLong
         require(n % 5 == 0 && n / 5 <= (1L << 20) && (n / 3) % 5 != 0,
           s"soak_cluster_service needs n % 5 == 0, n/5 <= 2^20, and " +
