@@ -1780,12 +1780,14 @@ object Queries {
     * path. The low-id 80% of the corpus is "yesterday's" accumulated
     * assignment; the high-id 20% arrives as a batch whose similarity pairs
     * are computed only against batch × accumulated (every pair here touches
-    * a new id). `Dedup.incrementalComponentAssignments` folds the batch in
-    * by replacing each old cluster with its star — provably the same
+    * a new id). `Dedup.incrementalComponentAssignmentsScoped` folds the
+    * batch in by replacing each AFFECTED old cluster with its star and
+    * passing untouched clusters through verbatim — provably the same
     * components, and with append-only ids the same labels, as a full
-    * recompute (equality spec-gated in DedupSimilaritySpec). At 100 TB this
-    * is the difference between a daily corpus² re-cluster and a
-    * daily batch-sized one. */
+    * recompute (scoped == unscoped == full equality spec-gated in
+    * DedupSimilaritySpec). At 100 TB this is the difference between a
+    * daily corpus² re-cluster and a daily batch-sized one — and the scoped
+    * form keeps even the CC rounds off the corpus. */
   def incrementalSemanticClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir).embeddings
     val maxId = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
@@ -1808,7 +1810,7 @@ object Queries {
     val newPairs = Similarity.cosineNearDupPairsAgainst(
       emb.filter(col("vec_id") >= h), old, "vec_id", "embedding",
       threshold = 0.35, numPlanes = 8, dim = 64, probeRadius = 8, numTables = 1)
-    Dedup.incrementalComponentAssignments(prior,
+    Dedup.incrementalComponentAssignmentsScoped(prior,
         emb.filter(col("vec_id") >= h)
           .select(col("vec_id").cast("long").as("vec_id")), "vec_id",
         newPairs, "id_a", "id_b")
@@ -1867,8 +1869,8 @@ object Queries {
     * (`cosineNearDupPairsAgainst`, 16x4-bit radius-1 — batch probes the
     * accumulated bucket table, never corpus x corpus) and folds the new
     * pairs into a VERSIONED parquet assignment state:
-    * state/v=N = `incrementalComponentAssignments`(state/v=N-1, batch,
-    * pairs), corpus/b=N = the batch vectors. Every write is
+    * state/v=N = `incrementalComponentAssignmentsScoped`(state/v=N-1,
+    * batch, pairs), corpus/b=N = the batch vectors. Every write is
     * mode(overwrite) keyed by batchId, so a replayed in-flight batch
     * rewrites v=N byte-identically — idempotence IS the exactly-once
     * story for a foreachBatch sink, and it makes the final state

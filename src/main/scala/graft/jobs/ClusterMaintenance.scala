@@ -57,11 +57,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per fold: |batch| x bucket-candidate similarity
   * ([[Similarity.cosineNearDupPairsAgainst]], the pruned multi-table LSH
-  * probe — never corpus x corpus) plus connected components over
-  * (corpus star edges + new pairs), warm-started from the prior
-  * assignment (see [[Dedup.incrementalComponentAssignments]] — label
-  * distance is already 0 inside unchanged clusters, so rounds track the
-  * NEW structure, not the corpus diameter).
+  * probe — never corpus x corpus) plus connected components SCOPED to the
+  * affected subgraph ([[Dedup.incrementalComponentAssignmentsScoped]]):
+  * untouched prior clusters pass through verbatim, the CC loop iterates
+  * only over (affected-cluster star edges + new pairs), warm-started from
+  * the prior labels. The per-fold corpus terms left are sequential scans
+  * (one vector scan for the cosine gate, broadcast-probe scans of the
+  * prior assignment) and the full-coverage state write — nothing
+  * corpus-sized is shuffled or iterated.
   */
 object ClusterMaintenance {
 
@@ -69,10 +72,17 @@ object ClusterMaintenance {
     * certifies (q103/q104 and the service soak) — a caller accepting the
     * defaults gets exactly the recall the correctness gates measure.
     * `compactEvery = 8`: consolidate the corpus once the latest committed
-    * generation trails the fold by this many batch dirs (≤ 0 disables). */
+    * generation trails the fold by this many batch dirs (≤ 0 disables).
+    * `scopedFold = true`: run each fold's component closure on the AFFECTED
+    * subgraph only ([[Dedup.incrementalComponentAssignmentsScoped]] —
+    * untouched prior clusters pass through verbatim, provably identical
+    * output), so the iterative CC cost tracks the batch, not the corpus.
+    * Set false only when a batch's candidate-pair endpoint set is too large
+    * to broadcast (≳10⁸ pairs) — results are identical either way. */
   final case class Config(threshold: Double = 0.35, numPlanes: Int = 4,
                           dim: Int = 64, probeRadius: Int = 1,
-                          numTables: Int = 16, compactEvery: Int = 8)
+                          numTables: Int = 16, compactEvery: Int = 8,
+                          scopedFold: Boolean = true)
 
   /** Fold one ingest batch — (idCol: integral, vecCol: array<float>) —
     * into the versioned state. Reads `stateDir/v=${batchId-1}` and the
@@ -102,7 +112,8 @@ object ClusterMaintenance {
       val prior =
         if (batchId == 0)
           b.limit(0).select(col("vec_id").as("id"),
-            col("vec_id").as("cluster_id"))
+            col("vec_id").as("cluster_id"),
+            lit(1L).as("cluster_size"), lit(1).as("is_canonical"))
         else sess.read.parquet(s"$stateDir/v=${batchId - 1}")
       // Accumulated corpus BUCKET state (bk=N / bkgen=G beside the corpus
       // dirs): when every needed dir is committed, the fold probes the
@@ -130,8 +141,12 @@ object ClusterMaintenance {
           "vec_id", "embedding", threshold = cfg.threshold,
           numPlanes = cfg.numPlanes, dim = cfg.dim,
           probeRadius = cfg.probeRadius, numTables = cfg.numTables)
-      val next = Dedup.incrementalComponentAssignments(prior,
-        b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      val next =
+        if (cfg.scopedFold)
+          Dedup.incrementalComponentAssignmentsScoped(prior,
+            b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+        else Dedup.incrementalComponentAssignments(prior,
+          b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
       next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
       b.write.mode("overwrite").parquet(s"$corpusDir/b=$batchId")
       Similarity.lshBucketTable(b, "vec_id", "embedding",

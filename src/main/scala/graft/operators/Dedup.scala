@@ -578,6 +578,101 @@ object Dedup {
       maxIter, seed)
   }
 
+  /** SCOPED form of [[incrementalComponentAssignments]]: restrict the fold's
+    * CC loop to the AFFECTED subgraph and pass every untouched prior row
+    * through verbatim. Same inputs, same output, same exactness — but the
+    * per-fold iterative cost becomes batch-proportional instead of
+    * corpus-proportional.
+    *
+    * Why this is exact (and not an approximation): in the star-reduced
+    * graph G = star(all old clusters) ∪ `newEdges`, an old cluster NONE of
+    * whose members touches a new edge is a connected component of G all by
+    * itself — its members connect only through its own star edges (other
+    * clusters' stars are disjoint by definition, and the new edges miss it
+    * by assumption). So components of G split into (a) untouched old
+    * clusters, exactly as the prior assignment records them — same members,
+    * same min-label, same size, same canonical — and (b) components of the
+    * scoped graph star(affected clusters) ∪ newEdges over
+    * (affected members ∪ new ids), which is the IDENTICAL subgraph a full
+    * build would see for those nodes. Affected = prior clusters containing
+    * any endpoint of a new edge. Hence scoped == unscoped == full recompute
+    * row-for-row (three-way equality spec-gated in DedupSimilaritySpec).
+    *
+    * Scale shape per fold: the unscoped form shuffles the WHOLE corpus star
+    * set through every label-propagation round and runs the corpus-wide
+    * distinct/size-groupBy — O(rounds × |corpus|) shuffle rows per fold
+    * even when the batch touches almost nothing. Here the corpus appears
+    * only as broadcast-probe SCANS of the prior assignment (affected-cluster
+    * semi/anti joins — map-side, no corpus shuffle); everything iterative
+    * runs on |affected ∪ batch| rows. The irreducible corpus term left in a
+    * fold is sequential scans + the full-coverage state write.
+    *
+    * Preconditions (the first two inherited from the unscoped form, where
+    * they are needed for exactness anyway):
+    *  - append-only ids — every `newUniverse` id greater than all prior ids
+    *    (label preservation), and every `newEdges` endpoint present in
+    *    `assignment` ∪ `newUniverse`;
+    *  - `assignment` carries the FULL coverage schema
+    *    (id, cluster_id, cluster_size, is_canonical) — untouched rows pass
+    *    through verbatim, so all four columns must exist (the unscoped form
+    *    reads only id/cluster_id because it recomputes the rest);
+    *  - `newEdges` is batch-proportional: its endpoint set and the affected
+    *    clusters' member rows are collected into BROADCAST relations here.
+    *    For a batch so large that its candidate-pair endpoints cannot
+    *    broadcast (≳10⁸ pairs), fall back to the unscoped form — exactness
+    *    never depends on the choice. */
+  def incrementalComponentAssignmentsScoped(assignment: DataFrame,
+                                            newUniverse: DataFrame, idCol: String,
+                                            newEdges: DataFrame, srcCol: String,
+                                            dstCol: String,
+                                            maxIter: Int = 64): DataFrame = {
+    // Materialize the candidate pairs once (they feed the endpoint set, the
+    // scoped edge graph, and — via the broadcast builds — would otherwise
+    // re-run the whole LSH candidate generator per consumer). localCheckpoint
+    // rather than persist: the downstream CC loop plans over these many
+    // times, and a persisted frame still carries the generator's plan
+    // (see the note in connectedComponentsWithRounds).
+    val fresh = newEdges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .localCheckpoint(true)
+    val eps = fresh.select(col("s").as("id"))
+      .unionByName(fresh.select(col("d").as("id"))).distinct()
+    // Prior clusters containing any fresh endpoint. Corpus side is scanned,
+    // never shuffled: eps broadcasts into the semi join, affected (≤ |eps|
+    // rows) broadcasts into the touched/untouched splits below.
+    val affected = assignment.join(broadcast(eps), Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+      .localCheckpoint(true)
+    // touched is affected-cluster-sized (batch-proportional). Checkpoint
+    // rather than persist/unpersist: the result frame below still references
+    // it lazily (through scopedU inside rec), so an eager unpersist here
+    // would silently re-run the corpus semi join at consumption time.
+    val touched = assignment
+      .join(broadcast(affected), Seq("cluster_id"), "left_semi")
+      .select(col("id").cast("long").as("id"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .localCheckpoint(true)
+    val star = touched.select(col("id").as("s"), col("cluster_id").as("d"))
+    val scopedU = touched.select(col("id"))
+      .unionByName(newUniverse.select(col(idCol).cast("long").as("id")))
+      .distinct()
+    val seed = Some(touched.select(col("id").as("node"),
+      col("cluster_id").as("lbl")))
+    val rec = componentAssignments(scopedU, "id", star.unionByName(fresh),
+      "s", "d", maxIter, seed)
+    val untouched = assignment
+      .join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      .select(col("id").cast("long").as("id"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        col("is_canonical").cast("int").as("is_canonical"))
+    // rec's CC loop materialized eagerly above (checkpointed labels), so the
+    // union re-runs only the cheap scoped joins on top of it — the
+    // corpus-sized side is the untouched scan, read once by whatever action
+    // consumes the result.
+    untouched.unionByName(rec)
+  }
+
   /** Exact SUBSTRING (span-level) dedup — the within-document member of
     * the dedup family (Lee et al. 2022, arXiv:2107.06499: duplicated
     * spans, not just duplicated documents, hurt LM training): every

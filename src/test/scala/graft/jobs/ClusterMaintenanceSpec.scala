@@ -43,6 +43,23 @@ class ClusterMaintenanceSpec extends SparkSpec {
     assert(versions == Seq("v=1", "v=2"), s"unexpected versions: $versions")
   }
 
+  test("scopedFold=false folds to identical state (the giant-batch fallback)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 120)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 40 && col("vec_id") < (w + 1) * 40)
+    def foldAll(scoped: Boolean): Set[(Long, Long, Long, Int)] = {
+      val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+        dim = 64, probeRadius = 1, numTables = 16, scopedFold = scoped)
+      val root = java.nio.file.Files.createTempDirectory("cmaint_sc").toString
+      (0 until 3).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+        s"$root/state", s"$root/corpus", "vec_id", "embedding", cfg))
+      rows(ClusterMaintenance.latestAssignment(spark, s"$root/state"))
+    }
+    assert(foldAll(scoped = true) == foldAll(scoped = false),
+      "scoped and unscoped service folds must produce identical state")
+  }
+
   test("corpus compaction mid-sequence changes nothing and bounds the dir count") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))

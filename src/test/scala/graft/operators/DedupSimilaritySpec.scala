@@ -525,9 +525,112 @@ class DedupSimilaritySpec extends SparkSpec {
         oldEdges.unionByName(newEdges), "a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(incr == full)
+    // the SCOPED form must survive the hardest case — a new doc merging two
+    // old clusters (both become "affected"; their stars enter the scoped
+    // graph together)
+    val scoped = Dedup.incrementalComponentAssignmentsScoped(prior, newU, "id",
+        newEdges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(scoped == full)
     // the bridged mega-cluster kept the older label 0 and counts 10,
     // the merged members {0,1,2,5,6,10}
     assert(incr.contains((10L, 0L, 6L, 0)))
+  }
+
+  test("scoped incremental: untouched clusters pass through verbatim; touched recompute") {
+    // clusters {0,1,2} (label 0) and {5,6} (label 5); singletons 3,4,7,8,9.
+    // The batch touches ONLY cluster 0 (edge 2-10) and singleton 9 (edge
+    // 9-12): cluster {5,6} and singletons 3,4,7,8 are untouched — the
+    // scoped fold must emit their EXACT prior rows (same size, same
+    // canonical bit), while the affected subgraph recomputes.
+    val oldEdges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val oldU = (0L to 9L).toDF("id")
+    val prior = Dedup.componentAssignments(oldU, "id", oldEdges, "a", "b")
+    val newEdges = Seq((2L, 10L), (9L, 12L)).toDF("a", "b")
+    val newU = (10L to 12L).toDF("id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val scoped = rows(Dedup.incrementalComponentAssignmentsScoped(prior, newU,
+      "id", newEdges, "a", "b"))
+    val unscoped = rows(Dedup.incrementalComponentAssignments(prior, newU,
+      "id", newEdges, "a", "b"))
+    val full = rows(Dedup.componentAssignments((0L to 12L).toDF("id"), "id",
+      oldEdges.unionByName(newEdges), "a", "b"))
+    assert(scoped == full && unscoped == full)
+    val priorRows = rows(prior)
+    Seq(3L, 4L, 5L, 6L, 7L, 8L).foreach { v =>
+      val p = priorRows.find(_._1 == v).get
+      assert(scoped.contains(p), s"untouched prior row for id $v must pass through verbatim")
+    }
+    // touched side really recomputed: cluster 0 grew to 4, old singleton 9
+    // became a 2-cluster's canonical
+    assert(scoped.contains((10L, 0L, 4L, 0)))
+    assert(scoped.contains((9L, 9L, 2L, 1)))
+    assert(scoped.contains((11L, 11L, 1L, 1)), "edge-free batch id stays singleton")
+  }
+
+  test("scoped incremental with zero new edges: prior verbatim, batch all singletons") {
+    val prior = Dedup.componentAssignments((0L to 5L).toDF("id"), "id",
+      Seq((0L, 1L)).toDF("a", "b"), "a", "b")
+    val out = Dedup.incrementalComponentAssignmentsScoped(prior,
+        Seq(10L, 11L).toDF("id"), "id",
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val priorRows = prior.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out == priorRows ++ Set((10L, 10L, 1L, 1), (11L, 11L, 1L, 1)))
+  }
+
+  test("scoped fold's shuffle volume tracks the batch, not the corpus") {
+    // 20k-id corpus in 10k 2-clusters; a 3-id batch touching ONE cluster.
+    // The unscoped fold shuffles the whole star set through the CC loop
+    // (plus the corpus-wide distinct and size groupBy); the scoped fold's
+    // only corpus-sized work is broadcast-probe SCANS — its total shuffle
+    // write records must be a small fraction of the unscoped fold's.
+    // Records (not seconds): deterministic under host load.
+    val n = 20000L
+    val oldEdges = spark.range(n / 2)
+      .select((col("id") * 2).as("a"), (col("id") * 2 + 1).as("b"))
+    val prior = Dedup.componentAssignments(spark.range(n).toDF("id"), "id",
+      oldEdges, "a", "b").localCheckpoint(true) // materialize OUTSIDE the measurement
+    val newU = Seq(n, n + 1, n + 2).toDF("id")
+    val newEdges = Seq((1L, n)).toDF("a", "b")
+    def measured(body: => Set[(Long, Long, Long, Int)]): (Set[(Long, Long, Long, Int)], Long) = {
+      val recs = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          recs.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = body
+        // listener bus is async — poll until the counter stabilizes
+        var last = -1L; var same = 0
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (same < 5 && System.nanoTime() < deadline) {
+          val v = recs.get()
+          if (v == last) same += 1 else { same = 0; last = v }
+          Thread.sleep(100)
+        }
+        (r, last)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val (scopedRows, scopedRecs) = measured(rows(
+      Dedup.incrementalComponentAssignmentsScoped(prior, newU, "id", newEdges, "a", "b")))
+    val (unscopedRows, unscopedRecs) = measured(rows(
+      Dedup.incrementalComponentAssignments(prior, newU, "id", newEdges, "a", "b")))
+    assert(scopedRows == unscopedRows, "scoped and unscoped folds must agree")
+    assert(scopedRows.contains((n, 0L, 3L, 0)), "premise: the batch merged into cluster 0")
+    assert(scopedRows.count(_._3 == 2L) == (n / 2 - 1) * 2,
+      "premise: all other 2-clusters untouched")
+    assert(unscopedRecs > 10L * scopedRecs,
+      s"scoped fold should shuffle <10% of the unscoped fold's records " +
+        s"(scoped=$scopedRecs, unscoped=$unscopedRecs)")
   }
 
   test("q94 theorem on real embeddings: incremental semantic clustering equals full recompute") {
@@ -551,6 +654,12 @@ class DedupSimilaritySpec extends SparkSpec {
       emb.filter(col("vec_id") >= h).select(col("vec_id").cast("long").as("vec_id")),
       "vec_id", pairs.filter(col("id_b") >= h), "id_a", "id_b"))
     assert(incr == full)
+    // the scoped (affected-subgraph) form — the path q94 and the service
+    // fold actually run — must agree on the same real data
+    val scoped = rows(Dedup.incrementalComponentAssignmentsScoped(prior,
+      emb.filter(col("vec_id") >= h).select(col("vec_id").cast("long").as("vec_id")),
+      "vec_id", pairs.filter(col("id_b") >= h), "id_a", "id_b"))
+    assert(scoped == full)
   }
 
   test("rankMetrics: exact MRR/NDCG on crafted rankings, zero rows for misses and absent queries") {
