@@ -807,10 +807,15 @@ object Bench {
             s"5-clusters, expected all $n (a straddled cluster was not stitched)")
         require(agg.getLong(2) == n / 5,
           s"service soak: ${agg.getLong(2)} canonicals != ${n / 5}")
+        // default snapshotEvery=8 over 3 folds: fold 0 anchors the v=0
+        // snapshot, folds 1/2 write batch-proportional deltas — the soak's
+        // structure check above therefore validates the (v=0, d=1, d=2)
+        // latest-fold-wins reconstruction at synthetic scale
         val versions = new java.io.File(stateDir).listFiles()
-          .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
-        require(versions == Seq("v=1", "v=2"),
-          s"service soak: retention left $versions, expected [v=1, v=2]")
+          .map(_.getName).filter(n => n.startsWith("v=") || n.startsWith("d="))
+          .sorted.toSeq
+        require(versions == Seq("d=1", "d=2", "v=0"),
+          s"service soak: retention left $versions, expected [d=1, d=2, v=0]")
         val cdirs = new java.io.File(corpusDir).listFiles()
           .map(_.getName).filter(n => n.startsWith("b=") || n.startsWith("gen="))
           .sorted.toSeq

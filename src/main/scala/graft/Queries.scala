@@ -1933,10 +1933,14 @@ object Queries {
     // the corpus-compaction path (b=0,b=1 → gen=1) under this query's
     // oracle — the final assignment must still equal the batch pruned
     // build, so a compaction that dropped or duplicated corpus rows
-    // hash-fails here, not just in the spec.
+    // hash-fails here, not just in the spec. snapshotEvery=2 likewise puts
+    // the DELTA state layout under the oracle: fold 0 snapshots (v=0),
+    // fold 1 writes the batch-proportional delta d=1, fold 2 reconstructs
+    // its prior through the (v=0, d=1) merge and snapshots v=2 — with the
+    // kill/restart landing a replayed fold on whichever tier is in flight.
     val mcfg = jobs.ClusterMaintenance.Config(threshold = 0.35,
       numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16,
-      compactEvery = 2)
+      compactEvery = 2, snapshotEvery = 2)
     def start() = ss.readStream.schema(embSchema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream.option("checkpointLocation", chk)

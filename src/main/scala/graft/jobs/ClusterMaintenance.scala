@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * State layout (all plain parquet — restartable from nothing but the
   * directories):
-  *  - `stateDir/v=N`    — the full-coverage assignment after batch N
-  *    (id, cluster_id, cluster_size, is_canonical);
+  *  - `stateDir/v=N`    — a full-coverage assignment SNAPSHOT after batch N
+  *    (id, cluster_id, cluster_size, is_canonical), written every
+  *    `Config.snapshotEvery` folds (and always at fold 0);
+  *  - `stateDir/d=N`    — batch N's assignment DELTA: exactly the rows fold
+  *    N recomputed ([[Dedup.incrementalComponentAssignmentsScopedParts]] —
+  *    members of affected clusters ∪ the batch's ids), same schema. The
+  *    full assignment after batch N is latest-fold-wins over the newest
+  *    snapshot ≤ N plus the deltas after it ([[reconstructAssignment]]):
+  *    exact because a delta's id set is precisely the rows its fold
+  *    superseded or created. This makes the per-fold STATE WRITE
+  *    batch-proportional — the last corpus-sized per-fold write the
+  *    service had — at the amortized price of one snapshot write per
+  *    `snapshotEvery` folds;
   *  - `corpusDir/b=N`   — batch N's vectors;
   *  - `corpusDir/gen=G` — a COMPACTED consolidation of batches 0..G
   *    (written every `Config.compactEvery` folds), so the accumulated
@@ -51,9 +62,11 @@ import org.apache.spark.sql.functions._
   *    between the generation commit and the batch-dir deletes only leaves
   *    stale `b=` dirs that every reader already ignores (they are ≤ the
   *    committed generation) and the next compaction deletes;
-  *  - state retention: a replay reads only v=N-1, so versions ≤ N-2 are
-  *    deleted as each fold commits — the long-running service holds two
-  *    assignment versions at any stream length.
+  *  - state retention: a replay of fold N reads only the reconstruction at
+  *    N-1, so as each fold commits, everything older than the newest
+  *    snapshot ≤ N-1 (snapshots before it, deltas up to it) is deleted —
+  *    the long-running service holds at most two snapshots plus
+  *    `snapshotEvery` deltas at any stream length.
   *
   * Scale shape per fold: |batch| x bucket-candidate similarity
   * ([[Similarity.cosineNearDupPairsAgainst]], the pruned multi-table LSH
@@ -61,10 +74,11 @@ import org.apache.spark.sql.functions._
   * affected subgraph ([[Dedup.incrementalComponentAssignmentsScoped]]):
   * untouched prior clusters pass through verbatim, the CC loop iterates
   * only over (affected-cluster star edges + new pairs), warm-started from
-  * the prior labels. The per-fold corpus terms left are sequential scans
-  * (one vector scan for the cosine gate, broadcast-probe scans of the
-  * prior assignment) and the full-coverage state write — nothing
-  * corpus-sized is shuffled or iterated.
+  * the prior labels, and the state write is the recomputed DELTA alone.
+  * The per-fold corpus terms left are sequential scans only (one vector
+  * scan for the cosine gate, broadcast-probe scans of the reconstructed
+  * prior) plus the amortized 1/snapshotEvery snapshot write — nothing
+  * corpus-sized is shuffled, iterated, or written per fold.
   */
 object ClusterMaintenance {
 
@@ -78,11 +92,19 @@ object ClusterMaintenance {
     * untouched prior clusters pass through verbatim, provably identical
     * output), so the iterative CC cost tracks the batch, not the corpus.
     * Set false only when a batch's candidate-pair endpoint set is too large
-    * to broadcast (≳10⁸ pairs) — results are identical either way. */
+    * to broadcast (≳10⁸ pairs) — results are identical either way.
+    * `snapshotEvery = 8`: write a full-coverage snapshot once the newest
+    * snapshot trails the fold by this many deltas; in between, folds write
+    * batch-proportional deltas only. `≤ 1` restores the legacy
+    * snapshot-every-fold layout; `scopedFold = false` implies it (the
+    * unscoped fold has no delta decomposition). Reconstruction is exact at
+    * every cadence — the knob trades per-fold write volume against
+    * read-side merge fan-in, never results. */
   final case class Config(threshold: Double = 0.35, numPlanes: Int = 4,
                           dim: Int = 64, probeRadius: Int = 1,
                           numTables: Int = 16, compactEvery: Int = 8,
-                          scopedFold: Boolean = true)
+                          scopedFold: Boolean = true,
+                          snapshotEvery: Int = 8)
 
   /** Fold one ingest batch — (idCol: integral, vecCol: array<float>) —
     * into the versioned state. Reads `stateDir/v=${batchId-1}` and the
@@ -114,7 +136,7 @@ object ClusterMaintenance {
           b.limit(0).select(col("vec_id").as("id"),
             col("vec_id").as("cluster_id"),
             lit(1L).as("cluster_size"), lit(1).as("is_canonical"))
-        else sess.read.parquet(s"$stateDir/v=${batchId - 1}")
+        else reconstructAssignment(sess, stateDir, upTo = batchId - 1)
       // Accumulated corpus BUCKET state (bk=N / bkgen=G beside the corpus
       // dirs): when every needed dir is committed, the fold probes the
       // persisted (id, t, sig) rows instead of recomputing
@@ -141,21 +163,44 @@ object ClusterMaintenance {
           "vec_id", "embedding", threshold = cfg.threshold,
           numPlanes = cfg.numPlanes, dim = cfg.dim,
           probeRadius = cfg.probeRadius, numTables = cfg.numTables)
-      val next =
-        if (cfg.scopedFold)
-          Dedup.incrementalComponentAssignmentsScoped(prior,
+      val spath = new Path(stateDir)
+      val sfs = spath.getFileSystem(hconf)
+      val lastSnap = committedDirs(sfs, spath, "v=")
+        .filter(_ <= batchId - 1).reduceOption(_ max _)
+      // Snapshot folds write full coverage; in between, the scoped fold's
+      // recomputed half alone IS the exact change set (see
+      // incrementalComponentAssignmentsScopedParts) and is all that hits
+      // disk — the batch-proportional state write. Fold 0 always snapshots
+      // (its delta is full coverage anyway, and it anchors reconstruction).
+      val snapshotFold = batchId == 0 || !cfg.scopedFold ||
+        cfg.snapshotEvery <= 1 ||
+        batchId - lastSnap.getOrElse(-1L) >= cfg.snapshotEvery
+      if (cfg.scopedFold) {
+        val (untouched, rec) = Dedup.incrementalComponentAssignmentsScopedParts(
+          prior, b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+        if (snapshotFold)
+          untouched.unionByName(rec)
+            .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        else rec.write.mode("overwrite").parquet(s"$stateDir/d=$batchId")
+      } else
+        Dedup.incrementalComponentAssignments(prior,
             b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
-        else Dedup.incrementalComponentAssignments(prior,
-          b.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
-      next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
       b.write.mode("overwrite").parquet(s"$corpusDir/b=$batchId")
       Similarity.lshBucketTable(b, "vec_id", "embedding",
           cfg.numPlanes, cfg.dim, cfg.numTables)
         .write.mode("overwrite").parquet(s"$corpusDir/bk=$batchId")
-      if (batchId >= 2) {
-        val p = new Path(s"$stateDir/v=${batchId - 2}")
-        p.getFileSystem(hconf).delete(p, true)
-        ()
+      // Retention: keep exactly what a replay of THIS fold or the next one
+      // needs — the newest snapshot ≤ batchId-1 and the deltas after it
+      // (reconstruction at batchId-1), plus whatever this fold just wrote.
+      // Everything at or before that snapshot is garbage. With
+      // snapshotEvery ≤ 1 this reduces to the legacy delete of v=batchId-2.
+      lastSnap.foreach { pv =>
+        sfs.listStatus(spath).map(_.getPath.getName).foreach { nm =>
+          if (numericSuffix(nm, "v=").exists(_ < pv) ||
+              numericSuffix(nm, "d=").exists(_ <= pv))
+            sfs.delete(new Path(s"$stateDir/$nm"), true)
+        }
       }
       // Compact AFTER the fold's own commits, consolidating exactly the
       // corpus this fold just read (batches 0..batchId-1 — never b=batchId,
@@ -251,7 +296,11 @@ object ClusterMaintenance {
     val hconf = spark.sparkContext.hadoopConfiguration
     val spath = new Path(stateDir)
     val sfs = spath.getFileSystem(hconf)
-    val versions = committedVersions(sfs, spath)
+    // the head FOLD is the newest snapshot or delta — under the delta
+    // layout the last fold usually wrote d=N, and rebuilding "as of v="
+    // alone would silently drop the batches folded since the snapshot
+    val versions = committedDirs(sfs, spath, "v=") ++
+      committedDirs(sfs, spath, "d=")
     require(versions.nonEmpty,
       s"rebuildWithoutTombstones: no committed assignment version under $stateDir")
     val v = versions.max
@@ -296,31 +345,89 @@ object ClusterMaintenance {
           numericSuffix(nm, "bkgen=").exists(_ < v)
       }
       stale.foreach(nm => cfs.delete(new Path(s"$corpusDir/$nm"), true))
+      // the rebuilt v=$v snapshot supersedes every older snapshot AND all
+      // deltas ≤ v (reconstruction only applies deltas newer than the
+      // latest snapshot, so these are dead weight at best and, for a
+      // half-swept dir, confusing at worst)
+      val staleState = sfs.listStatus(spath).map(_.getPath.getName).filter { nm =>
+        numericSuffix(nm, "v=").exists(_ < v) ||
+          numericSuffix(nm, "d=").exists(_ <= v)
+      }
+      staleState.foreach(nm => sfs.delete(new Path(s"$stateDir/$nm"), true))
     } finally keep.unpersist(false)
     spark.read.parquet(s"$stateDir/v=$v")
   }
 
-  private def committedVersions(fs: FileSystem, stateDir: Path): Array[Long] =
-    if (!fs.exists(stateDir)) Array.empty[Long]
-    else fs.listStatus(stateDir).map(_.getPath)
+  /** COMMITTED (`_SUCCESS`-marked) numeric dirs with the given prefix under
+    * `dir` — the shared gate for snapshot (`v=`) and delta (`d=`) reads. */
+  private[jobs] def committedDirs(fs: FileSystem, dir: Path,
+                                  prefix: String): Array[Long] =
+    if (!fs.exists(dir)) Array.empty[Long]
+    else fs.listStatus(dir).map(_.getPath)
       .flatMap { vp =>
-        numericSuffix(vp.getName, "v=")
+        numericSuffix(vp.getName, prefix)
           .filter(_ => fs.exists(new Path(vp, "_SUCCESS")))
       }
 
-  /** The latest COMMITTED assignment version under `stateDir` (bounded
-    * directory listing — at most the retained two versions plus possibly
-    * one torn overwrite exist). Versions without a `_SUCCESS` marker are
-    * skipped: a crash mid-overwrite of v=N must resolve to v=N-1, not a
-    * torn parquet dir. An empty or never-committed state dir raises a
-    * clear error instead of an opaque empty-collection failure. */
-  def latestAssignment(spark: SparkSession, stateDir: String): DataFrame = {
+  private val AssignSchema = "id long, cluster_id long, cluster_size long, is_canonical int"
+
+  /** The full-coverage assignment as of fold `upTo` (or the newest state
+    * on disk with the default), reconstructed from the newest committed
+    * snapshot ≤ upTo plus the contiguous committed deltas after it,
+    * latest-fold-wins per id. Exactness rides on the delta contract
+    * ([[Dedup.incrementalComponentAssignmentsScopedParts]]): a delta's id
+    * set is exactly the rows its fold superseded or created, so an id's
+    * newest occurrence across (snapshot, deltas) IS its current row.
+    *
+    * Scale shape: the snapshot enters as a SCAN into a broadcast anti-join
+    * against the (batch-proportional × ≤ snapshotEvery) delta id set; only
+    * delta rows shuffle for the within-delta winner pick. Torn dirs are
+    * invisible (`_SUCCESS` gating), and the delta walk stops at the first
+    * gap — a crash can only tear the newest write, so the walk resolves to
+    * the last complete fold. */
+  private[jobs] def reconstructAssignment(spark: SparkSession, stateDir: String,
+                                          upTo: Long = Long.MaxValue): DataFrame = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = committedVersions(fs, p)
-    require(committed.nonEmpty,
+    val snaps = committedDirs(fs, p, "v=").filter(_ <= upTo)
+    require(snaps.nonEmpty,
       s"ClusterMaintenance: no committed assignment version under $stateDir " +
         "(the service has not completed any fold — or the dir is wrong)")
-    spark.read.parquet(s"$stateDir/v=${committed.max}")
+    val s = snaps.max
+    val base = spark.read.schema(AssignSchema).parquet(s"$stateDir/v=$s")
+    val deltas = Iterator.iterate(s + 1)(_ + 1)
+      .takeWhile(n => n <= upTo &&
+        fs.exists(new Path(s"$stateDir/d=$n/_SUCCESS")))
+      .toSeq
+    // With the open-ended default, stopping at the first gap IS the
+    // semantics (the gap is the torn newest write). With a finite upTo —
+    // the fold's read-prior path — the chain MUST reach upTo: every fold
+    // ≤ upTo committed before this one started, so a gap means lost state.
+    require(upTo == Long.MaxValue || deltas.lastOption.getOrElse(s) == upTo,
+      s"ClusterMaintenance: assignment state under $stateDir has no " +
+        s"complete chain to fold $upTo (snapshot v=$s, deltas to " +
+        s"${deltas.lastOption.getOrElse(s)})")
+    if (deltas.isEmpty) base
+    else {
+      val all = deltas.map(n =>
+          spark.read.schema(AssignSchema).parquet(s"$stateDir/d=$n")
+            .withColumn("__fold", lit(n)))
+        .reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("__fold").desc)
+      val winners = all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__fold")
+      base.join(winners.select("id"), Seq("id"), "left_anti")
+        .unionByName(winners)
+    }
   }
+
+  /** The newest complete assignment under `stateDir` (bounded directory
+    * listing — retention holds at most two snapshots plus `snapshotEvery`
+    * deltas). Snapshot-or-delta dirs without a `_SUCCESS` marker are
+    * skipped: a crash mid-overwrite must resolve to the previous complete
+    * fold, not a torn parquet dir. An empty or never-committed state dir
+    * raises a clear error instead of an opaque empty-collection failure. */
+  def latestAssignment(spark: SparkSession, stateDir: String): DataFrame =
+    reconstructAssignment(spark, stateDir)
 }

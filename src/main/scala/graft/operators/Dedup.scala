@@ -626,6 +626,30 @@ object Dedup {
                                             newEdges: DataFrame, srcCol: String,
                                             dstCol: String,
                                             maxIter: Int = 64): DataFrame = {
+    val (untouched, rec) = incrementalComponentAssignmentsScopedParts(
+      assignment, newUniverse, idCol, newEdges, srcCol, dstCol, maxIter)
+    untouched.unionByName(rec)
+  }
+
+  /** The two halves of [[incrementalComponentAssignmentsScoped]], exposed
+    * separately: `(untouched, recomputed)` where `untouched` is the prior
+    * rows of clusters no new edge reaches (passed through verbatim) and
+    * `recomputed` is the freshly-computed assignment over
+    * (affected-cluster members ∪ new ids).
+    *
+    * Why the split matters: `recomputed` is the fold's exact CHANGE SET —
+    * its id set is precisely the rows the fold superseded or created (every
+    * member of an affected cluster is in the scoped universe; every other
+    * prior row is untouched by the exactness argument above). A caller
+    * maintaining versioned state can therefore persist `recomputed` alone
+    * as a batch-proportional DELTA and reconstruct full coverage later by
+    * latest-fold-wins merge over (snapshot, deltas) — the contract
+    * [[graft.jobs.ClusterMaintenance]] builds its delta state layout on. */
+  def incrementalComponentAssignmentsScopedParts(assignment: DataFrame,
+                                                 newUniverse: DataFrame, idCol: String,
+                                                 newEdges: DataFrame, srcCol: String,
+                                                 dstCol: String,
+                                                 maxIter: Int = 64): (DataFrame, DataFrame) = {
     // Materialize the candidate pairs once (they feed the endpoint set, the
     // scoped edge graph, and — via the broadcast builds — would otherwise
     // re-run the whole LSH candidate generator per consumer). localCheckpoint
@@ -666,11 +690,11 @@ object Dedup {
         col("cluster_id").cast("long").as("cluster_id"),
         col("cluster_size").cast("long").as("cluster_size"),
         col("is_canonical").cast("int").as("is_canonical"))
-    // rec's CC loop materialized eagerly above (checkpointed labels), so the
-    // union re-runs only the cheap scoped joins on top of it — the
+    // rec's CC loop materialized eagerly above (checkpointed labels), so
+    // consumers re-run only the cheap scoped joins on top of it — the
     // corpus-sized side is the untouched scan, read once by whatever action
     // consumes the result.
-    untouched.unionByName(rec)
+    (untouched, rec)
   }
 
   /** Exact SUBSTRING (span-level) dedup — the within-document member of

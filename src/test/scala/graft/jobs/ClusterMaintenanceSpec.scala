@@ -37,10 +37,65 @@ class ClusterMaintenanceSpec extends SparkSpec {
     assert(got == full,
       s"incremental service diverged from the full pruned build (${got.size} vs ${full.size})")
 
-    // retention: after batch 2 commits, v=0 is gone and v=1/v=2 remain
+    // delta layout (default snapshotEvery=8): fold 0 anchors the snapshot,
+    // folds 1/2 wrote batch-proportional deltas (fold 1's REPLAY above went
+    // through the delta path — keyed overwrite of d=1), nothing swept yet
     val versions = new java.io.File(state).listFiles()
-      .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
-    assert(versions == Seq("v=1", "v=2"), s"unexpected versions: $versions")
+      .map(_.getName).filter(n => n.startsWith("v=") || n.startsWith("d="))
+      .sorted.toSeq
+    assert(versions == Seq("d=1", "d=2", "v=0"), s"unexpected versions: $versions")
+  }
+
+  test("delta-state cadence: snapshots + deltas reconstruct exactly; retention bounds the dirs; snapshotEvery=1 restores the legacy layout") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 120)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    def foldAll(snapEvery: Int): (Set[(Long, Long, Long, Int)], Seq[String]) = {
+      val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+        dim = 64, probeRadius = 1, numTables = 16, snapshotEvery = snapEvery)
+      val root = java.nio.file.Files.createTempDirectory("cmaint_ds").toString
+      (0 until 6).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+        s"$root/state", s"$root/corpus", "vec_id", "embedding", cfg))
+      val dirs = new java.io.File(s"$root/state").listFiles()
+        .map(_.getName).filter(n => n.startsWith("v=") || n.startsWith("d="))
+        .sorted.toSeq
+      (rows(ClusterMaintenance.latestAssignment(spark, s"$root/state")), dirs)
+    }
+    val (delta, deltaDirs) = foldAll(snapEvery = 2)
+    val (legacy, legacyDirs) = foldAll(snapEvery = 1)
+    val full = rows(Dedup.componentAssignments(
+      emb.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(delta == full, "delta-state reconstruction diverged from the full build")
+    assert(legacy == full, "legacy snapshot-every-fold state diverged from the full build")
+    // snapshotEvery=2 over folds 0..5: snapshots at 0/2/4, deltas between;
+    // retention keeps the newest snapshot needed for replay plus its chain
+    assert(deltaDirs == Seq("d=5", "v=4"), s"unexpected delta-state dirs: $deltaDirs")
+    // snapshotEvery=1 is exactly the pre-delta layout: two full versions
+    assert(legacyDirs == Seq("v=4", "v=5"), s"unexpected legacy dirs: $legacyDirs")
+  }
+
+  test("latestAssignment ignores a torn newest delta and resolves to the last complete fold") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_torn_d").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    ClusterMaintenance.foldBatch(batch(0), 0, state, corpus, "vec_id", "embedding", cfg)
+    val afterFold0 = rows(ClusterMaintenance.latestAssignment(spark, state))
+    ClusterMaintenance.foldBatch(batch(1), 1, state, corpus, "vec_id", "embedding", cfg)
+    // tear fold 1's delta the way a crash mid-overwrite does (no _SUCCESS):
+    // the reader must resolve to fold 0's snapshot, not merge torn rows
+    assert(new java.io.File(s"$state/d=1/_SUCCESS").delete(),
+      "premise: fold 1 wrote the delta d=1")
+    assert(rows(ClusterMaintenance.latestAssignment(spark, state)) == afterFold0,
+      "a torn delta leaked into the reconstructed assignment")
   }
 
   test("scopedFold=false folds to identical state (the giant-batch fallback)") {
@@ -150,6 +205,12 @@ class ClusterMaintenanceSpec extends SparkSpec {
     val cdirs = new java.io.File(corpus).listFiles()
       .map(_.getName).filter(n => n.startsWith("b=") || n.startsWith("gen=")).sorted.toSeq
     assert(cdirs == Seq("gen=2"), s"unexpected corpus dirs after rebuild: $cdirs")
+    // the rebuild found the HEAD fold through the delta dirs (state was
+    // v=0/d=1/d=2 — rebuilding at v=0 would have dropped batches 1/2) and
+    // collapsed the state to the single rebuilt snapshot
+    val sdirs = new java.io.File(state).listFiles()
+      .map(_.getName).filter(n => n.startsWith("v=") || n.startsWith("d=")).sorted.toSeq
+    assert(sdirs == Seq("v=2"), s"unexpected state dirs after rebuild: $sdirs")
     // the stream resumes: the next fold over the rebuilt state equals the
     // full pruned build over (retained ∪ new batch) — the incremental
     // theorem on the filtered corpus
