@@ -2556,6 +2556,49 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Cluster-service fold SEQUENCE, gated (q120): [[jobs.ClusterMaintenance]]
+    * driven as three direct tercile folds with `snapshotEvery = 2` — fold 0
+    * anchors the `v=0` snapshot, fold 1 writes only the batch-proportional
+    * `d=1` delta, fold 2 reconstructs its prior through the (v=0, d=1)
+    * latest-fold-wins merge and snapshots `v=2` — and the RECONSTRUCTED
+    * assignment is recorded after EVERY fold, not just the last. Each
+    * fold's reconstruction must equal the full pruned build over the id
+    * prefix ingested so far (the star-replacement induction at every
+    * step), so the oracle replays q103's whole signature → probe-mask →
+    * bucket-join → cosine-gate → recursive-closure pipeline once per
+    * prefix (the tercile boundary re-derived in SQL from max(vec_id), not
+    * taken from this run). A delta that dropped a superseded row, a
+    * reconstruction resolving latest-fold-wins wrongly, or retention
+    * sweeping a dir a later read still needs all hash-fail AT THE FOLD
+    * WHERE THEY FIRST BITE — q104 gates only the final state through the
+    * streaming harness; this pins the whole state trajectory. Per-fold
+    * outputs are materialized to scratch parquet before the next fold
+    * mutates the state dirs (a lazy plan would re-read swept state). */
+  def clusterServiceFoldSequence(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0) // bounded scalar
+    val nWaves = 3
+    val root = java.nio.file.Files.createTempDirectory("q120_seq").toString
+    val cfg = jobs.ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16,
+      compactEvery = 2, snapshotEvery = 2)
+    (0 until nWaves).foreach { w =>
+      val lo = (maxId + 1) * w / nWaves
+      val hi = (maxId + 1) * (w + 1) / nWaves
+      jobs.ClusterMaintenance.foldBatch(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi), w.toLong,
+        s"$root/state", s"$root/corpus", "vec_id", "embedding", cfg)
+      jobs.ClusterMaintenance.latestAssignment(spark, s"$root/state")
+        .withColumn("fold", lit(w.toLong))
+        .write.mode("overwrite").parquet(s"$root/seq/f=$w")
+    }
+    spark.read.parquet((0 until nWaves).map(w => s"$root/seq/f=$w"): _*)
+      .select(col("fold"), col("id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
+      .orderBy("fold", "vec_id")
+  }
+
   /** STREAMING span-dedup maintenance (q116): q115's service driven the
     * way q104 drives the cluster service — from the file-source ingest
     * path via foreachBatch, with a kill/outage/restart through the

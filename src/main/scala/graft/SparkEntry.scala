@@ -604,7 +604,8 @@ object SparkEntry {
     "q116_stream_span_dedup" -> Queries.streamingSpanDedupService _,
     "q117_boilerplate_grams" -> Queries.boilerplateGrams _,
     "q118_tombstone_span_rebuild" -> Queries.tombstoneSpanRebuild _,
-    "q119_tombstone_cluster_rebuild" -> Queries.tombstoneClusterRebuild _
+    "q119_tombstone_cluster_rebuild" -> Queries.tombstoneClusterRebuild _,
+    "q120_cluster_fold_sequence" -> Queries.clusterServiceFoldSequence _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1966,7 +1967,18 @@ object SparkEntry {
     // injected at the corpus source).
     "q119_tombstone_cluster_rebuild" ->
       prunedClusterOracleSql(0.35, " WHERE vec_id % 7 <> 0"),
-    "q115_span_dedup_service" -> spanServiceFoldOracle
+    "q115_span_dedup_service" -> spanServiceFoldOracle,
+    // q120: the cluster service's whole state TRAJECTORY — after every
+    // tercile fold, the reconstructed assignment (snapshot + delta
+    // latest-fold-wins merge; snapshotEvery=2 puts fold 1's read-back
+    // through the (v=0, d=1) merge) must equal the full pruned replay
+    // over the id prefix ingested so far. One q103 replay per prefix,
+    // with the tercile boundary re-derived in SQL from max(vec_id) —
+    // integer floor division on both sides.
+    "q120_cluster_fold_sequence" -> (0 until 3).map { w =>
+      val where = s" WHERE vec_id < (SELECT (max(vec_id) + 1) * ${w + 1} // 3 FROM embeddings)"
+      s"SELECT CAST($w AS BIGINT) AS fold, * FROM (\n${prunedClusterOracleSql(0.35, where)})"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fold, vec_id")
   )
 
   /** Flat recount of every 8-token window over the (optionally filtered)

@@ -51,19 +51,31 @@ class ClusterMaintenanceSpec extends SparkSpec {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .filter(col("vec_id") < 120)
     def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
-    def foldAll(snapEvery: Int): (Set[(Long, Long, Long, Int)], Seq[String]) = {
+    def foldAll(snapEvery: Int): (Seq[Set[(Long, Long, Long, Int)]], Seq[String]) = {
       val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
         dim = 64, probeRadius = 1, numTables = 16, snapshotEvery = snapEvery)
       val root = java.nio.file.Files.createTempDirectory("cmaint_ds").toString
-      (0 until 6).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
-        s"$root/state", s"$root/corpus", "vec_id", "embedding", cfg))
+      val perFold = (0 until 6).map { w =>
+        ClusterMaintenance.foldBatch(batch(w), w.toLong,
+          s"$root/state", s"$root/corpus", "vec_id", "embedding", cfg)
+        rows(ClusterMaintenance.latestAssignment(spark, s"$root/state"))
+      }
       val dirs = new java.io.File(s"$root/state").listFiles()
         .map(_.getName).filter(n => n.startsWith("v=") || n.startsWith("d="))
         .sorted.toSeq
-      (rows(ClusterMaintenance.latestAssignment(spark, s"$root/state")), dirs)
+      (perFold, dirs)
     }
-    val (delta, deltaDirs) = foldAll(snapEvery = 2)
-    val (legacy, legacyDirs) = foldAll(snapEvery = 1)
+    val (deltaSeq, deltaDirs) = foldAll(snapEvery = 2)
+    val (legacySeq, legacyDirs) = foldAll(snapEvery = 1)
+    // the reconstruction must be right at EVERY fold, not just the last —
+    // the legacy cadence (a full snapshot per fold) is the ground truth
+    // the delta layout's (snapshot, deltas) merge must reproduce at each
+    // point of the trajectory, whatever mix of tiers is on disk
+    (0 until 6).foreach { w =>
+      assert(deltaSeq(w) == legacySeq(w),
+        s"delta-state reconstruction diverged from legacy at fold $w")
+    }
+    val (delta, legacy) = (deltaSeq.last, legacySeq.last)
     val full = rows(Dedup.componentAssignments(
       emb.select(col("vec_id")), "vec_id",
       Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
@@ -96,6 +108,28 @@ class ClusterMaintenanceSpec extends SparkSpec {
       "premise: fold 1 wrote the delta d=1")
     assert(rows(ClusterMaintenance.latestAssignment(spark, state)) == afterFold0,
       "a torn delta leaked into the reconstructed assignment")
+  }
+
+  test("latestAssignment ignores a torn newest SNAPSHOT and resolves through the prior snapshot + delta chain") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 60)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    // snapshotEvery=2: fold 0 → v=0, fold 1 → d=1, fold 2 → v=2
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16, snapshotEvery = 2)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_torn_s").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    ClusterMaintenance.foldBatch(batch(0), 0, state, corpus, "vec_id", "embedding", cfg)
+    ClusterMaintenance.foldBatch(batch(1), 1, state, corpus, "vec_id", "embedding", cfg)
+    val afterFold1 = rows(ClusterMaintenance.latestAssignment(spark, state))
+    ClusterMaintenance.foldBatch(batch(2), 2, state, corpus, "vec_id", "embedding", cfg)
+    // tear fold 2's snapshot: the reader must fall back to the previous
+    // snapshot and walk its committed deltas — fold 1's state, exactly
+    assert(new java.io.File(s"$state/v=2/_SUCCESS").delete(),
+      "premise: fold 2 wrote the snapshot v=2")
+    assert(rows(ClusterMaintenance.latestAssignment(spark, state)) == afterFold1,
+      "a torn snapshot did not resolve to the prior snapshot + delta chain")
   }
 
   test("scopedFold=false folds to identical state (the giant-batch fallback)") {
