@@ -816,6 +816,21 @@ object Bench {
           .sorted.toSeq
         require(versions == Seq("d=1", "d=2", "v=0"),
           s"service soak: retention left $versions, expected [d=1, d=2, v=0]")
+        // the batch-proportional-write claim MEASURED: fold 2's delta is
+        // exactly (batch-2 ids ∪ members of affected clusters) — here the
+        // batch's own tercile plus the ≤ 4 earlier members of the one
+        // 5-cluster straddling the b1/b2 boundary — while the accumulated
+        // corpus at that fold is the full 2n/3 ∪ n/3 = n. Recorded as a
+        // bench observable (rows, not seconds) so the per-fold state-write
+        // volume is a tracked number, not a narrative claim.
+        val d2rows = spark.read.parquet(s"$stateDir/d=2").count()
+        val batch2 = n - n * 2 / 3
+        require(d2rows >= batch2 && d2rows <= batch2 + 4,
+          s"service soak: fold-2 delta wrote $d2rows rows, expected " +
+            s"[$batch2, ${batch2 + 4}] (batch tercile + straddled members)")
+        results.put("soak_cluster_delta_rows", d2rows.toDouble)
+        firstPass.putIfAbsent("soak_cluster_delta_rows", d2rows.toDouble)
+        recordRun("soak_cluster_delta_rows", d2rows.toDouble)
         val cdirs = new java.io.File(corpusDir).listFiles()
           .map(_.getName).filter(n => n.startsWith("b=") || n.startsWith("gen="))
           .sorted.toSeq
@@ -993,10 +1008,13 @@ object Bench {
     // mrbench_*_min/max are order statistics over the SAME runs mrbench_*_avg
     // summarizes — summing them would triple-count the micro-job loops; the
     // gridmix percentiles are latency statistics, not sequential work; the
-    // soak rounds entry is a COUNT, not seconds.
+    // soak rounds/rows entries are COUNT observables, not seconds ("_rounds"
+    // must match infix too: soak_cc_chain_rounds_warm leaked 11 "seconds"
+    // into the additive totals from the run it landed until this fix).
     def additive(name: String): Boolean =
       !(name.startsWith("mrbench") && (name.endsWith("_min") || name.endsWith("_max"))) &&
-        !name.startsWith("gridmix") && !name.endsWith("_rounds")
+        !name.startsWith("gridmix") && !name.contains("_rounds") &&
+        !name.endsWith("_rows")
     val total = entries.filter(e => e._2 > 0 && additive(e._1)).map(_._2).sum
     val firstTotal = firsts.filter(e => additive(e._1)).map(_._2).sum
     // Median over every recorded measurement of each entry (single-sample

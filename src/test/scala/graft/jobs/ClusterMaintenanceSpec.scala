@@ -132,6 +132,30 @@ class ClusterMaintenanceSpec extends SparkSpec {
       "a torn snapshot did not resolve to the prior snapshot + delta chain")
   }
 
+  test("reconstructAssignment with a finite upTo errors clearly on a broken delta chain instead of serving stale state") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 60)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_gap").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 3).foreach(w =>
+      ClusterMaintenance.foldBatch(batch(w), w, state, corpus, "vec_id", "embedding", cfg))
+    // destroy a MID-chain delta wholesale (lost state, not a torn newest
+    // write — a crash can only tear the newest fold). A fold's read-prior
+    // path (finite upTo) must fail loudly: silently resolving to the
+    // older prefix would fold batch 3 onto batch-1 state and drop batch 2.
+    val d1 = new java.io.File(s"$state/d=1")
+    d1.listFiles().foreach(_.delete()); assert(d1.delete(), "premise: d=1 removed")
+    val e = intercept[IllegalArgumentException] {
+      ClusterMaintenance.reconstructAssignment(spark, state, upTo = 2L)
+    }
+    assert(e.getMessage.contains("no complete chain"),
+      s"gap error message unhelpful: ${e.getMessage}")
+  }
+
   test("scopedFold=false folds to identical state (the giant-batch fallback)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
