@@ -135,16 +135,25 @@ object Bench {
     // measured where they are declared to live: q93 constructs the
     // exhaustive assignment in-query and q115/q116 run the full fold
     // sequence inside their own entries on every pass.
+    // q94/q95/q99 warm by running the (cheap) query once — their staged
+    // prior is built by their own read path. The service-state consumers
+    // (q117/q118/q119) warm through Queries.warmStagedState instead: their
+    // queries ARE the declared measurements (a full tombstone rebuild for
+    // q118/q119), so a full-query warmup would pay an extra untimed rebuild
+    // whose only reusable side effect is the staging itself.
     val stagedConsumers = Seq("q94_", "q95_", "q99_", "q117_", "q118_", "q119_")
-    selected.foreach { case (name, fn) =>
+    def stageWarm(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  dir: String): Unit =
       if (stagedConsumers.exists(name.startsWith)) {
         spark.sparkContext.setJobDescription(s"stagewarm:$name")
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
+        try {
+          if (!Queries.warmStagedState(spark, dir, name))
+            fn(spark, dir).write.mode("overwrite").format("noop").save()
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] stage warmup $name failed: ${e.getMessage}")
         } finally spark.sparkContext.setJobDescription(null)
       }
-    }
+    selected.foreach { case (name, fn) => stageWarm(name, fn, sfDir) }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val q0 = System.nanoTime()
       // thread-local job description: tags this query's jobs in the Spark
@@ -890,18 +899,13 @@ object Bench {
       "q61_pentomino_onesided")
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
         && scalingDir != sfDir) {
-      // same untimed stage warmup as the main pass, at the scaling dir —
-      // the staged-consumer entries' ratios must compare increment to
+      // same untimed stage warmup as the main pass (the SAME consumer
+      // list — q118/q119 were previously missing here, so their ratios
+      // compared a warmed main-dir run against a cold scaling-dir run that
+      // absorbed the one-time staging), at the scaling dir — the
+      // staged-consumer entries' ratios must compare increment to
       // increment, not (clean big) / (build+read small)
-      selected.foreach { case (name, fn) =>
-        if (Seq("q94_", "q95_", "q99_", "q117_").exists(name.startsWith)) {
-          spark.sparkContext.setJobDescription(s"stagewarm:$name")
-          try fn(spark, scalingDir).write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] scaling stage warmup $name failed: ${e.getMessage}")
-          } finally spark.sparkContext.setJobDescription(null)
-        }
-      }
+      selected.foreach { case (name, fn) => stageWarm(name, fn, scalingDir) }
       selected.filterNot(q => dirIndependent(q._1)).foreach { case (name, fn) =>
         val q0 = System.nanoTime()
         try {

@@ -1667,21 +1667,22 @@ object Queries {
     * concurrent first-callers per key (Verify runs queries on a pool). */
   private val stagedBuilds = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[String]]()
-  private def stagedParquet(spark: SparkSession, key: String)
-                           (build: => DataFrame): DataFrame = {
-    // a CompletableFuture placeholder keeps the map mutation instant (no
-    // multi-second Spark write inside computeIfAbsent's bin lock — a
-    // colliding-bin key would block on an unrelated build); concurrent
-    // same-key callers await the creator, a failed build is removed so a
-    // retry rebuilds instead of caching the exception forever
+  /** The shared once-per-process staging idiom: `build` runs against a
+    * fresh scratch root and the path it returns is memoized under `key`.
+    * A CompletableFuture placeholder keeps the map mutation instant (no
+    * multi-second Spark write inside computeIfAbsent's bin lock — a
+    * colliding-bin key would block on an unrelated build); concurrent
+    * same-key callers await the creator, a failed build is removed so a
+    * retry rebuilds instead of caching the exception forever. One map,
+    * one copy of the tricky concurrency — the parquet-table and
+    * service-state stagers below are thin wrappers. */
+  private def stagedDir(spark: SparkSession, key: String)
+                       (build: String => String): String = {
     val fresh = new java.util.concurrent.CompletableFuture[String]()
     val f = stagedBuilds.putIfAbsent(key, fresh) match {
       case null =>
-        try {
-          val out = scratchDir(spark, s"stage_$key")
-          build.write.mode("overwrite").parquet(out)
-          fresh.complete(out)
-        } catch {
+        try fresh.complete(build(scratchDir(spark, key)))
+        catch {
           case e: Throwable =>
             fresh.completeExceptionally(e)
             stagedBuilds.remove(key, fresh)
@@ -1689,8 +1690,13 @@ object Queries {
         fresh
       case existing => existing
     }
-    spark.read.parquet(f.get())
+    f.get()
   }
+  private def stagedParquet(spark: SparkSession, key: String)
+                           (build: => DataFrame): DataFrame =
+    spark.read.parquet(stagedDir(spark, s"stage_$key") { out =>
+      build.write.mode("overwrite").parquet(out); out
+    })
 
   /** Collision-free stage key for a testdata dir: full-width md5, NOT
     * String.hashCode — two dirs with colliding 32-bit hashes must never
@@ -2421,27 +2427,11 @@ object Queries {
     * testdata dir (the q93/q95 staging pattern): q117 then measures the
     * state-table read + sum-merge, not a third repetition of q115's fold
     * sequence. */
-  private val spanSvcStates = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[String]]()
-  private def spanServiceGramState(spark: SparkSession, dir: String): String = {
-    val key = s"spansvc_${dirKey(dir)}"
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val f = spanSvcStates.putIfAbsent(key, fresh) match {
-      case null =>
-        try {
-          val root = scratchDir(spark, key)
-          runSpanServiceFolds(spark, dir, s"$root/grams", s"$root/clean")
-          fresh.complete(s"$root/grams")
-        } catch {
-          case e: Throwable =>
-            fresh.completeExceptionally(e)
-            spanSvcStates.remove(key, fresh)
-        }
-        fresh
-      case existing => existing
+  private def spanServiceGramState(spark: SparkSession, dir: String): String =
+    stagedDir(spark, s"spansvc_${dirKey(dir)}") { root =>
+      runSpanServiceFolds(spark, dir, s"$root/grams", s"$root/clean")
+      s"$root/grams"
     }
-    f.get()
-  }
 
   /** Boilerplate mining over the service's gram-count state (q117): the
     * accumulated [[jobs.SpanDedupMaintenance.gramCounts]] table — committed
@@ -2501,32 +2491,28 @@ object Queries {
     * corpus as one fold, staged once per process — the takedown gate
     * (q119) copies and then mutates it, so its bench entry measures the
     * REBUILD, not a repeated service build. */
-  private val clusterSvcStates = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[String]]()
-  private def clusterServiceState(spark: SparkSession, dir: String): String = {
-    val key = s"clussvc_${dirKey(dir)}"
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val f = clusterSvcStates.putIfAbsent(key, fresh) match {
-      case null =>
-        try {
-          val root = scratchDir(spark, key)
-          val emb = t(spark, dir).embeddings
-            .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-          jobs.ClusterMaintenance.foldBatch(emb, 0L,
-            s"$root/state", s"$root/corpus", "vec_id", "embedding",
-            jobs.ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
-              dim = 64, probeRadius = 1, numTables = 16))
-          fresh.complete(root)
-        } catch {
-          case e: Throwable =>
-            fresh.completeExceptionally(e)
-            clusterSvcStates.remove(key, fresh)
-        }
-        fresh
-      case existing => existing
+  private def clusterServiceState(spark: SparkSession, dir: String): String =
+    stagedDir(spark, s"clussvc_${dirKey(dir)}") { root =>
+      val emb = t(spark, dir).embeddings
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      jobs.ClusterMaintenance.foldBatch(emb, 0L,
+        s"$root/state", s"$root/corpus", "vec_id", "embedding",
+        jobs.ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+          dim = 64, probeRadius = 1, numTables = 16))
+      root
     }
-    f.get()
-  }
+
+  /** Untimed staging hook for the bench's stage warmup: builds exactly the
+    * per-process staged state a consumer entry reads, WITHOUT running the
+    * consumer query itself (q118's rebuild and q119's rebuild are the
+    * declared measurements — only their shared upstream state belongs in a
+    * warmup). Returns true when `name` is a state consumer it warmed. */
+  def warmStagedState(spark: SparkSession, dir: String, name: String): Boolean =
+    if (name.startsWith("q117_") || name.startsWith("q118_")) {
+      spanServiceGramState(spark, dir); true
+    } else if (name.startsWith("q119_")) {
+      clusterServiceState(spark, dir); true
+    } else false
 
   /** Cluster-service tombstone rebuild, GATED (q119): every vec_id
     * divisible by 7 is retracted via

@@ -149,9 +149,12 @@ object ClusterMaintenance {
         prefix = "bkgen=")
       val bkParts = bgen.map(g => s"$corpusDir/bkgen=$g").toSeq ++
         ((bgen.getOrElse(-1L) + 1) until batchId).map(i => s"$corpusDir/bk=$i")
+      // _SUCCESS-gated like every other reader here: a torn bk=i (crash
+      // mid-overwrite, fold not replayed by a non-checkpointed caller)
+      // must degrade to recomputation, not probe a partial bucket table
       val bucketsOk = corpusParts.nonEmpty &&
         ((bgen.getOrElse(-1L) + 1) until batchId).forall(i =>
-          fs.exists(new Path(s"$corpusDir/bk=$i")))
+          fs.exists(new Path(s"$corpusDir/bk=$i/_SUCCESS")))
       val pairs =
         if (bucketsOk)
           Similarity.cosineNearDupPairsAgainstBucketed(b, corpus,
@@ -331,7 +334,12 @@ object ClusterMaintenance {
         .write.mode("overwrite").parquet(s"$stateDir/v=$v")
       val fin = new Path(s"$corpusDir/gen=$v")
       if (cfs.exists(fin)) cfs.delete(fin, true)
-      cfs.rename(tmp, fin)
+      // Hadoop rename reports many failures as `false`, not an exception —
+      // and everything below this point DELETES the old corpus dirs, so a
+      // silent rename failure would sweep the only committed state
+      require(cfs.rename(tmp, fin),
+        s"rebuildWithoutTombstones: rename $tmp -> $fin failed; aborting " +
+          "before any stale-dir sweep (old corpus state left intact)")
       // the bucket state MUST be rebuilt too: stale bk= dirs reference
       // tombstoned ids, and a later fold probing them would resurrect
       // retracted vectors as candidates

@@ -77,7 +77,10 @@ object SpanDedupMaintenance {
     val out = fs.create(tmp, true)
     try bf.writeTo(out) finally out.close()
     if (fs.exists(fin)) fs.delete(fin, false)
-    fs.rename(tmp, fin)
+    // a failed rename (Hadoop reports many failures as `false`) must not
+    // fail the fold — a missing filter only degrades the NEXT folds to the
+    // scan-and-build path — but it must not leave tmp cruft either
+    if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
     ()
   }
 
@@ -220,9 +223,20 @@ object SpanDedupMaintenance {
     val tmp = new Path(s"$gramDir/.gen=$g.rebuild")
     Dedup.spanGramCounts(retained, idCol, toksCol, cfg.n)
       .write.mode("overwrite").parquet(tmp.toString)
+    // the OLD filter at the same id must go BEFORE the rebuilt generation
+    // appears: a crash after the gen swap but before the new filter write
+    // would otherwise pair gen=$g with a stale filter whose definite-miss
+    // answers are wrong for grams only the rebuilt corpus contains (a
+    // MISSING filter merely degrades folds to scan-and-build — safe)
+    val bp = bloomPath(gramDir, g)
+    if (fs.exists(bp)) fs.delete(bp, false)
     val fin = new Path(s"$gramDir/gen=$g")
     if (fs.exists(fin)) fs.delete(fin, true)
-    fs.rename(tmp, fin)
+    // everything below DELETES superseded dirs — a silently-failed rename
+    // (Hadoop reports many failures as `false`) must abort before the sweep
+    require(fs.rename(tmp, fin),
+      s"rebuildState: rename $tmp -> $fin failed; aborting before the " +
+        "stale-dir sweep (old gram state left intact)")
     val genDf = sess.read.schema("gram_md5 string, cnt long").parquet(fin.toString)
     writeBloom(fs, gramDir, g,
       genDf.stat.bloomFilter("gram_md5", math.max(1L, genDf.count()), cfg.fpp))

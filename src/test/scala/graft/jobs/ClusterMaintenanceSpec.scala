@@ -224,10 +224,19 @@ class ClusterMaintenanceSpec extends SparkSpec {
         Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); () }
         rm(f) })
     ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfg)
+    // and a TORN bucket dir (exists, no _SUCCESS — a crash mid-overwrite
+    // with the fold not replayed) must also degrade, not probe a partial
+    // bucket table as if it were committed coverage
+    assert(new java.io.File(s"$corpus/bk=2/_SUCCESS").delete(),
+      "premise: fold 2 rewrote its bucket dir")
+    val embAll = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    ClusterMaintenance.foldBatch(embAll.filter(col("vec_id") >= 60), 3L,
+      state, corpus, "vec_id", "embedding", cfg)
     val got = rows(ClusterMaintenance.latestAssignment(spark, state))
     val full = rows(Dedup.componentAssignments(
-      emb.select(col("vec_id")), "vec_id",
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      embAll.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(embAll, "vec_id", "embedding",
         threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
       "id_a", "id_b"))
     assert(got == full, "fallback fold diverged from the full pruned build")
