@@ -2542,6 +2542,92 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Takedown-and-RESUME, gated (q121): q119 gates the rebuild itself;
+    * this gates the service's full takedown LIFECYCLE — ingest, retract,
+    * resume — under one oracle. Two tercile folds commit; every ingested
+    * vec_id % 7 == 0 is then retracted via
+    * [[jobs.ClusterMaintenance.rebuildWithoutTombstones]] (state collapses
+    * to one rebuilt snapshot, corpus + bucket state to one filtered
+    * generation); the stream then RESUMES with the third tercile folded on
+    * top of the rebuilt state. The final assignment must equal the full
+    * pruned build over (retained ∪ resumed batch) — the incremental
+    * theorem on the filtered corpus, i.e. exactly the claim that a
+    * takedown is invisible to the stream that follows it. The oracle
+    * replays q103's pipeline over embeddings WHERE vec_id % 7 <> 0 OR
+    * vec_id >= the re-derived tercile boundary (ids arriving AFTER the
+    * takedown are kept even when ≡ 0 mod 7 — retraction applies to the
+    * corpus at rebuild time, not to future ingests). A stale bucket row
+    * resurrecting a retracted id as a candidate, a rebuild head resolved
+    * at the wrong fold, or a resume fold reading swept state all
+    * hash-fail here end-to-end, not just in the spec. */
+  def takedownResume(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0) // bounded scalar
+    val b = (maxId + 1) * 2 / 3
+    val root = java.nio.file.Files.createTempDirectory("q121_tr").toString
+    val cfg = jobs.ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    (0 until 2).foreach { w =>
+      val lo = (maxId + 1) * w / 3
+      val hi = (maxId + 1) * (w + 1) / 3
+      jobs.ClusterMaintenance.foldBatch(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi), w.toLong,
+        s"$root/state", s"$root/corpus", "vec_id", "embedding", cfg)
+    }
+    val tomb = emb.select(col("vec_id"))
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") < b)
+    jobs.ClusterMaintenance.rebuildWithoutTombstones(spark, s"$root/state",
+      s"$root/corpus", tomb, "vec_id", cfg)
+    jobs.ClusterMaintenance.foldBatch(emb.filter(col("vec_id") >= b), 2L,
+      s"$root/state", s"$root/corpus", "vec_id", "embedding", cfg)
+    jobs.ClusterMaintenance.latestAssignment(spark, s"$root/state")
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  /** Span-service takedown-and-RESUME, gated (q122): q118 gates the gram
+    * recount itself; this gates the span service's full takedown
+    * LIFECYCLE under one oracle. Two tercile folds commit their gram
+    * counts; every ingested doc_id % 7 == 0 is then retracted via
+    * [[jobs.SpanDedupMaintenance.rebuildState]] (the recount of the
+    * retained prefix becomes a single superseding generation with a FRESH
+    * persisted Bloom filter); the stream resumes with the third tercile
+    * folded on top. The resumed fold's clean output must equal the full
+    * span-dedup recompute over (retained ∪ batch) restricted to the
+    * batch — the operator's split identity on the filtered corpus. A
+    * retraction that is invisible to the next fold (a doc whose only
+    * duplicates were retracted must come back UNCOVERED), a stale filter
+    * paired with the rebuilt generation, or a rebuild that kept a
+    * tombstoned doc's grams all change coverage and hash-fail here. */
+  def spanTakedownResume(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    def toks(d: DataFrame) = d.select(col("doc_id").cast("long").as("doc_id"),
+      functions.TextFunctions.tokens(col("text")).as("toks"))
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val b = (maxId + 1) * 2 / 3 // bounded scalar; oracle re-derives it
+    val root = java.nio.file.Files.createTempDirectory("q122_tr").toString
+    val cfg = jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
+    (0 until 2).foreach { w =>
+      val lo = (maxId + 1) * w / 3
+      val hi = (maxId + 1) * (w + 1) / 3
+      jobs.SpanDedupMaintenance.foldBatch(
+        toks(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)), w.toLong,
+        s"$root/grams", s"$root/clean", "doc_id", "toks", cfg)
+    }
+    val retained = toks(docs.filter(col("doc_id") < b && col("doc_id") % 7 =!= 0))
+    jobs.SpanDedupMaintenance.rebuildState(retained, s"$root/grams",
+      "doc_id", "toks", cfg)
+    jobs.SpanDedupMaintenance.foldBatch(toks(docs.filter(col("doc_id") >= b)), 2L,
+        s"$root/grams", s"$root/clean", "doc_id", "toks", cfg)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
+        col("n_spans"), col("n_covered"),
+        md5(to_binary(concat_ws(" ", col("clean_toks")), lit("utf-8")))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-service fold SEQUENCE, gated (q120): [[jobs.ClusterMaintenance]]
     * driven as three direct tercile folds with `snapshotEvery = 2` — fold 0
     * anchors the `v=0` snapshot, fold 1 writes only the batch-proportional

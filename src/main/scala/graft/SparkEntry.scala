@@ -605,7 +605,9 @@ object SparkEntry {
     "q117_boilerplate_grams" -> Queries.boilerplateGrams _,
     "q118_tombstone_span_rebuild" -> Queries.tombstoneSpanRebuild _,
     "q119_tombstone_cluster_rebuild" -> Queries.tombstoneClusterRebuild _,
-    "q120_cluster_fold_sequence" -> Queries.clusterServiceFoldSequence _
+    "q120_cluster_fold_sequence" -> Queries.clusterServiceFoldSequence _,
+    "q121_takedown_resume" -> Queries.takedownResume _,
+    "q122_span_takedown_resume" -> Queries.spanTakedownResume _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1978,7 +1980,53 @@ object SparkEntry {
     "q120_cluster_fold_sequence" -> (0 until 3).map { w =>
       val where = s" WHERE vec_id < (SELECT (max(vec_id) + 1) * ${w + 1} // 3 FROM embeddings)"
       s"SELECT CAST($w AS BIGINT) AS fold, * FROM (\n${prunedClusterOracleSql(0.35, where)})"
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY fold, vec_id")
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fold, vec_id"),
+    // q121: the takedown LIFECYCLE — after two folds, a mid-stream
+    // retraction of every ingested vec_id % 7 == 0, and a resumed third
+    // fold, the head assignment must equal the full pruned replay over
+    // (retained ∪ resumed batch): ids before the re-derived tercile
+    // boundary survive only when NOT ≡ 0 mod 7; ids after it always do.
+    "q121_takedown_resume" -> prunedClusterOracleSql(0.35,
+      " WHERE vec_id % 7 <> 0 OR vec_id >= (SELECT (max(vec_id) + 1) * 2 // 3 FROM embeddings)"),
+    // q122: the span-service takedown lifecycle — the resumed third-tercile
+    // fold must equal the full span recompute over (retained ∪ batch)
+    // restricted to batch docs: q113's replay with the retraction injected
+    // into the corpus CTE (ids before the re-derived boundary survive only
+    // when NOT ≡ 0 mod 7; the batch itself always does).
+    "q122_span_takedown_resume" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0 OR doc_id >= (SELECT (max(doc_id) + 1) * 2 // 3 FROM documents)),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, start, md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram FROM idx),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |d AS (SELECT doc_id, start FROM g JOIN c USING (gram)),
+        |m AS (SELECT doc_id, start, CASE WHEN lag(start) OVER w IS NULL
+        |    OR start > lag(start) OVER w + 7 THEN 1 ELSE 0 END AS ng
+        |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        |mg AS (SELECT doc_id, start,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY start) AS grp FROM m),
+        |sp AS (SELECT doc_id, grp, min(start) AS s, max(start) + 8 AS e,
+        |    count(*) AS n_starts FROM mg GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_covered,
+        |    CAST(sum(n_starts) AS BIGINT) AS n_dup_starts
+        |  FROM sp GROUP BY doc_id),
+        |posn AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+        |keep AS (SELECT p.doc_id, p.i, p.toks[p.i] AS tok FROM posn p
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = p.doc_id AND p.i - 1 >= sp.s AND p.i - 1 < sp.e)),
+        |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_dup_starts, 0) AS n_dup_starts,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_covered, 0) AS n_covered,
+        |  md5(coalesce(ct.clean, '')) AS clean_md5
+        |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)
+        |WHERE t.doc_id >= (SELECT (max(doc_id) + 1) * 2 // 3 FROM documents)
+        |ORDER BY t.doc_id""".stripMargin
   )
 
   /** Flat recount of every 8-token window over the (optionally filtered)
