@@ -438,4 +438,40 @@ object ClusterMaintenance {
     * raises a clear error instead of an opaque empty-collection failure. */
   def latestAssignment(spark: SparkSession, stateDir: String): DataFrame =
     reconstructAssignment(spark, stateDir)
+
+  /** Operational snapshot of the service's on-disk state — what an on-call
+    * operator checks before/after a fold, a takedown, or an incident.
+    * `headFold` is the fold `latestAssignment` resolves (newest committed
+    * snapshot plus its contiguous delta chain — the same walk, so a torn
+    * newest write is reported at the fold readers actually see). All
+    * listings are COMMITTED (`_SUCCESS`-gated) dirs only, and all are
+    * bounded by retention/compaction, never by stream length. */
+  final case class Status(headFold: Long, snapshots: Seq[Long],
+                          deltas: Seq[Long], corpusGeneration: Option[Long],
+                          corpusBatches: Seq[Long],
+                          bucketGeneration: Option[Long],
+                          bucketBatches: Seq[Long])
+
+  def status(spark: SparkSession, stateDir: String, corpusDir: String): Status = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val spath = new Path(stateDir)
+    val sfs = spath.getFileSystem(hconf)
+    val cpath = new Path(corpusDir)
+    val cfs = cpath.getFileSystem(hconf)
+    val snaps = committedDirs(sfs, spath, "v=").sorted.toSeq
+    require(snaps.nonEmpty,
+      s"ClusterMaintenance.status: no committed snapshot under $stateDir")
+    val chain = Iterator.iterate(snaps.max + 1)(_ + 1)
+      .takeWhile(n => sfs.exists(new Path(s"$stateDir/d=$n/_SUCCESS")))
+      .toSeq
+    Status(
+      headFold = chain.lastOption.getOrElse(snaps.max),
+      snapshots = snaps,
+      deltas = committedDirs(sfs, spath, "d=").sorted.toSeq,
+      corpusGeneration = latestGeneration(cfs, cpath, maxGen = Long.MaxValue),
+      corpusBatches = committedDirs(cfs, cpath, "b=").sorted.toSeq,
+      bucketGeneration =
+        latestGeneration(cfs, cpath, maxGen = Long.MaxValue, prefix = "bkgen="),
+      bucketBatches = committedDirs(cfs, cpath, "bk=").sorted.toSeq)
+  }
 }

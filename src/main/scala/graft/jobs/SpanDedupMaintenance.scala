@@ -274,4 +274,28 @@ object SpanDedupMaintenance {
     spark.read.schema("gram_md5 string, cnt long").parquet(parts: _*)
       .groupBy("gram_md5").agg(sum(col("cnt")).as("cnt"))
   }
+
+  /** Operational snapshot of the service's on-disk state (the
+    * [[ClusterMaintenance.status]] counterpart): newest ingested fold,
+    * committed generation, post-generation batch dirs, and whether the
+    * generation's persisted Bloom filter is present (absent = folds run
+    * the documented scan-and-build fallback — correct but slower, the
+    * signal an operator acts on). Committed dirs only; all listings
+    * bounded by compactEvery. */
+  final case class Status(headFold: Long, generation: Option[Long],
+                          batchDirs: Seq[Long], bloomPresent: Boolean)
+
+  def status(spark: SparkSession, gramDir: String): Status = {
+    val gpath = new Path(gramDir)
+    val fs = gpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = Long.MaxValue)
+    val bs = ClusterMaintenance.committedDirs(fs, gpath, "b=").sorted.toSeq
+    require(gen.nonEmpty || bs.nonEmpty,
+      s"SpanDedupMaintenance.status: no committed gram state under $gramDir")
+    Status(
+      headFold = (gen.toSeq ++ bs).max,
+      generation = gen,
+      batchDirs = bs.filter(_ > gen.getOrElse(-1L)),
+      bloomPresent = gen.exists(g => fs.exists(bloomPath(gramDir, g))))
+  }
 }

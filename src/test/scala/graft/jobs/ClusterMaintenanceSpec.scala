@@ -44,6 +44,14 @@ class ClusterMaintenanceSpec extends SparkSpec {
       .map(_.getName).filter(n => n.startsWith("v=") || n.startsWith("d="))
       .sorted.toSeq
     assert(versions == Seq("d=1", "d=2", "v=0"), s"unexpected versions: $versions")
+    // the operator-facing status mirror: head fold resolved through the
+    // snapshot + delta chain, committed dirs only, no compaction yet at
+    // the default compactEvery=8 over three folds
+    val st = ClusterMaintenance.status(spark, state, corpus)
+    assert(st == ClusterMaintenance.Status(headFold = 2, snapshots = Seq(0),
+      deltas = Seq(1, 2), corpusGeneration = None, corpusBatches = Seq(0, 1, 2),
+      bucketGeneration = None, bucketBatches = Seq(0, 1, 2)),
+      s"unexpected service status: $st")
   }
 
   test("delta-state cadence: snapshots + deltas reconstruct exactly; retention bounds the dirs; snapshotEvery=1 restores the legacy layout") {
@@ -108,6 +116,9 @@ class ClusterMaintenanceSpec extends SparkSpec {
       "premise: fold 1 wrote the delta d=1")
     assert(rows(ClusterMaintenance.latestAssignment(spark, state)) == afterFold0,
       "a torn delta leaked into the reconstructed assignment")
+    // status reports the head fold READERS resolve, not the torn write
+    assert(ClusterMaintenance.status(spark, state, corpus).headFold == 0,
+      "status reported a torn fold as the head")
   }
 
   test("latestAssignment ignores a torn newest SNAPSHOT and resolves through the prior snapshot + delta chain") {

@@ -43,6 +43,12 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
     val cdirs = new java.io.File(clean).listFiles()
       .map(_.getName).filter(_.startsWith("b=")).sorted.toSeq
     assert(cdirs == (0 until 6).map(k => s"b=$k").sorted)
+    // the operator-facing status mirror of the same facts: head fold,
+    // committed generation, post-generation batch dirs, filter present
+    val st = SpanDedupMaintenance.status(spark, grams)
+    assert(st == SpanDedupMaintenance.Status(headFold = 5,
+      generation = Some(3), batchDirs = Seq(4, 5), bloomPresent = true),
+      s"unexpected service status: $st")
   }
 
   /** Executions (SQL actions) whose physical plan scans a `gen=` parquet
