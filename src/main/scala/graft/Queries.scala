@@ -459,6 +459,14 @@ object Queries {
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** A fresh per-CALL scratch root for queries that MUTATE their state
+    * (the service fold sequences and takedown/lifecycle gates) — repeat
+    * bench passes must never collide on a shared dir, and the root is
+    * registered with the same shutdown-hook cleanup as every other
+    * scratch dir instead of leaking corpus-sized /tmp copies per pass. */
+  private def freshScratchDir(spark: SparkSession, tag: String): String =
+    scratchDir(spark, s"${tag}_${streamRunCounter.getAndIncrement()}")
+
   /** Isolated session for the streaming parity harnesses, with state-store
     * parallelism sized to the harness: every stateful micro-batch pays a
     * per-partition state-store open/commit per trigger, so 32 shuffle
@@ -2412,7 +2420,7 @@ object Queries {
   }
 
   def spanDedupService(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("q115_svc").toString
+    val root = freshScratchDir(spark, "q115_svc")
     val (gramDir, cleanDir) = (s"$root/grams", s"$root/clean")
     runSpanServiceFolds(spark, dir, gramDir, cleanDir)
     spark.read.parquet((0 until 3).map(k => s"$cleanDir/b=$k"): _*)
@@ -2474,7 +2482,7 @@ object Queries {
     * supersede the old generation changes some count and hash-fails. */
   def tombstoneSpanRebuild(spark: SparkSession, dir: String): DataFrame = {
     val staged = spanServiceGramState(spark, dir)
-    val root = java.nio.file.Files.createTempDirectory("q118_reb").toString
+    val root = freshScratchDir(spark, "q118_reb")
     copyStateDir(spark, staged, s"$root/grams")
     val retained = t(spark, dir).documents
       .filter(col("doc_id").cast("long") % 7 =!= 0)
@@ -2527,7 +2535,7 @@ object Queries {
     * filtered min all hash-fail. */
   def tombstoneClusterRebuild(spark: SparkSession, dir: String): DataFrame = {
     val staged = clusterServiceState(spark, dir)
-    val root = java.nio.file.Files.createTempDirectory("q119_reb").toString
+    val root = freshScratchDir(spark, "q119_reb")
     copyStateDir(spark, s"$staged/state", s"$root/state")
     copyStateDir(spark, s"$staged/corpus", s"$root/corpus")
     val tomb = t(spark, dir).embeddings
@@ -2565,7 +2573,7 @@ object Queries {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0) // bounded scalar
     val b = (maxId + 1) * 2 / 3
-    val root = java.nio.file.Files.createTempDirectory("q121_tr").toString
+    val root = freshScratchDir(spark, "q121_tr")
     val cfg = jobs.ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
       dim = 64, probeRadius = 1, numTables = 16)
     (0 until 2).foreach { w =>
@@ -2607,7 +2615,7 @@ object Queries {
       functions.TextFunctions.tokens(col("text")).as("toks"))
     val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
     val b = (maxId + 1) * 2 / 3 // bounded scalar; oracle re-derives it
-    val root = java.nio.file.Files.createTempDirectory("q122_tr").toString
+    val root = freshScratchDir(spark, "q122_tr")
     val cfg = jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
     (0 until 2).foreach { w =>
       val lo = (maxId + 1) * w / 3
@@ -2651,7 +2659,7 @@ object Queries {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0) // bounded scalar
     val nWaves = 3
-    val root = java.nio.file.Files.createTempDirectory("q120_seq").toString
+    val root = freshScratchDir(spark, "q120_seq")
     val cfg = jobs.ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
       dim = 64, probeRadius = 1, numTables = 16,
       compactEvery = 2, snapshotEvery = 2)

@@ -142,30 +142,24 @@ object ClusterMaintenance {
       // persisted (id, t, sig) rows instead of recomputing
       // numTables·numPlanes·dim signature multiplies over the whole
       // corpus — the per-fold corpus term drops to one vector scan (the
-      // exact cosine gate). Any missing dir (pre-upgrade layout, crash
-      // between commits) degrades that fold to the direct recomputation
-      // with identical results — exactness never rides on the cache.
-      val bgen = latestGeneration(fs, cpath, maxGen = batchId - 1,
-        prefix = "bkgen=")
-      val bkParts = bgen.map(g => s"$corpusDir/bkgen=$g").toSeq ++
-        ((bgen.getOrElse(-1L) + 1) until batchId).map(i => s"$corpusDir/bk=$i")
-      // _SUCCESS-gated like every other reader here: a torn bk=i (crash
-      // mid-overwrite, fold not replayed by a non-checkpointed caller)
-      // must degrade to recomputation, not probe a partial bucket table
-      val bucketsOk = corpusParts.nonEmpty &&
-        ((bgen.getOrElse(-1L) + 1) until batchId).forall(i =>
-          fs.exists(new Path(s"$corpusDir/bk=$i/_SUCCESS")))
-      val pairs =
-        if (bucketsOk)
+      // exact cosine gate). Any missing or TORN dir (pre-upgrade layout,
+      // crash between commits) degrades that fold to the direct
+      // recomputation with identical results — exactness never rides on
+      // the cache ([[committedBucketParts]], spec-gated counterfactually).
+      val bkCover = if (corpusParts.nonEmpty)
+        committedBucketParts(fs, corpusDir, batchId) else None
+      val pairs = bkCover match {
+        case Some(bkParts) =>
           Similarity.cosineNearDupPairsAgainstBucketed(b, corpus,
             sess.read.schema("id long, t int, sig long").parquet(bkParts: _*),
             "vec_id", "embedding", threshold = cfg.threshold,
             numPlanes = cfg.numPlanes, dim = cfg.dim,
             probeRadius = cfg.probeRadius, numTables = cfg.numTables)
-        else Similarity.cosineNearDupPairsAgainst(b, corpus,
+        case None => Similarity.cosineNearDupPairsAgainst(b, corpus,
           "vec_id", "embedding", threshold = cfg.threshold,
           numPlanes = cfg.numPlanes, dim = cfg.dim,
           probeRadius = cfg.probeRadius, numTables = cfg.numTables)
+      }
       val spath = new Path(stateDir)
       val sfs = spath.getFileSystem(hconf)
       val lastSnap = committedDirs(sfs, spath, "v=")
@@ -219,11 +213,12 @@ object ClusterMaintenance {
         // (no aggregation), so the generation is just the committed
         // union of the dirs this fold read — or a recomputation from the
         // corpus when a dir is missing (legacy layout)
-        val bkGenDf =
-          if (bucketsOk)
+        val bkGenDf = bkCover match {
+          case Some(bkParts) =>
             sess.read.schema("id long, t int, sig long").parquet(bkParts: _*)
-          else Similarity.lshBucketTable(corpus, "vec_id", "embedding",
+          case None => Similarity.lshBucketTable(corpus, "vec_id", "embedding",
             cfg.numPlanes, cfg.dim, cfg.numTables)
+        }
         bkGenDf.write.mode("overwrite").parquet(s"$corpusDir/bkgen=$newGen")
         val stale = fs.listStatus(cpath).map(_.getPath.getName).filter { nm =>
           numericSuffix(nm, "b=").exists(_ <= newGen) ||
@@ -309,6 +304,13 @@ object ClusterMaintenance {
     val v = versions.max
     val cpath = new Path(corpusDir)
     val cfs = cpath.getFileSystem(hconf)
+    // recover an interrupted PRIOR rebuild's swap before reading: a crash
+    // (or failed rename) between its aside and its swap-in leaves
+    // `.gen=N.old` holding the only corpus copy — restore it so this run
+    // reads the pre-takedown corpus; a committed gen=N makes the aside a
+    // superseded leftover to discard. This is what makes "re-running the
+    // rebuild converges" true in every crash window.
+    restoreAsides(cfs, cpath, "gen=")
     val gen = latestGeneration(cfs, cpath, maxGen = v)
     val bDirs = cfs.listStatus(cpath).map(_.getPath.getName)
       .flatMap(numericSuffix(_, "b="))
@@ -332,14 +334,21 @@ object ClusterMaintenance {
       Dedup.componentAssignments(keep.select(col("vec_id")), "vec_id",
           pairs, "id_a", "id_b")
         .write.mode("overwrite").parquet(s"$stateDir/v=$v")
+      // Swap via ASIDE, never delete-then-rename: the old generation is
+      // moved aside (not destroyed) until the rebuilt one commits, so a
+      // crash or a failed rename (Hadoop reports many failures as `false`,
+      // not an exception) at any point leaves either the committed old
+      // corpus or a restorable aside — the restoreAsides pass above makes
+      // the re-run converge from both.
       val fin = new Path(s"$corpusDir/gen=$v")
-      if (cfs.exists(fin)) cfs.delete(fin, true)
-      // Hadoop rename reports many failures as `false`, not an exception —
-      // and everything below this point DELETES the old corpus dirs, so a
-      // silent rename failure would sweep the only committed state
+      val aside = new Path(s"$corpusDir/.gen=$v.old")
+      if (cfs.exists(fin)) require(cfs.rename(fin, aside),
+        s"rebuildWithoutTombstones: aside rename $fin -> $aside failed " +
+          "(corpus state intact)")
       require(cfs.rename(tmp, fin),
-        s"rebuildWithoutTombstones: rename $tmp -> $fin failed; aborting " +
-          "before any stale-dir sweep (old corpus state left intact)")
+        s"rebuildWithoutTombstones: rename $tmp -> $fin failed; old corpus " +
+          s"preserved at $aside — re-running the rebuild restores and converges")
+      if (cfs.exists(aside)) cfs.delete(aside, true)
       // the bucket state MUST be rebuilt too: stale bk= dirs reference
       // tombstoned ids, and a later fold probing them would resurrect
       // retracted vectors as candidates
@@ -366,6 +375,43 @@ object ClusterMaintenance {
     spark.read.parquet(s"$stateDir/v=$v")
   }
 
+  /** The persisted bucket-table dirs a fold of `batchId` may probe, or
+    * None when coverage is incomplete — a missing OR torn (`_SUCCESS`-less,
+    * crash mid-overwrite with the fold not replayed by a non-checkpointed
+    * caller) `bk=i` is NOT committed coverage, and the fold must degrade
+    * to direct signature recomputation rather than probe a partial bucket
+    * table as if it were complete. Results are identical either way. */
+  private[jobs] def committedBucketParts(fs: FileSystem, corpusDir: String,
+                                         batchId: Long): Option[Seq[String]] = {
+    val bgen = latestGeneration(fs, new Path(corpusDir), maxGen = batchId - 1,
+      prefix = "bkgen=")
+    val ids = (bgen.getOrElse(-1L) + 1) until batchId
+    if (ids.forall(i => fs.exists(new Path(s"$corpusDir/bk=$i/_SUCCESS"))))
+      Some(bgen.map(g => s"$corpusDir/bkgen=$g").toSeq ++
+        ids.map(i => s"$corpusDir/bk=$i"))
+    else None
+  }
+
+  /** Recover interrupted aside swaps (the takedown rebuilds' crash
+    * protocol, shared by both services): a `.{prefix}N.old` entry whose
+    * `{prefix}N` did NOT commit holds the only copy of that state — rename
+    * it back; if `{prefix}N` committed, the aside is a superseded leftover
+    * to discard. Run before any read or head-id derivation so a rebuild
+    * re-run converges from every crash window. */
+  private[jobs] def restoreAsides(fs: FileSystem, dir: Path,
+                                  prefix: String): Unit =
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).map(_.getPath.getName)
+        .filter(nm => nm.startsWith(s".$prefix") && nm.endsWith(".old"))
+        .foreach { nm =>
+          val committed = new Path(dir, nm.stripPrefix(".").stripSuffix(".old"))
+          if (fs.exists(new Path(committed, "_SUCCESS")))
+            fs.delete(new Path(dir, nm), true)
+          else require(fs.rename(new Path(dir, nm), committed),
+            s"restoreAsides: could not restore $nm -> $committed under $dir")
+        }
+    }
+
   /** COMMITTED (`_SUCCESS`-marked) numeric dirs with the given prefix under
     * `dir` — the shared gate for snapshot (`v=`) and delta (`d=`) reads. */
   private[jobs] def committedDirs(fs: FileSystem, dir: Path,
@@ -376,6 +422,17 @@ object ClusterMaintenance {
         numericSuffix(vp.getName, prefix)
           .filter(_ => fs.exists(new Path(vp, "_SUCCESS")))
       }
+
+  /** The contiguous committed delta chain starting at `from` (bounded by
+    * `upTo`) — THE resolution rule readers and [[status]] share: the walk
+    * stops at the first gap, which under the crash model (only the newest
+    * write can tear) is the torn write readers must not see. */
+  private def committedDeltaChain(fs: FileSystem, stateDir: String,
+                                  from: Long, upTo: Long = Long.MaxValue): Seq[Long] =
+    Iterator.iterate(from)(_ + 1)
+      .takeWhile(n => n <= upTo &&
+        fs.exists(new Path(s"$stateDir/d=$n/_SUCCESS")))
+      .toSeq
 
   private val AssignSchema = "id long, cluster_id long, cluster_size long, is_canonical int"
 
@@ -403,10 +460,7 @@ object ClusterMaintenance {
         "(the service has not completed any fold — or the dir is wrong)")
     val s = snaps.max
     val base = spark.read.schema(AssignSchema).parquet(s"$stateDir/v=$s")
-    val deltas = Iterator.iterate(s + 1)(_ + 1)
-      .takeWhile(n => n <= upTo &&
-        fs.exists(new Path(s"$stateDir/d=$n/_SUCCESS")))
-      .toSeq
+    val deltas = committedDeltaChain(fs, stateDir, from = s + 1, upTo = upTo)
     // With the open-ended default, stopping at the first gap IS the
     // semantics (the gap is the torn newest write). With a finite upTo —
     // the fold's read-prior path — the chain MUST reach upTo: every fold
@@ -461,17 +515,21 @@ object ClusterMaintenance {
     val snaps = committedDirs(sfs, spath, "v=").sorted.toSeq
     require(snaps.nonEmpty,
       s"ClusterMaintenance.status: no committed snapshot under $stateDir")
-    val chain = Iterator.iterate(snaps.max + 1)(_ + 1)
-      .takeWhile(n => sfs.exists(new Path(s"$stateDir/d=$n/_SUCCESS")))
-      .toSeq
+    val chain = committedDeltaChain(sfs, stateDir, from = snaps.max + 1)
+    val cgen = latestGeneration(cfs, cpath, maxGen = Long.MaxValue)
+    val bkgen = latestGeneration(cfs, cpath, maxGen = Long.MaxValue, prefix = "bkgen=")
+    // batch listings are post-generation only (what readers actually
+    // consume — same semantics as SpanDedupMaintenance.status): dirs at or
+    // below the generation are sweep leftovers every reader already ignores
     Status(
       headFold = chain.lastOption.getOrElse(snaps.max),
       snapshots = snaps,
       deltas = committedDirs(sfs, spath, "d=").sorted.toSeq,
-      corpusGeneration = latestGeneration(cfs, cpath, maxGen = Long.MaxValue),
-      corpusBatches = committedDirs(cfs, cpath, "b=").sorted.toSeq,
-      bucketGeneration =
-        latestGeneration(cfs, cpath, maxGen = Long.MaxValue, prefix = "bkgen="),
-      bucketBatches = committedDirs(cfs, cpath, "bk=").sorted.toSeq)
+      corpusGeneration = cgen,
+      corpusBatches = committedDirs(cfs, cpath, "b=").sorted.toSeq
+        .filter(_ > cgen.getOrElse(-1L)),
+      bucketGeneration = bkgen,
+      bucketBatches = committedDirs(cfs, cpath, "bk=").sorted.toSeq
+        .filter(_ > bkgen.getOrElse(-1L)))
   }
 }

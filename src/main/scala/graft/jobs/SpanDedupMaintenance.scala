@@ -213,6 +213,13 @@ object SpanDedupMaintenance {
     val fs = gpath.getFileSystem(sess.sparkContext.hadoopConfiguration)
     require(fs.exists(gpath),
       s"rebuildState: no gram state under $gramDir")
+    // Recover an interrupted PRIOR rebuild before deriving the head id: a
+    // crash (or failed rename) between its aside and its swap-in leaves
+    // `.gen=N.old` holding the only copy of the state — restore it so this
+    // run sees the pre-takedown state again. If gen=N DID commit, the
+    // aside is a superseded leftover to discard. This is what makes
+    // "re-running the rebuild converges" true in every crash window.
+    ClusterMaintenance.restoreAsides(fs, gpath, "gen=")
     val ids = fs.listStatus(gpath).map(_.getPath.getName).flatMap { nm =>
       ClusterMaintenance.numericSuffix(nm, "b=")
         .orElse(ClusterMaintenance.numericSuffix(nm, "gen="))
@@ -230,16 +237,21 @@ object SpanDedupMaintenance {
     // MISSING filter merely degrades folds to scan-and-build — safe)
     val bp = bloomPath(gramDir, g)
     if (fs.exists(bp)) fs.delete(bp, false)
+    // Swap via ASIDE, never delete-then-rename: the old generation is moved
+    // aside (not destroyed) until the rebuilt one is committed, so a crash
+    // or failed rename at any point leaves either the committed old state
+    // or a restorable aside — the re-run above converges from both.
     val fin = new Path(s"$gramDir/gen=$g")
-    if (fs.exists(fin)) fs.delete(fin, true)
-    // everything below DELETES superseded dirs — a silently-failed rename
-    // (Hadoop reports many failures as `false`) must abort before the sweep
+    val aside = new Path(s"$gramDir/.gen=$g.old")
+    if (fs.exists(fin)) require(fs.rename(fin, aside),
+      s"rebuildState: aside rename $fin -> $aside failed (state intact)")
     require(fs.rename(tmp, fin),
-      s"rebuildState: rename $tmp -> $fin failed; aborting before the " +
-        "stale-dir sweep (old gram state left intact)")
+      s"rebuildState: rename $tmp -> $fin failed; old state preserved at " +
+        s"$aside — re-running the rebuild restores and converges")
     val genDf = sess.read.schema("gram_md5 string, cnt long").parquet(fin.toString)
     writeBloom(fs, gramDir, g,
       genDf.stat.bloomFilter("gram_md5", math.max(1L, genDf.count()), cfg.fpp))
+    if (fs.exists(aside)) fs.delete(aside, true)
     val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
       ClusterMaintenance.numericSuffix(nm, "b=").exists(_ <= g) ||
         ClusterMaintenance.numericSuffix(nm, "gen=").exists(_ < g) ||

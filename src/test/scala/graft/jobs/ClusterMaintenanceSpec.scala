@@ -228,18 +228,27 @@ class ClusterMaintenanceSpec extends SparkSpec {
     val (state, corpus) = (s"$root/state", s"$root/corpus")
     (0 until 2).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
       state, corpus, "vec_id", "embedding", cfg))
-    // simulate a pre-upgrade layout: the persisted bucket tables vanish
+    // The coverage gate, counterfactually: with bk=0/bk=1 committed, fold 2
+    // would probe them; tearing ONLY bk=1's _SUCCESS (its parquet data
+    // stays on disk — exactly what a crash mid-overwrite leaves, and
+    // exactly what a bare exists() check would mistake for coverage) must
+    // flip the decision to the degrade path.
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L).isDefined,
+      "premise: both bucket dirs committed -> coverage")
+    assert(new java.io.File(s"$corpus/bk=1/_SUCCESS").delete(),
+      "premise: bk=1 was committed")
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L).isEmpty,
+      "a torn bucket dir (data present, no _SUCCESS) was treated as committed coverage")
+    // fold 2 runs through the degrade decision above — results identical
+    ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfg)
+    // and a pre-upgrade layout (bucket tables absent wholesale) degrades too
     new java.io.File(corpus).listFiles()
       .filter(f => f.getName.startsWith("bk=") || f.getName.startsWith("bkgen="))
       .foreach(f => { def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); () }
         rm(f) })
-    ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfg)
-    // and a TORN bucket dir (exists, no _SUCCESS — a crash mid-overwrite
-    // with the fold not replayed) must also degrade, not probe a partial
-    // bucket table as if it were committed coverage
-    assert(new java.io.File(s"$corpus/bk=2/_SUCCESS").delete(),
-      "premise: fold 2 rewrote its bucket dir")
     val embAll = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     ClusterMaintenance.foldBatch(embAll.filter(col("vec_id") >= 60), 3L,
@@ -301,6 +310,30 @@ class ClusterMaintenanceSpec extends SparkSpec {
         threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
       "id_a", "id_b"))
     assert(resumed == fullUnion, "post-rebuild fold diverged from the filtered full build")
+
+    // CRASH-WINDOW convergence: simulate a SECOND takedown dying between
+    // its aside and its swap-in — the corpus generation sits at
+    // .gen=N.old, nothing committed (the state a delete-then-rename
+    // protocol would have simply LOST). Re-running the rebuild must
+    // restore the aside and converge, not fail with "no corpus state".
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new java.io.File(corpus).listFiles().map(_.getName)
+      .filter(_.startsWith("gen=")).foreach { nm =>
+        assert(fs.rename(new org.apache.hadoop.fs.Path(s"$corpus/$nm"),
+          new org.apache.hadoop.fs.Path(s"$corpus/.$nm.old")), s"premise: aside $nm")
+      }
+    val tomb2 = (0L until 80L).filter(i => i % 7 == 0 || i % 11 == 0).toDF("vec_id")
+    val retained2 = union.filter(col("vec_id") % 7 =!= 0 && col("vec_id") % 11 =!= 0)
+    val rebuilt2 = rows(ClusterMaintenance.rebuildWithoutTombstones(
+      spark, state, corpus, tomb2, "vec_id", cfg))
+    val fromScratch2 = rows(Dedup.componentAssignments(
+      retained2.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(retained2, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(rebuilt2 == fromScratch2,
+      "rebuild after an interrupted aside swap diverged from the filtered build")
   }
 
   test("latestAssignment skips torn (uncommitted) versions and errors clearly on empty state") {

@@ -214,6 +214,30 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
       "doc 35 should be uncovered after its duplicates were retracted")
     assert(folded.exists(r => r._1 == 36 && r._3 > 0),
       "doc 36 should stay covered via the retained doc 10")
+
+    // CRASH-WINDOW convergence: simulate a rebuild dying between its aside
+    // and its swap-in — the single generation sits at .gen=N.old, nothing
+    // committed (the state a delete-then-rename protocol would have simply
+    // LOST). Re-running the rebuild must restore the aside and converge,
+    // not throw "no ingested batches".
+    val fs = new org.apache.hadoop.fs.Path(grams)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained2 = retained.unionByName(batch(3))
+      .filter(col("doc_id") =!= 20L)
+    // the state after fold 3 is gen=2 + b=3 or gen=3 (cadence-dependent);
+    // move EVERY committed gen aside to simulate the worst window
+    new java.io.File(grams).listFiles().map(_.getName)
+      .filter(_.startsWith("gen=")).foreach { nm =>
+        assert(fs.rename(new org.apache.hadoop.fs.Path(s"$grams/$nm"),
+          new org.apache.hadoop.fs.Path(s"$grams/.$nm.old")), s"premise: aside $nm")
+      }
+    SpanDedupMaintenance.rebuildState(retained2, grams, "doc_id", "toks", cfg)
+    val got2 = SpanDedupMaintenance.gramCounts(spark, grams)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want2 = Dedup.spanGramCounts(retained2, "doc_id", "toks", n = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got2 == want2,
+      "rebuild after an interrupted aside swap diverged from the recount")
   }
 
   test("replaying the latest fold after compaction is idempotent (crash-recovery path)") {
