@@ -199,12 +199,14 @@ object SpanDedupMaintenance {
     * Cost: one gram recount over the retained corpus — O(corpus), the
     * documented price of a retraction against append-only state.
     *
-    * Crash contract: the recount is staged to a hidden temp dir and
-    * renamed over the generation (no committed dir is half-written), but
-    * a crash between steps can leave stale batch dirs or a missing
-    * filter — re-running the rebuild with the same retained corpus
-    * converges; readers degrade (scan-and-build, or stale counts) but
-    * never read torn parquet. Run it with the fold stream quiesced. */
+    * Crash contract: the recount is staged to a hidden temp dir and the
+    * old generation swapped ASIDE (never deleted) until the rebuilt one
+    * commits, with an aside-restore pass at rebuild start — so re-running
+    * the rebuild with the same retained corpus converges from EVERY crash
+    * window (spec-pinned), and a crash can at worst leave stale batch
+    * dirs or a missing filter; readers degrade (scan-and-build, or stale
+    * counts) but never read torn parquet or lose the only committed
+    * state. Run it with the fold stream quiesced. */
   def rebuildState(retained: DataFrame, gramDir: String,
                    idCol: String, toksCol: String,
                    cfg: Config = Config()): Unit = {
