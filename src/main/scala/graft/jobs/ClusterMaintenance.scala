@@ -124,7 +124,7 @@ object ClusterMaintenance {
       val hconf = sess.sparkContext.hadoopConfiguration
       val cpath = new Path(corpusDir)
       val fs = cpath.getFileSystem(hconf)
-      val gen = latestGeneration(fs, cpath, maxGen = batchId - 1)
+      val gen = StateProtocol.latestGeneration(fs, cpath, maxGen = batchId - 1)
       val corpusParts =
         gen.map(g => s"$corpusDir/gen=$g").toSeq ++
           ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$corpusDir/b=$i")
@@ -162,7 +162,7 @@ object ClusterMaintenance {
       }
       val spath = new Path(stateDir)
       val sfs = spath.getFileSystem(hconf)
-      val lastSnap = committedDirs(sfs, spath, "v=")
+      val lastSnap = StateProtocol.committedDirs(sfs, spath, "v=")
         .filter(_ <= batchId - 1).reduceOption(_ max _)
       // Snapshot folds write full coverage; in between, the scoped fold's
       // recomputed half alone IS the exact change set (see
@@ -194,8 +194,8 @@ object ClusterMaintenance {
       // snapshotEvery ≤ 1 this reduces to the legacy delete of v=batchId-2.
       lastSnap.foreach { pv =>
         sfs.listStatus(spath).map(_.getPath.getName).foreach { nm =>
-          if (numericSuffix(nm, "v=").exists(_ < pv) ||
-              numericSuffix(nm, "d=").exists(_ <= pv))
+          if (StateProtocol.numericSuffix(nm, "v=").exists(_ < pv) ||
+              StateProtocol.numericSuffix(nm, "d=").exists(_ <= pv))
             sfs.delete(new Path(s"$stateDir/$nm"), true)
         }
       }
@@ -221,45 +221,15 @@ object ClusterMaintenance {
         }
         bkGenDf.write.mode("overwrite").parquet(s"$corpusDir/bkgen=$newGen")
         val stale = fs.listStatus(cpath).map(_.getPath.getName).filter { nm =>
-          numericSuffix(nm, "b=").exists(_ <= newGen) ||
-            numericSuffix(nm, "gen=").exists(_ < newGen) ||
-            numericSuffix(nm, "bk=").exists(_ <= newGen) ||
-            numericSuffix(nm, "bkgen=").exists(_ < newGen)
+          StateProtocol.numericSuffix(nm, "b=").exists(_ <= newGen) ||
+            StateProtocol.numericSuffix(nm, "gen=").exists(_ < newGen) ||
+            StateProtocol.numericSuffix(nm, "bk=").exists(_ <= newGen) ||
+            StateProtocol.numericSuffix(nm, "bkgen=").exists(_ < newGen)
         }
         stale.foreach(nm => fs.delete(new Path(s"$corpusDir/$nm"), true))
       }
     } finally b.unpersist(false)
     ()
-  }
-
-  /** `Some(numeric tail)` iff `name` is exactly `prefix` + digits — the
-    * gate every directory-name parse in the services goes through, so a
-    * foreign entry that merely shares the prefix (a `gen=3.tmp` leftover,
-    * an editor backup) is skipped instead of throwing
-    * NumberFormatException out of a fold or a sweep. */
-  private[jobs] def numericSuffix(name: String, prefix: String): Option[Long] = {
-    val tail = name.stripPrefix(prefix)
-    if ((tail ne name) && tail.nonEmpty && tail.forall(_.isDigit))
-      Some(tail.toLong)
-    else None
-  }
-
-  /** Latest COMMITTED generation ≤ `maxGen` under the corpus dir: a
-    * `gen=G` dir counts only with its `_SUCCESS` marker (a torn dir from
-    * a crash mid-compaction is invisible — readers fall back to the
-    * previous generation plus the still-present batch dirs). `prefix`
-    * selects the state namespace: `gen=` for corpus/gram generations,
-    * `bkgen=` for the bucket-table generations beside them. */
-  private[jobs] def latestGeneration(fs: FileSystem, corpusDir: Path,
-                               maxGen: Long,
-                               prefix: String = "gen="): Option[Long] = {
-    if (!fs.exists(corpusDir)) return None
-    val gens = fs.listStatus(corpusDir).map(_.getPath)
-      .flatMap { p =>
-        numericSuffix(p.getName, prefix).filter(g =>
-          g <= maxGen && fs.exists(new Path(p, "_SUCCESS")))
-      }
-    if (gens.isEmpty) None else Some(gens.max)
   }
 
   /** Takedown / retraction escape hatch: both service contracts are
@@ -297,8 +267,8 @@ object ClusterMaintenance {
     // the head FOLD is the newest snapshot or delta — under the delta
     // layout the last fold usually wrote d=N, and rebuilding "as of v="
     // alone would silently drop the batches folded since the snapshot
-    val versions = committedDirs(sfs, spath, "v=") ++
-      committedDirs(sfs, spath, "d=")
+    val versions = StateProtocol.committedDirs(sfs, spath, "v=") ++
+      StateProtocol.committedDirs(sfs, spath, "d=")
     require(versions.nonEmpty,
       s"rebuildWithoutTombstones: no committed assignment version under $stateDir")
     val v = versions.max
@@ -310,10 +280,10 @@ object ClusterMaintenance {
     // reads the pre-takedown corpus; a committed gen=N makes the aside a
     // superseded leftover to discard. This is what makes "re-running the
     // rebuild converges" true in every crash window.
-    restoreAsides(cfs, cpath, "gen=")
-    val gen = latestGeneration(cfs, cpath, maxGen = v)
+    StateProtocol.restoreAsides(cfs, cpath, "gen=")
+    val gen = StateProtocol.latestGeneration(cfs, cpath, maxGen = v)
     val bDirs = cfs.listStatus(cpath).map(_.getPath.getName)
-      .flatMap(numericSuffix(_, "b="))
+      .flatMap(StateProtocol.numericSuffix(_, "b="))
       .filter(b => b > gen.getOrElse(-1L) && b <= v).sorted
     val parts = gen.map(g => s"$corpusDir/gen=$g").toSeq ++
       bDirs.map(b => s"$corpusDir/b=$b")
@@ -334,20 +304,14 @@ object ClusterMaintenance {
       Dedup.componentAssignments(keep.select(col("vec_id")), "vec_id",
           pairs, "id_a", "id_b")
         .write.mode("overwrite").parquet(s"$stateDir/v=$v")
-      // Swap via ASIDE, never delete-then-rename: the old generation is
-      // moved aside (not destroyed) until the rebuilt one commits, so a
-      // crash or a failed rename (Hadoop reports many failures as `false`,
-      // not an exception) at any point leaves either the committed old
-      // corpus or a restorable aside — the restoreAsides pass above makes
-      // the re-run converge from both.
+      // Swap via ASIDE, never delete-then-rename ([[StateProtocol.swapIn]]):
+      // the old generation is moved aside (not destroyed) until the rebuilt
+      // one commits, so a crash or a failed rename at any point leaves
+      // either the committed old corpus or a restorable aside — the
+      // restoreAsides pass above makes the re-run converge from both.
       val fin = new Path(s"$corpusDir/gen=$v")
       val aside = new Path(s"$corpusDir/.gen=$v.old")
-      if (cfs.exists(fin)) require(cfs.rename(fin, aside),
-        s"rebuildWithoutTombstones: aside rename $fin -> $aside failed " +
-          "(corpus state intact)")
-      require(cfs.rename(tmp, fin),
-        s"rebuildWithoutTombstones: rename $tmp -> $fin failed; old corpus " +
-          s"preserved at $aside — re-running the rebuild restores and converges")
+      StateProtocol.swapIn(cfs, fin, aside, tmp, "rebuildWithoutTombstones")
       if (cfs.exists(aside)) cfs.delete(aside, true)
       // the bucket state MUST be rebuilt too: stale bk= dirs reference
       // tombstoned ids, and a later fold probing them would resurrect
@@ -356,10 +320,10 @@ object ClusterMaintenance {
           cfg.numPlanes, cfg.dim, cfg.numTables)
         .write.mode("overwrite").parquet(s"$corpusDir/bkgen=$v")
       val stale = cfs.listStatus(cpath).map(_.getPath.getName).filter { nm =>
-        numericSuffix(nm, "b=").exists(_ <= v) ||
-          numericSuffix(nm, "gen=").exists(_ < v) ||
-          numericSuffix(nm, "bk=").exists(_ <= v) ||
-          numericSuffix(nm, "bkgen=").exists(_ < v)
+        StateProtocol.numericSuffix(nm, "b=").exists(_ <= v) ||
+          StateProtocol.numericSuffix(nm, "gen=").exists(_ < v) ||
+          StateProtocol.numericSuffix(nm, "bk=").exists(_ <= v) ||
+          StateProtocol.numericSuffix(nm, "bkgen=").exists(_ < v)
       }
       stale.foreach(nm => cfs.delete(new Path(s"$corpusDir/$nm"), true))
       // the rebuilt v=$v snapshot supersedes every older snapshot AND all
@@ -367,8 +331,8 @@ object ClusterMaintenance {
       // latest snapshot, so these are dead weight at best and, for a
       // half-swept dir, confusing at worst)
       val staleState = sfs.listStatus(spath).map(_.getPath.getName).filter { nm =>
-        numericSuffix(nm, "v=").exists(_ < v) ||
-          numericSuffix(nm, "d=").exists(_ <= v)
+        StateProtocol.numericSuffix(nm, "v=").exists(_ < v) ||
+          StateProtocol.numericSuffix(nm, "d=").exists(_ <= v)
       }
       staleState.foreach(nm => sfs.delete(new Path(s"$stateDir/$nm"), true))
     } finally keep.unpersist(false)
@@ -383,45 +347,14 @@ object ClusterMaintenance {
     * table as if it were complete. Results are identical either way. */
   private[jobs] def committedBucketParts(fs: FileSystem, corpusDir: String,
                                          batchId: Long): Option[Seq[String]] = {
-    val bgen = latestGeneration(fs, new Path(corpusDir), maxGen = batchId - 1,
-      prefix = "bkgen=")
+    val bgen = StateProtocol.latestGeneration(fs, new Path(corpusDir),
+      maxGen = batchId - 1, prefix = "bkgen=")
     val ids = (bgen.getOrElse(-1L) + 1) until batchId
     if (ids.forall(i => fs.exists(new Path(s"$corpusDir/bk=$i/_SUCCESS"))))
       Some(bgen.map(g => s"$corpusDir/bkgen=$g").toSeq ++
         ids.map(i => s"$corpusDir/bk=$i"))
     else None
   }
-
-  /** Recover interrupted aside swaps (the takedown rebuilds' crash
-    * protocol, shared by both services): a `.{prefix}N.old` entry whose
-    * `{prefix}N` did NOT commit holds the only copy of that state — rename
-    * it back; if `{prefix}N` committed, the aside is a superseded leftover
-    * to discard. Run before any read or head-id derivation so a rebuild
-    * re-run converges from every crash window. */
-  private[jobs] def restoreAsides(fs: FileSystem, dir: Path,
-                                  prefix: String): Unit =
-    if (fs.exists(dir)) {
-      fs.listStatus(dir).map(_.getPath.getName)
-        .filter(nm => nm.startsWith(s".$prefix") && nm.endsWith(".old"))
-        .foreach { nm =>
-          val committed = new Path(dir, nm.stripPrefix(".").stripSuffix(".old"))
-          if (fs.exists(new Path(committed, "_SUCCESS")))
-            fs.delete(new Path(dir, nm), true)
-          else require(fs.rename(new Path(dir, nm), committed),
-            s"restoreAsides: could not restore $nm -> $committed under $dir")
-        }
-    }
-
-  /** COMMITTED (`_SUCCESS`-marked) numeric dirs with the given prefix under
-    * `dir` — the shared gate for snapshot (`v=`) and delta (`d=`) reads. */
-  private[jobs] def committedDirs(fs: FileSystem, dir: Path,
-                                  prefix: String): Array[Long] =
-    if (!fs.exists(dir)) Array.empty[Long]
-    else fs.listStatus(dir).map(_.getPath)
-      .flatMap { vp =>
-        numericSuffix(vp.getName, prefix)
-          .filter(_ => fs.exists(new Path(vp, "_SUCCESS")))
-      }
 
   /** The contiguous committed delta chain starting at `from` (bounded by
     * `upTo`) — THE resolution rule readers and [[status]] share: the walk
@@ -454,7 +387,7 @@ object ClusterMaintenance {
                                           upTo: Long = Long.MaxValue): DataFrame = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snaps = committedDirs(fs, p, "v=").filter(_ <= upTo)
+    val snaps = StateProtocol.committedDirs(fs, p, "v=").filter(_ <= upTo)
     require(snaps.nonEmpty,
       s"ClusterMaintenance: no committed assignment version under $stateDir " +
         "(the service has not completed any fold — or the dir is wrong)")
@@ -512,24 +445,25 @@ object ClusterMaintenance {
     val sfs = spath.getFileSystem(hconf)
     val cpath = new Path(corpusDir)
     val cfs = cpath.getFileSystem(hconf)
-    val snaps = committedDirs(sfs, spath, "v=").sorted.toSeq
+    val snaps = StateProtocol.committedDirs(sfs, spath, "v=").sorted.toSeq
     require(snaps.nonEmpty,
       s"ClusterMaintenance.status: no committed snapshot under $stateDir")
     val chain = committedDeltaChain(sfs, stateDir, from = snaps.max + 1)
-    val cgen = latestGeneration(cfs, cpath, maxGen = Long.MaxValue)
-    val bkgen = latestGeneration(cfs, cpath, maxGen = Long.MaxValue, prefix = "bkgen=")
+    val cgen = StateProtocol.latestGeneration(cfs, cpath, maxGen = Long.MaxValue)
+    val bkgen = StateProtocol.latestGeneration(cfs, cpath, maxGen = Long.MaxValue,
+      prefix = "bkgen=")
     // batch listings are post-generation only (what readers actually
     // consume — same semantics as SpanDedupMaintenance.status): dirs at or
     // below the generation are sweep leftovers every reader already ignores
     Status(
       headFold = chain.lastOption.getOrElse(snaps.max),
       snapshots = snaps,
-      deltas = committedDirs(sfs, spath, "d=").sorted.toSeq,
+      deltas = StateProtocol.committedDirs(sfs, spath, "d=").sorted.toSeq,
       corpusGeneration = cgen,
-      corpusBatches = committedDirs(cfs, cpath, "b=").sorted.toSeq
+      corpusBatches = StateProtocol.committedDirs(cfs, cpath, "b=").sorted.toSeq
         .filter(_ > cgen.getOrElse(-1L)),
       bucketGeneration = bkgen,
-      bucketBatches = committedDirs(cfs, cpath, "bk=").sorted.toSeq
+      bucketBatches = StateProtocol.committedDirs(cfs, cpath, "bk=").sorted.toSeq
         .filter(_ > bkgen.getOrElse(-1L)))
   }
 }

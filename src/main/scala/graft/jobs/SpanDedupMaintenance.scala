@@ -59,42 +59,6 @@ object SpanDedupMaintenance {
     * generation trails the fold by this many batch dirs (≤ 0 disables). */
   final case class Config(n: Int = 8, fpp: Double = 0.01, compactEvery: Int = 8)
 
-  /** Serialized Bloom filter beside its generation: `bloom=G.bin` is the
-    * filter over `gen=G`'s gram digests, written (tmp + atomic rename)
-    * AFTER the generation commits. Validity rides on the generation's own
-    * `_SUCCESS` protocol: the filter is consulted only when `gen=G`
-    * resolved as the committed generation, and a crash between the
-    * generation commit and the filter write just leaves the next fold on
-    * the scan-and-build fallback — exactness never depends on the file. */
-  private def bloomPath(gramDir: String, gen: Long) =
-    new Path(s"$gramDir/bloom=$gen.bin")
-
-  private def writeBloom(fs: org.apache.hadoop.fs.FileSystem, gramDir: String,
-                         gen: Long,
-                         bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
-    val fin = bloomPath(gramDir, gen)
-    val tmp = new Path(s"$gramDir/.bloom=$gen.bin.tmp")
-    val out = fs.create(tmp, true)
-    try bf.writeTo(out) finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false)
-    // a failed rename (Hadoop reports many failures as `false`) must not
-    // fail the fold — a missing filter only degrades the NEXT folds to the
-    // scan-and-build path — but it must not leave tmp cruft either
-    if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
-    ()
-  }
-
-  private def readBloom(fs: org.apache.hadoop.fs.FileSystem, gramDir: String,
-                        gen: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val p = bloomPath(gramDir, gen)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-      finally in.close()
-    }
-  }
-
   /** Fold one ingest batch — (idCol: integral, toksCol: array<string>) —
     * through the span dedup and into the gram state. Reads the accumulated
     * gram dirs (latest committed generation + later batch dirs); writes
@@ -110,7 +74,7 @@ object SpanDedupMaintenance {
     val hconf = sess.sparkContext.hadoopConfiguration
     val gpath = new Path(gramDir)
     val fs = gpath.getFileSystem(hconf)
-    val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = batchId - 1)
+    val gen = StateProtocol.latestGeneration(fs, gpath, maxGen = batchId - 1)
     val genPart = gen.map(g => s"$gramDir/gen=$g").toSeq
     val batchParts =
       ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$gramDir/b=$i")
@@ -135,7 +99,7 @@ object SpanDedupMaintenance {
         // Missing filter file (pre-filter layout, or a crash between the
         // generation commit and the filter write) ⇒ that part joins the
         // scan-and-build side — slower fold, identical results.
-        val persisted = gen.flatMap(g => readBloom(fs, gramDir, g))
+        val persisted = gen.flatMap(g => StateProtocol.readBloom(fs, gramDir, g))
         val uncovered = (if (persisted.isEmpty) genPart else Nil) ++ batchParts
         val blooms =
           if (uncovered.isEmpty) persisted.toSeq
@@ -169,14 +133,14 @@ object SpanDedupMaintenance {
       // distinct grams), amortized over the next compactEvery folds, each
       // of which then probes the filter instead of re-scanning the state.
       val genDf = sess.read.schema(gramSchema).parquet(s"$gramDir/gen=$newGen")
-      writeBloom(fs, gramDir, newGen,
+      StateProtocol.writeBloom(fs, gramDir, newGen,
         genDf.stat.bloomFilter("gram_md5", math.max(1L, genDf.count()), cfg.fpp))
       val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
-        ClusterMaintenance.numericSuffix(nm, "b=").exists(_ <= newGen) ||
-          ClusterMaintenance.numericSuffix(nm, "gen=").exists(_ < newGen) ||
+        StateProtocol.numericSuffix(nm, "b=").exists(_ <= newGen) ||
+          StateProtocol.numericSuffix(nm, "gen=").exists(_ < newGen) ||
           // stale persisted filters follow their generations out
           nm.startsWith("bloom=") && nm.endsWith(".bin") &&
-            ClusterMaintenance.numericSuffix(
+            StateProtocol.numericSuffix(
               nm.stripSuffix(".bin"), "bloom=").exists(_ < newGen)
       }
       stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
@@ -221,10 +185,10 @@ object SpanDedupMaintenance {
     // run sees the pre-takedown state again. If gen=N DID commit, the
     // aside is a superseded leftover to discard. This is what makes
     // "re-running the rebuild converges" true in every crash window.
-    ClusterMaintenance.restoreAsides(fs, gpath, "gen=")
+    StateProtocol.restoreAsides(fs, gpath, "gen=")
     val ids = fs.listStatus(gpath).map(_.getPath.getName).flatMap { nm =>
-      ClusterMaintenance.numericSuffix(nm, "b=")
-        .orElse(ClusterMaintenance.numericSuffix(nm, "gen="))
+      StateProtocol.numericSuffix(nm, "b=")
+        .orElse(StateProtocol.numericSuffix(nm, "gen="))
     }
     require(ids.nonEmpty,
       s"rebuildState: no ingested batches or generations under $gramDir")
@@ -237,28 +201,25 @@ object SpanDedupMaintenance {
     // would otherwise pair gen=$g with a stale filter whose definite-miss
     // answers are wrong for grams only the rebuilt corpus contains (a
     // MISSING filter merely degrades folds to scan-and-build — safe)
-    val bp = bloomPath(gramDir, g)
+    val bp = StateProtocol.bloomPath(gramDir, g)
     if (fs.exists(bp)) fs.delete(bp, false)
-    // Swap via ASIDE, never delete-then-rename: the old generation is moved
-    // aside (not destroyed) until the rebuilt one is committed, so a crash
-    // or failed rename at any point leaves either the committed old state
-    // or a restorable aside — the re-run above converges from both.
+    // Swap via ASIDE, never delete-then-rename ([[StateProtocol.swapIn]]):
+    // the old generation is moved aside (not destroyed) until the rebuilt
+    // one is committed, so a crash or failed rename at any point leaves
+    // either the committed old state or a restorable aside — the re-run
+    // above converges from both.
     val fin = new Path(s"$gramDir/gen=$g")
     val aside = new Path(s"$gramDir/.gen=$g.old")
-    if (fs.exists(fin)) require(fs.rename(fin, aside),
-      s"rebuildState: aside rename $fin -> $aside failed (state intact)")
-    require(fs.rename(tmp, fin),
-      s"rebuildState: rename $tmp -> $fin failed; old state preserved at " +
-        s"$aside — re-running the rebuild restores and converges")
+    StateProtocol.swapIn(fs, fin, aside, tmp, "rebuildState")
     val genDf = sess.read.schema("gram_md5 string, cnt long").parquet(fin.toString)
-    writeBloom(fs, gramDir, g,
+    StateProtocol.writeBloom(fs, gramDir, g,
       genDf.stat.bloomFilter("gram_md5", math.max(1L, genDf.count()), cfg.fpp))
     if (fs.exists(aside)) fs.delete(aside, true)
     val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
-      ClusterMaintenance.numericSuffix(nm, "b=").exists(_ <= g) ||
-        ClusterMaintenance.numericSuffix(nm, "gen=").exists(_ < g) ||
+      StateProtocol.numericSuffix(nm, "b=").exists(_ <= g) ||
+        StateProtocol.numericSuffix(nm, "gen=").exists(_ < g) ||
         nm.startsWith("bloom=") && nm.endsWith(".bin") &&
-          ClusterMaintenance.numericSuffix(
+          StateProtocol.numericSuffix(
             nm.stripSuffix(".bin"), "bloom=").exists(_ < g)
     }
     stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
@@ -275,12 +236,12 @@ object SpanDedupMaintenance {
     val bs =
       if (!fs.exists(gpath)) Seq.empty[Long]
       else fs.listStatus(gpath).map(_.getPath.getName)
-        .flatMap(ClusterMaintenance.numericSuffix(_, "b=")).toSeq
+        .flatMap(StateProtocol.numericSuffix(_, "b=")).toSeq
     // a standalone reader takes the newest committed generation, whatever
     // its id — after a tombstone rebuild the state can be ONE generation
     // with no batch dirs at all (the replay-safety maxGen bound is a
     // FOLD's concern, scoped to its own batchId)
-    val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = Long.MaxValue)
+    val gen = StateProtocol.latestGeneration(fs, gpath, maxGen = Long.MaxValue)
     val parts = gen.map(g => s"$gramDir/gen=$g").toSeq ++
       bs.filter(_ > gen.getOrElse(-1L)).sorted.map(i => s"$gramDir/b=$i")
     require(parts.nonEmpty,
@@ -302,14 +263,14 @@ object SpanDedupMaintenance {
   def status(spark: SparkSession, gramDir: String): Status = {
     val gpath = new Path(gramDir)
     val fs = gpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen = ClusterMaintenance.latestGeneration(fs, gpath, maxGen = Long.MaxValue)
-    val bs = ClusterMaintenance.committedDirs(fs, gpath, "b=").sorted.toSeq
+    val gen = StateProtocol.latestGeneration(fs, gpath, maxGen = Long.MaxValue)
+    val bs = StateProtocol.committedDirs(fs, gpath, "b=").sorted.toSeq
     require(gen.nonEmpty || bs.nonEmpty,
       s"SpanDedupMaintenance.status: no committed gram state under $gramDir")
     Status(
       headFold = (gen.toSeq ++ bs).max,
       generation = gen,
       batchDirs = bs.filter(_ > gen.getOrElse(-1L)),
-      bloomPresent = gen.exists(g => fs.exists(bloomPath(gramDir, g))))
+      bloomPresent = gen.exists(g => fs.exists(StateProtocol.bloomPath(gramDir, g))))
   }
 }

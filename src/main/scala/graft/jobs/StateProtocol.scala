@@ -1,0 +1,143 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The on-disk commit/recovery protocol SHARED by graft's parquet-state
+  * services — [[ClusterMaintenance]] (versioned cluster assignments +
+  * corpus/bucket generations) and [[SpanDedupMaintenance]] (gram-count
+  * generations + persisted Bloom filters). One implementation, two
+  * callers: the services keep their own FOLD semantics (assignment deltas
+  * vs mergeable counts — deliberately not abstracted), but every
+  * protocol-level rule lives here so a change to the commit story cannot
+  * drift between them.
+  *
+  * The rules (settled across rounds 9–12, spec-pinned in both service
+  * specs):
+  *  - a numeric state dir (`v=N`, `d=N`, `b=N`, `gen=G`, `bk=N`,
+  *    `bkgen=G`) is COMMITTED iff it contains the `_SUCCESS` marker
+  *    Spark's file committer writes last; every reader gates on it
+  *    ([[committedDirs]], [[latestGeneration]]) — a bare `fs.exists`
+  *    mistakes a torn overwrite for committed coverage;
+  *  - directory-name parses go through [[numericSuffix]], so a foreign
+  *    entry that merely shares a prefix (a `gen=3.tmp` leftover, an
+  *    editor backup) is skipped, never thrown on;
+  *  - a rebuild never delete-then-renames a committed dir: it stages to a
+  *    hidden tmp dir, moves the old dir ASIDE (`.gen=N.old`), renames the
+  *    tmp in ([[swapIn]]), and discards the aside only after everything
+  *    downstream of the swap committed. [[restoreAsides]] runs at the
+  *    start of every rebuild so a re-run converges from EVERY crash
+  *    window — Hadoop `fs.rename` reports failures as `false`, so every
+  *    rename outcome is `require`d before anything destructive;
+  *  - a generation's Bloom filter (`bloom=G.bin`) is DERIVED state
+  *    written tmp + atomic-rename AFTER its generation commits
+  *    ([[writeBloom]]); exactness never rides on the file — a missing
+  *    filter degrades readers to scan-and-build with identical results.
+  */
+private[graft] object StateProtocol {
+
+  /** `Some(numeric tail)` iff `name` is exactly `prefix` + digits — the
+    * gate every directory-name parse in the services goes through, so a
+    * foreign entry that merely shares the prefix (a `gen=3.tmp` leftover,
+    * an editor backup) is skipped instead of throwing
+    * NumberFormatException out of a fold or a sweep. */
+  def numericSuffix(name: String, prefix: String): Option[Long] = {
+    val tail = name.stripPrefix(prefix)
+    if ((tail ne name) && tail.nonEmpty && tail.forall(_.isDigit))
+      Some(tail.toLong)
+    else None
+  }
+
+  /** COMMITTED (`_SUCCESS`-marked) numeric dirs with the given prefix under
+    * `dir` — the shared gate for snapshot (`v=`), delta (`d=`), batch
+    * (`b=`/`bk=`) and generation (`gen=`/`bkgen=`) reads. */
+  def committedDirs(fs: FileSystem, dir: Path, prefix: String): Array[Long] =
+    if (!fs.exists(dir)) Array.empty[Long]
+    else fs.listStatus(dir).map(_.getPath)
+      .flatMap { vp =>
+        numericSuffix(vp.getName, prefix)
+          .filter(_ => fs.exists(new Path(vp, "_SUCCESS")))
+      }
+
+  /** Latest COMMITTED generation ≤ `maxGen` under the state dir: a
+    * `gen=G` dir counts only with its `_SUCCESS` marker (a torn dir from
+    * a crash mid-compaction is invisible — readers fall back to the
+    * previous generation plus the still-present batch dirs). `prefix`
+    * selects the state namespace: `gen=` for corpus/gram generations,
+    * `bkgen=` for the bucket-table generations beside them. */
+  def latestGeneration(fs: FileSystem, dir: Path, maxGen: Long,
+                       prefix: String = "gen="): Option[Long] = {
+    val gens = committedDirs(fs, dir, prefix).filter(_ <= maxGen)
+    if (gens.isEmpty) None else Some(gens.max)
+  }
+
+  /** Recover interrupted aside swaps (the takedown rebuilds' crash
+    * protocol): a `.{prefix}N.old` entry whose `{prefix}N` did NOT commit
+    * holds the only copy of that state — rename it back; if `{prefix}N`
+    * committed, the aside is a superseded leftover to discard. Run before
+    * any read or head-id derivation so a rebuild re-run converges from
+    * every crash window. */
+  def restoreAsides(fs: FileSystem, dir: Path, prefix: String): Unit =
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).map(_.getPath.getName)
+        .filter(nm => nm.startsWith(s".$prefix") && nm.endsWith(".old"))
+        .foreach { nm =>
+          val committed = new Path(dir, nm.stripPrefix(".").stripSuffix(".old"))
+          if (fs.exists(new Path(committed, "_SUCCESS")))
+            fs.delete(new Path(dir, nm), true)
+          else require(fs.rename(new Path(dir, nm), committed),
+            s"restoreAsides: could not restore $nm -> $committed under $dir")
+        }
+    }
+
+  /** The aside swap itself: move the committed `fin` (if present) aside,
+    * then rename the staged `tmp` in. Never destroys `fin` — a crash or a
+    * failed rename (Hadoop reports many failures as `false`, not an
+    * exception) at any point leaves either the committed old dir or a
+    * restorable aside, and the [[restoreAsides]] pass at the next rebuild
+    * start converges from both. The caller deletes `aside` only after
+    * everything that must outlive the swap (e.g. the fresh Bloom filter)
+    * has committed. */
+  def swapIn(fs: FileSystem, fin: Path, aside: Path, tmp: Path,
+             ctx: String): Unit = {
+    if (fs.exists(fin)) require(fs.rename(fin, aside),
+      s"$ctx: aside rename $fin -> $aside failed (prior state intact)")
+    require(fs.rename(tmp, fin),
+      s"$ctx: rename $tmp -> $fin failed; old state preserved at " +
+        s"$aside — re-running the rebuild restores and converges")
+  }
+
+  /** Serialized Bloom filter beside its generation: `bloom=G.bin` is the
+    * filter over `gen=G`'s key digests, written (tmp + atomic rename)
+    * AFTER the generation commits. Validity rides on the generation's own
+    * `_SUCCESS` protocol: the filter is consulted only when `gen=G`
+    * resolved as the committed generation, and a crash between the
+    * generation commit and the filter write just leaves the next fold on
+    * the scan-and-build fallback — exactness never depends on the file. */
+  def bloomPath(dir: String, gen: Long): Path =
+    new Path(s"$dir/bloom=$gen.bin")
+
+  def writeBloom(fs: FileSystem, dir: String, gen: Long,
+                 bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val fin = bloomPath(dir, gen)
+    val tmp = new Path(s"$dir/.bloom=$gen.bin.tmp")
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    // a failed rename must not fail the fold — a missing filter only
+    // degrades the NEXT folds to the scan-and-build path — but it must
+    // not leave tmp cruft either
+    if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+    ()
+  }
+
+  def readBloom(fs: FileSystem, dir: String,
+                gen: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomPath(dir, gen)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+}
