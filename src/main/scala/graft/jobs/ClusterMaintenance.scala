@@ -124,6 +124,13 @@ object ClusterMaintenance {
       val hconf = sess.sparkContext.hadoopConfiguration
       val cpath = new Path(corpusDir)
       val fs = cpath.getFileSystem(hconf)
+      val spath = new Path(stateDir)
+      val sfs = spath.getFileSystem(hconf)
+      // the ENFORCED half of the takedown quiesce contract: a rebuild in
+      // progress (or crashed mid-run) holds the `_REBUILD` lease, and a
+      // fold racing it could read a mid-swap generation or commit a batch
+      // dir the rebuild's sweep then deletes — fail fast instead
+      StateProtocol.requireNoRebuildLease(sfs, spath, "ClusterMaintenance.foldBatch")
       val gen = StateProtocol.latestGeneration(fs, cpath, maxGen = batchId - 1)
       val corpusParts =
         gen.map(g => s"$corpusDir/gen=$g").toSeq ++
@@ -146,8 +153,12 @@ object ClusterMaintenance {
       // crash between commits) degrades that fold to the direct
       // recomputation with identical results — exactness never rides on
       // the cache ([[committedBucketParts]], spec-gated counterfactually).
+      // the persisted signatures are joinable only under the LSH geometry
+      // that built them — stamp/validate the config fingerprint first (a
+      // mismatch sweeps the stale cache dirs; this fold then recomputes)
+      ensureBucketConfig(fs, cpath, cfg)
       val bkCover = if (corpusParts.nonEmpty)
-        committedBucketParts(fs, corpusDir, batchId) else None
+        committedBucketParts(fs, corpusDir, batchId, cfg) else None
       val pairs = bkCover match {
         case Some(bkParts) =>
           Similarity.cosineNearDupPairsAgainstBucketed(b, corpus,
@@ -160,8 +171,6 @@ object ClusterMaintenance {
           numPlanes = cfg.numPlanes, dim = cfg.dim,
           probeRadius = cfg.probeRadius, numTables = cfg.numTables)
       }
-      val spath = new Path(stateDir)
-      val sfs = spath.getFileSystem(hconf)
       val lastSnap = StateProtocol.committedDirs(sfs, spath, "v=")
         .filter(_ <= batchId - 1).reduceOption(_ max _)
       // Snapshot folds write full coverage; in between, the scoped fold's
@@ -255,8 +264,21 @@ object ClusterMaintenance {
     * crash BETWEEN steps can leave the assignment rebuilt while the
     * corpus still holds tombstoned vectors (or a torn v=V that readers
     * resolve to the stale v=V−1) — the recovery is simply to RE-RUN the
-    * rebuild with the same tombstones; it converges. Run it with the fold
-    * stream quiesced. */
+    * rebuild with the same tombstones; it converges.
+    *
+    * Quiesce contract, ENFORCED: the rebuild takes the `_REBUILD` lease
+    * ([[StateProtocol.acquireRebuildLease]]) before its first slow or
+    * destructive step and releases it only on success; every [[foldBatch]]
+    * fails fast while it is held. A crash mid-rebuild leaves the lease in
+    * place deliberately — in that window the state can be internally
+    * inconsistent (e.g. assignment rebuilt while the corpus still holds
+    * tombstoned vectors, whose pairs a fold would adopt back into state),
+    * so folds stay blocked until the re-run converges and releases it.
+    * Corpus batch dirs are read COMMITTED-only with full coverage
+    * required: a b=N missing its `_SUCCESS` while the state head is fold
+    * ≥ N means a fold crashed between its state and corpus commits, and
+    * the rebuild fails loudly (replay that fold first) rather than baking
+    * the loss of batch N into the rebuilt generation. */
   def rebuildWithoutTombstones(spark: SparkSession, stateDir: String,
                                corpusDir: String, tombstones: DataFrame,
                                idCol: String,
@@ -282,13 +304,34 @@ object ClusterMaintenance {
     // rebuild converges" true in every crash window.
     StateProtocol.restoreAsides(cfs, cpath, "gen=")
     val gen = StateProtocol.latestGeneration(cfs, cpath, maxGen = v)
-    val bDirs = cfs.listStatus(cpath).map(_.getPath.getName)
-      .flatMap(StateProtocol.numericSuffix(_, "b="))
+    // COMMITTED batch dirs only, with full coverage REQUIRED: a fold
+    // commits its state (v=/d=N) before its corpus batch (b=N), so with
+    // head fold v every b=N in (gen, v] must carry a _SUCCESS marker — a
+    // missing or torn one means a fold crashed between its state and
+    // corpus commits, and rebuilding over it would bake the loss of batch
+    // N's rows into gen=$v permanently (the sweep deletes the originals).
+    // Fail loudly instead: replaying fold N (the stream's checkpoint
+    // replay does) repairs both dirs, after which the rebuild can run.
+    val bDirs = StateProtocol.committedDirs(cfs, cpath, "b=")
       .filter(b => b > gen.getOrElse(-1L) && b <= v).sorted
+    val missing = ((gen.getOrElse(-1L) + 1) to v).filterNot(bDirs.toSet)
+    require(missing.isEmpty,
+      s"rebuildWithoutTombstones: corpus batch dir(s) " +
+        s"${missing.map(b => s"b=$b").mkString(", ")} under $corpusDir are " +
+        s"missing or uncommitted while the state head is fold $v — a fold " +
+        "crashed between its state and corpus commits; replay that fold " +
+        "(resume the stream from its checkpoint) before the takedown rebuild")
     val parts = gen.map(g => s"$corpusDir/gen=$g").toSeq ++
       bDirs.map(b => s"$corpusDir/b=$b")
     require(parts.nonEmpty,
       s"rebuildWithoutTombstones: no corpus state under $corpusDir")
+    // every precondition holds — take the rebuild LEASE before the first
+    // slow or destructive step, so folds fail fast for the whole window
+    // (recount included: a batch committed mid-recount would be invisible
+    // to the rebuilt generation and then swept — silent loss). Released
+    // only on success; a crash leaves it held so folds stay blocked until
+    // the re-run converges.
+    StateProtocol.acquireRebuildLease(sfs, spath)
     val corpus = spark.read.parquet(parts: _*)
     val dropIds = tombstones.select(col(idCol).cast("long").as("vec_id")).distinct()
     val keep = corpus.join(dropIds, Seq("vec_id"), "left_anti")
@@ -316,6 +359,7 @@ object ClusterMaintenance {
       // the bucket state MUST be rebuilt too: stale bk= dirs reference
       // tombstoned ids, and a later fold probing them would resurrect
       // retracted vectors as candidates
+      ensureBucketConfig(cfs, cpath, cfg)
       Similarity.lshBucketTable(keep, "vec_id", "embedding",
           cfg.numPlanes, cfg.dim, cfg.numTables)
         .write.mode("overwrite").parquet(s"$corpusDir/bkgen=$v")
@@ -335,8 +379,60 @@ object ClusterMaintenance {
           StateProtocol.numericSuffix(nm, "d=").exists(_ <= v)
       }
       staleState.foreach(nm => sfs.delete(new Path(s"$stateDir/$nm"), true))
+      StateProtocol.releaseRebuildLease(sfs, spath)
     } finally keep.unpersist(false)
     spark.read.parquet(s"$stateDir/v=$v")
+  }
+
+  /** The LSH geometry fingerprint persisted beside the bucket tables
+    * (`_BKCONF`): planes/dim/tables determine the signature layout, so
+    * rows persisted under one geometry are NOT joinable against batch
+    * signatures computed under another — without the stamp, a config
+    * change between service runs would silently collapse candidate recall
+    * (old-plane corpus signatures never colliding with new-plane batch
+    * signatures). threshold/probeRadius are deliberately excluded: they
+    * are query-time knobs over the same persisted rows. */
+  private def bucketFingerprint(cfg: Config): String =
+    s"planes=${cfg.numPlanes},dim=${cfg.dim},tables=${cfg.numTables}"
+
+  private def readBucketConfig(fs: FileSystem, corpusDir: Path): Option[String] = {
+    val p = new Path(corpusDir, "_BKCONF")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(buf.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Stamp the current LSH geometry beside the bucket state; on a MISSING
+    * stamp (pre-fingerprint layout — the dirs' geometry is unknown) or a
+    * mismatch, sweep every `bk=`/`bkgen=` dir first: they are pure cache
+    * (exactness never rides on them), and probing them under a different
+    * geometry is the silent-recall-collapse failure mode. Affected folds
+    * recompute signatures directly until coverage rebuilds under the new
+    * stamp. No-op when the stamp already matches. */
+  private[jobs] def ensureBucketConfig(fs: FileSystem, corpusDir: Path,
+                                       cfg: Config): Unit = {
+    val fp = bucketFingerprint(cfg)
+    if (!readBucketConfig(fs, corpusDir).contains(fp)) {
+      if (fs.exists(corpusDir))
+        fs.listStatus(corpusDir).map(_.getPath.getName).foreach { nm =>
+          if (StateProtocol.numericSuffix(nm, "bk=").nonEmpty ||
+              StateProtocol.numericSuffix(nm, "bkgen=").nonEmpty)
+            fs.delete(new Path(corpusDir, nm), true)
+        }
+      val tmp = new Path(corpusDir, "._BKCONF.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((fp + "\n").getBytes("UTF-8")) finally out.close()
+      val fin = new Path(corpusDir, "_BKCONF")
+      if (fs.exists(fin)) fs.delete(fin, false)
+      if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+      ()
+    }
   }
 
   /** The persisted bucket-table dirs a fold of `batchId` may probe, or
@@ -344,9 +440,16 @@ object ClusterMaintenance {
     * crash mid-overwrite with the fold not replayed by a non-checkpointed
     * caller) `bk=i` is NOT committed coverage, and the fold must degrade
     * to direct signature recomputation rather than probe a partial bucket
-    * table as if it were complete. Results are identical either way. */
+    * table as if it were complete. Coverage also requires the persisted
+    * `_BKCONF` fingerprint to match `cfg`'s LSH geometry — rows built
+    * under different planes/dim/tables are not joinable, so a mismatch
+    * (or a pre-fingerprint layout with no stamp at all) is NOT coverage.
+    * Results are identical either way. */
   private[jobs] def committedBucketParts(fs: FileSystem, corpusDir: String,
-                                         batchId: Long): Option[Seq[String]] = {
+                                         batchId: Long,
+                                         cfg: Config): Option[Seq[String]] = {
+    if (!readBucketConfig(fs, new Path(corpusDir)).contains(bucketFingerprint(cfg)))
+      return None
     val bgen = StateProtocol.latestGeneration(fs, new Path(corpusDir),
       maxGen = batchId - 1, prefix = "bkgen=")
     val ids = (bgen.getOrElse(-1L) + 1) until batchId

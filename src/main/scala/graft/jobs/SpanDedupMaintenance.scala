@@ -74,6 +74,12 @@ object SpanDedupMaintenance {
     val hconf = sess.sparkContext.hadoopConfiguration
     val gpath = new Path(gramDir)
     val fs = gpath.getFileSystem(hconf)
+    // the ENFORCED half of the takedown quiesce contract: a rebuild in
+    // progress (or crashed mid-run) holds the `_REBUILD` lease, and a fold
+    // racing it could resolve a mid-swap generation or commit a batch dir
+    // the rebuild's recount never saw and its sweep then deletes — fail
+    // fast instead
+    StateProtocol.requireNoRebuildLease(fs, gpath, "SpanDedupMaintenance.foldBatch")
     val gen = StateProtocol.latestGeneration(fs, gpath, maxGen = batchId - 1)
     val genPart = gen.map(g => s"$gramDir/gen=$g").toSeq
     val batchParts =
@@ -157,8 +163,13 @@ object SpanDedupMaintenance {
     * the next fold (batchId = maxIngested+1) resolves the rebuilt
     * generation and dedupes against retained-only counts — equal to the
     * full recompute over (retained ∪ batch), the same split identity as
-    * always. Already-emitted `cleanDir/b=N` deliverables are keyed by doc
-    * id and are the caller's to filter (this method rebuilds STATE).
+    * always. The head id is derived from COMMITTED dirs only, so a torn
+    * `b=N` (a fold that crashed mid-write, replay pending) does not bump
+    * the generation past the last complete fold — the replayed fold still
+    * resolves the rebuilt generation under its own maxGen bound instead
+    * of an empty prior. Already-emitted `cleanDir/b=N` deliverables are
+    * keyed by doc id and are the caller's to filter (this method rebuilds
+    * STATE).
     *
     * Cost: one gram recount over the retained corpus — O(corpus), the
     * documented price of a retraction against append-only state.
@@ -170,7 +181,14 @@ object SpanDedupMaintenance {
     * window (spec-pinned), and a crash can at worst leave stale batch
     * dirs or a missing filter; readers degrade (scan-and-build, or stale
     * counts) but never read torn parquet or lose the only committed
-    * state. Run it with the fold stream quiesced. */
+    * state.
+    *
+    * Quiesce contract, ENFORCED: the rebuild takes the `_REBUILD` lease
+    * ([[StateProtocol.acquireRebuildLease]]) before its first slow or
+    * destructive step and releases it only on success; every [[foldBatch]]
+    * fails fast while it is held. A crash mid-rebuild leaves the lease in
+    * place deliberately — folds stay blocked until the re-run converges
+    * and releases it. */
   def rebuildState(retained: DataFrame, gramDir: String,
                    idCol: String, toksCol: String,
                    cfg: Config = Config()): Unit = {
@@ -186,13 +204,25 @@ object SpanDedupMaintenance {
     // aside is a superseded leftover to discard. This is what makes
     // "re-running the rebuild converges" true in every crash window.
     StateProtocol.restoreAsides(fs, gpath, "gen=")
-    val ids = fs.listStatus(gpath).map(_.getPath.getName).flatMap { nm =>
-      StateProtocol.numericSuffix(nm, "b=")
-        .orElse(StateProtocol.numericSuffix(nm, "gen="))
-    }
+    // head id from COMMITTED dirs only: a torn b=N (fold N crashed
+    // mid-write, its replay pending) must not bump the rebuilt generation
+    // past the last complete fold — a gen=N above the replay's own
+    // maxGen bound would be invisible to it, and the fold would resolve
+    // an EMPTY prior and skip corpus dedup entirely. With g at the last
+    // committed fold, the replay resolves the rebuilt generation and
+    // overwrites the torn dir as usual.
+    val ids = StateProtocol.committedDirs(fs, gpath, "b=") ++
+      StateProtocol.committedDirs(fs, gpath, "gen=")
     require(ids.nonEmpty,
-      s"rebuildState: no ingested batches or generations under $gramDir")
+      s"rebuildState: no committed batches or generations under $gramDir")
     val g = ids.max
+    // every precondition holds — take the rebuild LEASE before the first
+    // slow or destructive step, so folds fail fast for the whole window
+    // (recount included: a batch committed mid-recount would be invisible
+    // to the rebuilt generation and then swept — silent loss). Released
+    // only on success; a crash leaves it held so folds stay blocked until
+    // the re-run converges.
+    StateProtocol.acquireRebuildLease(fs, gpath)
     val tmp = new Path(s"$gramDir/.gen=$g.rebuild")
     Dedup.spanGramCounts(retained, idCol, toksCol, cfg.n)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -223,6 +253,7 @@ object SpanDedupMaintenance {
             nm.stripSuffix(".bin"), "bloom=").exists(_ < g)
     }
     stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
+    StateProtocol.releaseRebuildLease(fs, gpath)
     ()
   }
 

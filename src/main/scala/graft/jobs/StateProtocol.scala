@@ -106,6 +106,42 @@ private[graft] object StateProtocol {
         s"$aside — re-running the rebuild restores and converges")
   }
 
+  /** Rebuild lease (`_REBUILD` marker file): the takedown rebuilds'
+    * quiesce contract, ENFORCED instead of trusted. A rebuild writes the
+    * lease before its first slow or destructive step and removes it last;
+    * every `foldBatch` checks it first and fails fast — without the gate,
+    * a concurrent fold could read a generation between its aside and the
+    * rebuilt commit, or commit a batch dir the rebuild's recount never saw
+    * and its sweep then deletes (silent loss). A CRASHED rebuild leaves
+    * the lease in place deliberately: the state may be mid-swap, so folds
+    * must keep failing until the rebuild is re-run (re-acquiring the lease
+    * is just an overwrite) and converges — the error message says exactly
+    * that. The lease is a fail-fast guard against operator error, not a
+    * distributed lock: a fold already past its gate when the lease lands
+    * is the operator running fold and rebuild concurrently, which the
+    * service contract forbids. */
+  val RebuildLeaseName = "_REBUILD"
+
+  def rebuildLeasePath(dir: Path): Path = new Path(dir, RebuildLeaseName)
+
+  def acquireRebuildLease(fs: FileSystem, dir: Path): Unit = {
+    val out = fs.create(rebuildLeasePath(dir), true)
+    try out.write("rebuild in progress\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def releaseRebuildLease(fs: FileSystem, dir: Path): Unit = {
+    fs.delete(rebuildLeasePath(dir), false)
+    ()
+  }
+
+  def requireNoRebuildLease(fs: FileSystem, dir: Path, what: String): Unit =
+    require(!fs.exists(rebuildLeasePath(dir)),
+      s"$what: a takedown rebuild holds the lease ${rebuildLeasePath(dir)} — " +
+        "the fold stream must stay quiesced while a rebuild runs. If the " +
+        "rebuild crashed, re-run it with the same tombstones/retained corpus " +
+        "(it converges and releases the lease); folds resume after that.")
+
   /** Serialized Bloom filter beside its generation: `bloom=G.bin` is the
     * filter over `gen=G`'s key digests, written (tmp + atomic rename)
     * AFTER the generation commits. Validity rides on the generation's own

@@ -861,8 +861,14 @@ object Dedup {
     * A gram is a possible corpus hit iff ANY filter might contain it, so
     * the union of filters covers exactly the union of the state dirs; the
     * definite-miss guarantee (hence exactness) is preserved filter-wise.
-    * `corpusGrams` must cover at least the rows the filters were built
-    * over (the exact semi join decides; filters only skip work). */
+    *
+    * Containment contract — the direction matters: a unanimous
+    * definite-miss is TRUSTED without consulting the semi join, so the
+    * union of `corpusBlooms` must cover AT LEAST every gram present in
+    * `corpusGrams` (filters may over-cover — extra keys only cost false
+    * positives the exact semi join absorbs — but must never under-cover:
+    * a filter set missing a corpus gram silently misses the duplicates
+    * that gram would have flagged). */
   def removeDuplicateSpansIncrementalOfTokens(batch: DataFrame, idCol: String,
                                               toksCol: String, n: Int,
                                               corpusGrams: DataFrame,

@@ -235,11 +235,11 @@ class ClusterMaintenanceSpec extends SparkSpec {
     // flip the decision to the degrade path.
     val fs = new org.apache.hadoop.fs.Path(corpus)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L).isDefined,
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L, cfg).isDefined,
       "premise: both bucket dirs committed -> coverage")
     assert(new java.io.File(s"$corpus/bk=1/_SUCCESS").delete(),
       "premise: bk=1 was committed")
-    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L).isEmpty,
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L, cfg).isEmpty,
       "a torn bucket dir (data present, no _SUCCESS) was treated as committed coverage")
     // fold 2 runs through the degrade decision above — results identical
     ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfg)
@@ -360,5 +360,118 @@ class ClusterMaintenanceSpec extends SparkSpec {
     val got = ClusterMaintenance.latestAssignment(spark, state)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L), "latestAssignment read a torn version")
+  }
+
+  test("persisted bucket state is config-fingerprinted: a different LSH geometry is not coverage and the fold self-heals the cache") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 60)
+    val cfgA = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 4)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_bkconf").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 2).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+      state, corpus, "vec_id", "embedding", cfgA))
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L, cfgA).isDefined,
+      "premise: coverage under the geometry that built the dirs")
+    // the decision, counterfactually: SAME committed dirs, different LSH
+    // geometry — the persisted signatures are not joinable against batch
+    // signatures computed under cfgB, so offering them as coverage would
+    // silently collapse candidate recall. Pre-fingerprint, this returned
+    // Some and the fold probed them.
+    val cfgB = cfgA.copy(numTables = 8)
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L, cfgB).isEmpty,
+      "bucket rows persisted under geometry A were offered as coverage for geometry B")
+    // a fold under the new geometry self-heals: geometry-A cache dirs are
+    // swept (pure cache — exactness never rode on them), the stamp moves to
+    // B, and the fold recomputes signatures directly
+    ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfgB)
+    val bkNames = new java.io.File(corpus).listFiles()
+      .map(_.getName).filter(n => n.startsWith("bk=") || n.startsWith("bkgen=")).sorted.toSeq
+    assert(bkNames == Seq("bk=2"), s"stale geometry-A bucket dirs must be swept: $bkNames")
+    // coverage stays honestly absent under B until compaction rebuilds it
+    // (bk=0/bk=1 were swept), and geometry A can never claim it again
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 3L, cfgB).isEmpty,
+      "incomplete post-sweep coverage must degrade, not probe a partial table")
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 3L, cfgA).isEmpty,
+      "the superseded geometry must not claim coverage after the re-stamp")
+  }
+
+  test("foldBatch fails fast under a rebuild lease; re-running the rebuild releases it and folds resume") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_lease").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    ClusterMaintenance.foldBatch(batch(0), 0L, state, corpus, "vec_id", "embedding", cfg)
+    // a rebuild that crashed mid-run leaves exactly this: the lease held
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$state/_REBUILD"),
+      "rebuild in progress\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      ClusterMaintenance.foldBatch(batch(1), 1L, state, corpus, "vec_id", "embedding", cfg)
+    }
+    assert(ex.getMessage.contains("_REBUILD") && ex.getMessage.contains("re-run"),
+      s"the fold must fail fast with the operator remedy, got: ${ex.getMessage}")
+    // the prescribed recovery: re-run the rebuild (re-acquiring the lease
+    // is an overwrite); it converges and RELEASES the lease
+    import spark.implicits._
+    val noTomb = Seq.empty[Long].toDF("vec_id")
+    ClusterMaintenance.rebuildWithoutTombstones(spark, state, corpus, noTomb, "vec_id", cfg)
+    assert(!new java.io.File(s"$state/_REBUILD").exists(),
+      "a completed rebuild must release the lease")
+    ClusterMaintenance.foldBatch(batch(1), 1L, state, corpus, "vec_id", "embedding", cfg)
+    val got = rows(ClusterMaintenance.latestAssignment(spark, state))
+    val full = rows(Dedup.componentAssignments(
+      emb.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(got == full, "fold after the rebuild-release diverged from the full build")
+  }
+
+  test("rebuild fails loudly when a corpus batch dir is uncommitted instead of baking the loss into the generation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_tornb").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 2).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+      state, corpus, "vec_id", "embedding", cfg))
+    // fold 1 commits d=1 BEFORE b=1 — tear b=1 the way a crash between
+    // those commits does (data present, no _SUCCESS). Rebuilding over it
+    // would read a torn batch into gen=V and then sweep the original:
+    // permanent silent loss of batch 1. The rebuild must refuse.
+    assert(new java.io.File(s"$corpus/b=1/_SUCCESS").delete(),
+      "premise: fold 1 committed b=1")
+    import spark.implicits._
+    val noTomb = Seq.empty[Long].toDF("vec_id")
+    val ex = intercept[IllegalArgumentException] {
+      ClusterMaintenance.rebuildWithoutTombstones(spark, state, corpus, noTomb, "vec_id", cfg)
+    }
+    assert(ex.getMessage.contains("b=1") && ex.getMessage.contains("replay"),
+      s"the rebuild must name the missing dir and the remedy, got: ${ex.getMessage}")
+    // the precondition failed BEFORE the lease was taken — folds not blocked
+    assert(!new java.io.File(s"$state/_REBUILD").exists(),
+      "a refused rebuild must not leave the lease held")
+    // the prescribed repair: replay the crashed fold (idempotent keyed
+    // overwrites re-commit b=1), after which the rebuild runs clean
+    ClusterMaintenance.foldBatch(batch(1), 1L, state, corpus, "vec_id", "embedding", cfg)
+    val rebuilt = rows(ClusterMaintenance.rebuildWithoutTombstones(
+      spark, state, corpus, noTomb, "vec_id", cfg))
+    val full = rows(Dedup.componentAssignments(
+      emb.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(rebuilt == full, "post-repair rebuild diverged from the full build")
   }
 }

@@ -265,4 +265,66 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(gramsAfter == recount, "accumulated gram state != full recount")
   }
+
+  test("rebuildState derives its head from committed dirs only: a torn batch dir does not bump the generation") {
+    val docs = toks(spark.read.parquet(s"$sf/documents.parquet"))
+      .filter(col("doc_id") < 30)
+    def batch(k: Int) = docs.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
+    val root = java.nio.file.Files.createTempDirectory("sdm_tornb").toString
+    val (grams, clean) = (s"$root/grams", s"$root/clean")
+    val cfg = SpanDedupMaintenance.Config(n = 8, compactEvery = 10)
+    (0 until 2).foreach(k => SpanDedupMaintenance.foldBatch(batch(k), k.toLong,
+      grams, clean, "doc_id", "toks", cfg))
+    // fold 2 crashed mid-write: b=2 holds data but no _SUCCESS. Pre-fix,
+    // the rebuild derived its head from RAW dir names, wrote gen=2, and
+    // the stream's replay of fold 2 — whose own maxGen bound is 1 — could
+    // not see it: empty prior, corpus dedup silently skipped.
+    assert(new java.io.File(s"$grams/b=2").mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$grams/b=2/part-00000"),
+      "torn".getBytes("UTF-8"))
+    val retained = docs.filter(col("doc_id") < 20 && col("doc_id") % 7 =!= 0)
+    SpanDedupMaintenance.rebuildState(retained, grams, "doc_id", "toks", cfg)
+    val st = SpanDedupMaintenance.status(spark, grams)
+    assert(st.generation.contains(1L),
+      s"a torn b=2 bumped the rebuilt generation past the last complete fold: $st")
+    // the replayed fold resolves the rebuilt generation (non-empty prior)
+    // and equals the full recompute over (retained ∪ batch 2)
+    val folded = key(SpanDedupMaintenance.foldBatch(batch(2), 2L,
+      grams, clean, "doc_id", "toks", cfg))
+    val full = key(Dedup.removeDuplicateSpansOfTokens(
+        retained.unionByName(batch(2)), "doc_id", "toks", n = 8)
+      .filter(col("id") >= 20))
+    assert(folded == full,
+      "the replayed fold after the rebuild diverged from the filtered recompute")
+  }
+
+  test("foldBatch fails fast under a rebuild lease; re-running the rebuild releases it and folds resume") {
+    val docs = toks(spark.read.parquet(s"$sf/documents.parquet"))
+      .filter(col("doc_id") < 30)
+    def batch(k: Int) = docs.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
+    val root = java.nio.file.Files.createTempDirectory("sdm_lease").toString
+    val (grams, clean) = (s"$root/grams", s"$root/clean")
+    val cfg = SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
+    (0 until 2).foreach(k => SpanDedupMaintenance.foldBatch(batch(k), k.toLong,
+      grams, clean, "doc_id", "toks", cfg))
+    // a rebuild that crashed mid-run leaves exactly this: the lease held
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$grams/_REBUILD"),
+      "rebuild in progress\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      SpanDedupMaintenance.foldBatch(batch(2), 2L, grams, clean, "doc_id", "toks", cfg)
+    }
+    assert(ex.getMessage.contains("_REBUILD") && ex.getMessage.contains("re-run"),
+      s"the fold must fail fast with the operator remedy, got: ${ex.getMessage}")
+    // the prescribed recovery: re-run the rebuild; it converges and
+    // RELEASES the lease, after which the fold lands normally
+    val retained = docs.filter(col("doc_id") < 20)
+    SpanDedupMaintenance.rebuildState(retained, grams, "doc_id", "toks", cfg)
+    assert(!new java.io.File(s"$grams/_REBUILD").exists(),
+      "a completed rebuild must release the lease")
+    val folded = key(SpanDedupMaintenance.foldBatch(batch(2), 2L,
+      grams, clean, "doc_id", "toks", cfg))
+    val full = key(Dedup.removeDuplicateSpansOfTokens(docs, "doc_id", "toks", n = 8)
+      .filter(col("id") >= 20))
+    assert(folded == full, "fold after the rebuild-release diverged from the recompute")
+  }
 }
