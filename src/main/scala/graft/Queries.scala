@@ -2767,6 +2767,107 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** STREAM-GATED takedown lifecycle (q123): q121's ingest → retract →
+    * resume, driven through q104's checkpointed streaming harness — the
+    * deployment reality of a takedown. The service ingests from a live
+    * file-source stream: run 1 is killed once batch 0 commits (the stop
+    * free to land with batch 1 in flight), run 2 resumes from the
+    * checkpoint, replays any in-flight fold idempotently, drains both
+    * staged terciles, and stops cleanly — the QUIESCED window the
+    * rebuild lease enforces. The operator then runs
+    * [[jobs.ClusterMaintenance.rebuildWithoutTombstones]] against the
+    * committed state (every ingested vec_id % 7 == 0 retracted; state
+    * collapses to the rebuilt v=1 snapshot, corpus + bucket state to one
+    * filtered generation, the lease taken and released around the swap).
+    * The SAME stream then RESUMES FROM THE SAME CHECKPOINT with the
+    * third tercile staged: the restart's fold (batchId 2) lands on the
+    * post-rebuild dirs — its prior resolves the rebuilt snapshot, its
+    * corpus the filtered generation, its candidates the rebuilt bucket
+    * generation. The final head assignment answers q121's oracle
+    * VERBATIM (the full pruned replay over retained ∪ resumed batch) —
+    * kill-point independent, the takedown invisible to the stream that
+    * follows it. A lease left behind blocking the resumed fold, a
+    * rebuild head resolved at the wrong fold, a checkpoint restart
+    * landing on swept dirs, or a stale bucket row resurrecting a
+    * retracted id all hash-fail HERE, end-to-end through the streaming
+    * machinery rather than through direct batch calls (q121's tier). */
+  def streamingTakedownLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val runId = streamRunCounter.getAndIncrement()
+    val tag = s"q123_${Integer.toHexString(dir.hashCode)}_$runId"
+    val stage = scratchDir(spark, s"${tag}_src")
+    val state = scratchDir(spark, s"${tag}_state")
+    val corpusDir = scratchDir(spark, s"${tag}_corpus")
+    val chk = scratchDir(spark, s"${tag}_chk")
+    // NOT streamSession: foreachBatch owns all state as parquet dirs (no
+    // stateful operator), same adjudication as q104
+    val ss = spark.newSession()
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0) // bounded scalar
+    val b = (maxId + 1) * 2 / 3 // tercile boundary; oracle re-derives it
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val sfs = stagePath.getFileSystem(hconf)
+    val stamped = scala.collection.mutable.Set[String]()
+    // one single-file wave per ascending tercile, modtimes on a fixed
+    // minute ladder (same staging as q104 — batch order deterministic)
+    def writeWave(w: Int): Unit = {
+      val lo = (maxId + 1) * w / 3
+      val hi = (maxId + 1) * (w + 1) / 3
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("append").parquet(stage)
+      sfs.listStatus(stagePath).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && stamped.add(n))
+          sfs.setTimes(f.getPath, 1704067200000L + w * 60000L, -1)
+      }
+    }
+    val embSchema = emb.schema
+    // q121's config exactly — the oracle claim is the same filtered
+    // pruned build, now reached through the streaming machinery
+    val mcfg = jobs.ClusterMaintenance.Config(threshold = 0.35,
+      numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16)
+    def start() = ss.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        jobs.ClusterMaintenance.foldBatch(batch, batchId, state, corpusDir,
+          "vec_id", "embedding", mcfg)
+      }
+      .start()
+    try {
+      (0 until 2).foreach(writeWave) // terciles 0/1 staged before ingest
+      val sq1 = start()
+      try {
+        // kill once batch 0 commits — the stop may land with batch 1 in
+        // flight (run 2 then replays it idempotently through the
+        // checkpoint, still PRE-takedown: the lifecycle's kill window)
+        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+        while (sq1.isActive && System.nanoTime() < deadline &&
+               Option(sq1.lastProgress).forall(_.batchId < 0)) Thread.sleep(20)
+      } finally sq1.stop()
+      val sq2 = start()
+      try sq2.processAllAvailable() finally sq2.stop()
+      // the stream is STOPPED and drained — the quiesced window the
+      // rebuild contract demands (and its lease enforces against error)
+      val tomb = emb.select(col("vec_id"))
+        .filter(col("vec_id") % 7 === 0 && col("vec_id") < b)
+      jobs.ClusterMaintenance.rebuildWithoutTombstones(spark, state,
+        corpusDir, tomb, "vec_id", mcfg)
+      // resume: third tercile staged, the SAME checkpoint continues at
+      // batchId 2 on top of the rebuilt state
+      writeWave(2)
+      val sq3 = start()
+      try sq3.processAllAvailable() finally sq3.stop()
+    } finally emb.unpersist(false)
+    jobs.ClusterMaintenance.latestAssignment(spark, state)
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   /** Hybrid fusion of two OVERLAPPING retrievers (q114): q108's RRF gate
     * covers the rank-interleave of (on this testdata) disjoint dense and
     * sparse lists; this query gates the AGREEMENT path — the summed-rank

@@ -607,7 +607,8 @@ object SparkEntry {
     "q119_tombstone_cluster_rebuild" -> Queries.tombstoneClusterRebuild _,
     "q120_cluster_fold_sequence" -> Queries.clusterServiceFoldSequence _,
     "q121_takedown_resume" -> Queries.takedownResume _,
-    "q122_span_takedown_resume" -> Queries.spanTakedownResume _
+    "q122_span_takedown_resume" -> Queries.spanTakedownResume _,
+    "q123_stream_takedown" -> Queries.streamingTakedownLifecycle _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -1987,6 +1988,13 @@ object SparkEntry {
     // (retained ∪ resumed batch): ids before the re-derived tercile
     // boundary survive only when NOT ≡ 0 mod 7; ids after it always do.
     "q121_takedown_resume" -> prunedClusterOracleSql(0.35,
+      " WHERE vec_id % 7 <> 0 OR vec_id >= (SELECT (max(vec_id) + 1) * 2 // 3 FROM embeddings)"),
+    // q123 deliberately answers q121's oracle VERBATIM: the streaming
+    // harness's entire claim is that the checkpointed kill/restart +
+    // quiesce + rebuild + resume-from-checkpoint choreography reaches
+    // exactly the direct-batch lifecycle's state, kill-point independent
+    // (the same precedent as q116 reusing q115's oracle).
+    "q123_stream_takedown" -> prunedClusterOracleSql(0.35,
       " WHERE vec_id % 7 <> 0 OR vec_id >= (SELECT (max(vec_id) + 1) * 2 // 3 FROM embeddings)"),
     // q122: the span-service takedown lifecycle — the resumed third-tercile
     // fold must equal the full span recompute over (retained ∪ batch)
