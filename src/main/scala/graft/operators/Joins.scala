@@ -147,7 +147,25 @@ object Joins {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def bucket(c: Column): Column =
       floor(c.cast("long") / lit(bucketWidth.toDouble)).cast("long")
-    val lb = left.withColumn("__b", bucket(col(pointCol)))
+    val lb0 = left.withColumn("__b", bucket(col(pointCol)))
+    // The bucket join's OUTPUT can dwarf its input — every point inside a
+    // window matches, so |pairs| ≈ |windows| × points-per-window — and the
+    // join executes at the POINT side's partitioning (the window side is
+    // typically the broadcast side). When the point side arrives in fewer
+    // partitions than the session's shuffle parallelism — a single small
+    // file at test scale; never a real multi-split scan, which already
+    // comes wide and skips this branch — the entire explosion serializes
+    // into those few tasks. Spread the point side by the bucket key first:
+    // the EXPLICIT partition count pins the exchange against AQE
+    // coalescing (whose input-bytes heuristic sees a tiny shuffle exactly
+    // when this matters — the blowup is in the join's output), and hashing
+    // on __b means a non-broadcast right side co-partitions with no second
+    // exchange. Width ≈ interval scale keeps per-bucket point counts
+    // balanced (the operator's existing sizing rule), so bucket-hash
+    // spreading is not a new skew surface.
+    val np = left.sparkSession.sessionState.conf.numShufflePartitions
+    val lb = if (lb0.rdd.getNumPartitions < np) lb0.repartition(np, col("__b"))
+             else lb0
     // Inverted intervals (lo > hi) can never match a point, but Spark's
     // `sequence` steps BACKWARD when start > stop — one dirty row with a
     // large inverted span (say a sentinel hi=0) explodes into a huge
