@@ -2868,6 +2868,106 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** STREAM-GATED span-service takedown lifecycle (q124): q122's ingest →
+    * retract → resume driven through q116's checkpointed streaming
+    * harness — the span-side counterpart of q123, so BOTH services carry
+    * the deployment-shaped takedown gate. Two tercile waves ingest
+    * through the file-source stream (run 1 killed once batch 0 commits,
+    * stop free to land mid-batch-1; run 2 resumes from the checkpoint,
+    * replays any in-flight fold idempotently, drains, stops cleanly —
+    * the quiesced window the rebuild lease enforces);
+    * [[jobs.SpanDedupMaintenance.rebuildState]] then recounts the
+    * retained corpus (every ingested doc_id % 7 == 0 retracted) into a
+    * single superseding generation with a fresh persisted Bloom filter;
+    * the SAME stream resumes from the SAME checkpoint with the third
+    * tercile staged, so the restart's fold (batchId 2) resolves the
+    * rebuilt generation — probing the fresh filter, never the stale
+    * one — and its clean output must equal the full span-dedup recompute
+    * over (retained ∪ batch) restricted to the batch: q122's oracle
+    * VERBATIM. A lease left behind, a head derived past the rebuilt
+    * generation, or a stale filter's wrong definite-miss all change
+    * coverage and hash-fail here through the streaming machinery. */
+  def streamingSpanTakedownLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val runId = streamRunCounter.getAndIncrement()
+    val tag = s"q124_${Integer.toHexString(dir.hashCode)}_$runId"
+    val stage = scratchDir(spark, s"${tag}_src")
+    val gramDir = scratchDir(spark, s"${tag}_grams")
+    val cleanDir = scratchDir(spark, s"${tag}_clean")
+    val chk = scratchDir(spark, s"${tag}_chk")
+    // NOT streamSession: foreachBatch owns all state as parquet dirs (no
+    // stateful operator), same adjudication as q104/q116
+    val ss = spark.newSession()
+    val docs = t(spark, dir).documents
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val b = (maxId + 1) * 2 / 3 // tercile boundary; oracle re-derives it
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val sfs = stagePath.getFileSystem(hconf)
+    val stamped = scala.collection.mutable.Set[String]()
+    // one single-file wave per ascending tercile, modtimes on a fixed
+    // minute ladder (same staging as q116 — batch order deterministic,
+    // and the SAME id split as q122 so its oracle answers verbatim)
+    def writeWave(w: Int): Unit = {
+      val lo = (maxId + 1) * w / 3
+      val hi = (maxId + 1) * (w + 1) / 3
+      base.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("append").parquet(stage)
+      sfs.listStatus(stagePath).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && stamped.add(n))
+          sfs.setTimes(f.getPath, 1704067200000L + w * 60000L, -1)
+      }
+    }
+    val waveSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id long, text string")
+    val cfg = jobs.SpanDedupMaintenance.Config(n = 8, compactEvery = 2) // q122's config
+    def start() = ss.readStream.schema(waveSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val toks = batch.select(col("doc_id"),
+          functions.TextFunctions.tokens(col("text")).as("toks"))
+        jobs.SpanDedupMaintenance.foldBatch(toks, batchId, gramDir, cleanDir,
+          "doc_id", "toks", cfg)
+        ()
+      }
+      .start()
+    try {
+      (0 until 2).foreach(writeWave) // terciles 0/1 staged before ingest
+      val sq1 = start()
+      try {
+        // kill once batch 0 commits — the stop may land with batch 1 in
+        // flight (run 2 replays it idempotently, still pre-takedown)
+        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+        while (sq1.isActive && System.nanoTime() < deadline &&
+               Option(sq1.lastProgress).forall(_.batchId < 0)) Thread.sleep(20)
+      } finally sq1.stop()
+      val sq2 = start()
+      try sq2.processAllAvailable() finally sq2.stop()
+      // stream stopped and drained — the quiesced takedown window
+      val retained = base
+        .filter(col("doc_id") < b && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          functions.TextFunctions.tokens(col("text")).as("toks"))
+      jobs.SpanDedupMaintenance.rebuildState(retained, gramDir,
+        "doc_id", "toks", cfg)
+      // resume: third tercile staged, the SAME checkpoint continues at
+      // batchId 2 over the rebuilt generation + fresh filter
+      writeWave(2)
+      val sq3 = start()
+      try sq3.processAllAvailable() finally sq3.stop()
+    } finally base.unpersist(false)
+    spark.read.parquet(s"$cleanDir/b=2")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
+        col("n_spans"), col("n_covered"),
+        md5(to_binary(concat_ws(" ", col("clean_toks")), lit("utf-8")))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid fusion of two OVERLAPPING retrievers (q114): q108's RRF gate
     * covers the rank-interleave of (on this testdata) disjoint dense and
     * sparse lists; this query gates the AGREEMENT path — the summed-rank

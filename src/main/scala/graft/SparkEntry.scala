@@ -608,7 +608,8 @@ object SparkEntry {
     "q120_cluster_fold_sequence" -> Queries.clusterServiceFoldSequence _,
     "q121_takedown_resume" -> Queries.takedownResume _,
     "q122_span_takedown_resume" -> Queries.spanTakedownResume _,
-    "q123_stream_takedown" -> Queries.streamingTakedownLifecycle _
+    "q123_stream_takedown" -> Queries.streamingTakedownLifecycle _,
+    "q124_stream_span_takedown" -> Queries.streamingSpanTakedownLifecycle _
   )
 
   /** First 64 hex digits of π — computed independently of the BBP code via
@@ -2001,7 +2002,37 @@ object SparkEntry {
     // restricted to batch docs: q113's replay with the retraction injected
     // into the corpus CTE (ids before the re-derived boundary survive only
     // when NOT ≡ 0 mod 7; the batch itself always does).
-    "q122_span_takedown_resume" ->
+    "q122_span_takedown_resume" -> spanTakedownOracleSql,
+    // q124 deliberately answers q122's oracle VERBATIM: the streaming
+    // harness's entire claim is that the checkpointed kill/restart +
+    // quiesce + rebuild + resume-from-checkpoint choreography reaches
+    // exactly the direct-batch span lifecycle's resumed fold,
+    // kill-point independent (the q116/q115 and q123/q121 precedent).
+    "q124_stream_span_takedown" -> spanTakedownOracleSql
+  )
+
+  /** Flat recount of every 8-token window over the (optionally filtered)
+    * documents corpus, recurring grams ranked — q117 checks the service's
+    * accumulated state against it; q118 checks the tombstone-REBUILT
+    * state against the retained-corpus restriction. */
+  private def boilerplateGramsOracle(corpusWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+      |  FROM documents$corpusWhere),
+      |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
+      |  FROM t WHERE len(toks) >= 8),
+      |g AS (SELECT md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram_md5 FROM idx)
+      |SELECT gram_md5, CAST(count(*) AS BIGINT) AS cnt FROM g
+      |GROUP BY gram_md5 HAVING count(*) >= 2
+      |ORDER BY cnt DESC, gram_md5""".stripMargin
+
+  /** The span-dedup service fold-sequence replay, shared by q115 (batch
+    * folds) and q116 (the same folds driven through the streaming
+    * harness with kill/restart — correctness there IS producing the
+    * batch sequence verbatim). */
+  /** q122/q124 shared oracle: the full span-dedup replay over the
+    * retained-or-post-boundary corpus, restricted to the resumed
+    * third-tercile batch (boundary re-derived in SQL). */
+  private val spanTakedownOracleSql =
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
         |  FROM documents
         |  WHERE doc_id % 7 <> 0 OR doc_id >= (SELECT (max(doc_id) + 1) * 2 // 3 FROM documents)),
@@ -2035,26 +2066,7 @@ object SparkEntry {
         |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)
         |WHERE t.doc_id >= (SELECT (max(doc_id) + 1) * 2 // 3 FROM documents)
         |ORDER BY t.doc_id""".stripMargin
-  )
 
-  /** Flat recount of every 8-token window over the (optionally filtered)
-    * documents corpus, recurring grams ranked — q117 checks the service's
-    * accumulated state against it; q118 checks the tombstone-REBUILT
-    * state against the retained-corpus restriction. */
-  private def boilerplateGramsOracle(corpusWhere: String): String =
-    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
-      |  FROM documents$corpusWhere),
-      |idx AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS start
-      |  FROM t WHERE len(toks) >= 8),
-      |g AS (SELECT md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS gram_md5 FROM idx)
-      |SELECT gram_md5, CAST(count(*) AS BIGINT) AS cnt FROM g
-      |GROUP BY gram_md5 HAVING count(*) >= 2
-      |ORDER BY cnt DESC, gram_md5""".stripMargin
-
-  /** The span-dedup service fold-sequence replay, shared by q115 (batch
-    * folds) and q116 (the same folds driven through the streaming
-    * harness with kill/restart — correctness there IS producing the
-    * batch sequence verbatim). */
   private val spanServiceFoldOracle =
       """WITH lim AS (SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span FROM documents),
         |t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks,
