@@ -1,0 +1,121 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit gate on the SHARED commit/recovery protocol — the module
+  * both services ride ([[StateProtocol]]). The service specs exercise
+  * these rules end-to-end through folds and rebuilds; this spec pins the
+  * primitives themselves, so a protocol edit that subtly changes a rule
+  * fails here with the rule's name on it rather than three layers up. */
+class StateProtocolSpec extends AnyFunSuite {
+
+  private def withFs(test: (FileSystem, Path) => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("stateproto").toString
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    test(fs, p)
+  }
+
+  private def mkCommitted(fs: FileSystem, dir: Path, name: String): Unit = {
+    fs.mkdirs(new Path(dir, name))
+    fs.create(new Path(dir, s"$name/_SUCCESS"), true).close()
+  }
+
+  test("numericSuffix accepts exactly prefix + digits and nothing else") {
+    assert(StateProtocol.numericSuffix("gen=3", "gen=").contains(3L))
+    assert(StateProtocol.numericSuffix("b=12", "b=").contains(12L))
+    // foreign entries that merely share the prefix are skipped, not thrown on
+    assert(StateProtocol.numericSuffix("gen=3.tmp", "gen=").isEmpty)
+    assert(StateProtocol.numericSuffix("gen=", "gen=").isEmpty)
+    assert(StateProtocol.numericSuffix("gen=-1", "gen=").isEmpty)
+    assert(StateProtocol.numericSuffix("xgen=3", "gen=").isEmpty)
+    assert(StateProtocol.numericSuffix("gen=3x", "gen=").isEmpty)
+  }
+
+  test("committedDirs and latestGeneration see _SUCCESS-marked dirs only") {
+    withFs { (fs, dir) =>
+      mkCommitted(fs, dir, "gen=0")
+      mkCommitted(fs, dir, "gen=2")
+      fs.mkdirs(new Path(dir, "gen=3")) // torn: data dir, no marker
+      fs.mkdirs(new Path(dir, "gen=4.tmp")) // foreign
+      assert(StateProtocol.committedDirs(fs, dir, "gen=").sorted.toSeq == Seq(0L, 2L))
+      assert(StateProtocol.latestGeneration(fs, dir, maxGen = Long.MaxValue).contains(2L))
+      // the maxGen bound (a replaying fold must not see a generation at or
+      // above its own batch id)
+      assert(StateProtocol.latestGeneration(fs, dir, maxGen = 1L).contains(0L))
+      assert(StateProtocol.latestGeneration(fs, dir, maxGen = -1L).isEmpty)
+      // a dir that does not exist is empty state, not an error
+      assert(StateProtocol.committedDirs(fs, new Path(dir, "nope"), "gen=").isEmpty)
+    }
+  }
+
+  test("restoreAsides restores an orphaned aside and discards a superseded one") {
+    withFs { (fs, dir) =>
+      // orphaned: .gen=1.old exists, gen=1 does not — the crash window
+      // where the aside holds the ONLY copy; must be renamed back
+      mkCommitted(fs, dir, ".gen=1.old")
+      // superseded: gen=2 committed AND its aside still present — the
+      // aside is a leftover to discard
+      mkCommitted(fs, dir, "gen=2")
+      mkCommitted(fs, dir, ".gen=2.old")
+      StateProtocol.restoreAsides(fs, dir, "gen=")
+      assert(fs.exists(new Path(dir, "gen=1/_SUCCESS")), "orphaned aside not restored")
+      assert(!fs.exists(new Path(dir, ".gen=1.old")))
+      assert(fs.exists(new Path(dir, "gen=2/_SUCCESS")), "committed dir must survive")
+      assert(!fs.exists(new Path(dir, ".gen=2.old")), "superseded aside not discarded")
+    }
+  }
+
+  test("swapIn moves the committed dir aside before renaming the staged tmp in") {
+    withFs { (fs, dir) =>
+      mkCommitted(fs, dir, "gen=5")
+      fs.mkdirs(new Path(dir, ".gen=5.rebuild"))
+      fs.create(new Path(dir, ".gen=5.rebuild/part-0"), true).close()
+      val fin = new Path(dir, "gen=5")
+      val aside = new Path(dir, ".gen=5.old")
+      StateProtocol.swapIn(fs, fin, aside, new Path(dir, ".gen=5.rebuild"), "test")
+      assert(fs.exists(new Path(dir, "gen=5/part-0")), "staged content not swapped in")
+      assert(fs.exists(new Path(dir, ".gen=5.old/_SUCCESS")),
+        "old dir must be preserved aside, never destroyed")
+      // first-time swap (no prior dir): plain rename, no aside created
+      fs.mkdirs(new Path(dir, ".gen=6.rebuild"))
+      StateProtocol.swapIn(fs, new Path(dir, "gen=6"), new Path(dir, ".gen=6.old"),
+        new Path(dir, ".gen=6.rebuild"), "test")
+      assert(fs.exists(new Path(dir, "gen=6")))
+      assert(!fs.exists(new Path(dir, ".gen=6.old")))
+    }
+  }
+
+  test("rebuild lease: acquire blocks folds, is re-entrant, and releases clean") {
+    withFs { (fs, dir) =>
+      fs.mkdirs(dir)
+      StateProtocol.requireNoRebuildLease(fs, dir, "test") // absent: no-op
+      StateProtocol.acquireRebuildLease(fs, dir)
+      val ex = intercept[IllegalArgumentException] {
+        StateProtocol.requireNoRebuildLease(fs, dir, "test")
+      }
+      assert(ex.getMessage.contains("_REBUILD") && ex.getMessage.contains("re-run"),
+        s"lease error must carry the remedy: ${ex.getMessage}")
+      // a re-run re-acquires over a crashed rebuild's leftover lease
+      StateProtocol.acquireRebuildLease(fs, dir)
+      StateProtocol.releaseRebuildLease(fs, dir)
+      StateProtocol.requireNoRebuildLease(fs, dir, "test") // released: no-op
+    }
+  }
+
+  test("writeBloom/readBloom round-trip beside a generation; missing file reads None") {
+    withFs { (fs, dir) =>
+      fs.mkdirs(dir)
+      assert(StateProtocol.readBloom(fs, dir.toString, 7L).isEmpty)
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100L, 0.01)
+      bf.putString("abc")
+      StateProtocol.writeBloom(fs, dir.toString, 7L, bf)
+      val back = StateProtocol.readBloom(fs, dir.toString, 7L)
+      assert(back.isDefined, "persisted filter not read back")
+      assert(back.get.mightContainString("abc"))
+      // no tmp cruft left behind
+      assert(!fs.exists(new Path(dir, ".bloom=7.bin.tmp")))
+    }
+  }
+}
