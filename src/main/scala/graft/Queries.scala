@@ -459,6 +459,45 @@ object Queries {
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Stamp every not-yet-stamped data file under `stage` to slot `w` of a
+    * fixed minute ladder — the staging half of the kill/restart streaming
+    * harnesses (q104/q116/q123/q124): the file source orders batches by
+    * modification time, so an explicit ladder makes batch order (hence the
+    * append-only fold discipline) deterministic regardless of write-clock
+    * granularity. ONE implementation so a change to the stamp filter
+    * cannot silently diverge between harnesses. */
+  private def stampWave(sfs: org.apache.hadoop.fs.FileSystem,
+                        stagePath: org.apache.hadoop.fs.Path,
+                        stamped: scala.collection.mutable.Set[String],
+                        w: Int): Unit =
+    sfs.listStatus(stagePath).foreach { f =>
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && stamped.add(n))
+        sfs.setTimes(f.getPath, 1704067200000L + w * 60000L, -1)
+    }
+
+  /** The kill/outage/restart choreography shared by the streaming-service
+    * harnesses: run 1 is stopped once batch `killAfter` commits (the stop
+    * free to land with the NEXT batch in flight — the restart then replays
+    * it idempotently through the checkpoint), run 2 resumes from the same
+    * checkpoint and drains everything staged. */
+  private def killRestartDrain(start: () => org.apache.spark.sql.streaming.StreamingQuery,
+                               killAfter: Long): Unit = {
+    val sq1 = start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+      while (sq1.isActive && System.nanoTime() < deadline &&
+             Option(sq1.lastProgress).forall(_.batchId < killAfter)) Thread.sleep(20)
+    } finally sq1.stop()
+    drainRun(start)
+  }
+
+  /** One clean run: start from the checkpoint, drain, stop. */
+  private def drainRun(start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val sq = start()
+    try sq.processAllAvailable() finally sq.stop()
+  }
+
   /** A fresh per-CALL scratch root for queries that MUTATE their state
     * (the service fold sequences and takedown/lifecycle gates) — repeat
     * bench passes must never collide on a shared dir, and the root is
@@ -1934,11 +1973,7 @@ object Queries {
       val hi = (maxId + 1) * (w + 1) / nWaves
       emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
         .coalesce(1).write.mode("append").parquet(stage)
-      sfs.listStatus(stagePath).foreach { f =>
-        val n = f.getPath.getName
-        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && stamped.add(n))
-          sfs.setTimes(f.getPath, 1704067200000L + w * 60000L, -1)
-      }
+      stampWave(sfs, stagePath, stamped, w)
     }
     val embSchema = emb.schema
     // the per-batch fold is the LIBRARY service (jobs.ClusterMaintenance):
@@ -1968,16 +2003,9 @@ object Queries {
     // run 2 must not leak the persisted blocks into the rest of the process
     try {
       (0 until nWaves).foreach(writeWave) // all staged before ingest begins
-      val sq1 = start()
-      try {
-        // kill once batch 1 commits — files 2/3 unread, stop may land with
-        // batch 2 in flight (the restart then replays it idempotently)
-        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-        while (sq1.isActive && System.nanoTime() < deadline &&
-               Option(sq1.lastProgress).forall(_.batchId < 1)) Thread.sleep(20)
-      } finally sq1.stop()
-      val sq2 = start()
-      try sq2.processAllAvailable() finally sq2.stop()
+      // kill once batch 1 commits — files 2/3 unread, stop may land with
+      // batch 2 in flight (the restart then replays it idempotently)
+      killRestartDrain(() => start(), killAfter = 1)
     } finally emb.unpersist(false)
     jobs.ClusterMaintenance.latestAssignment(spark, state)
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
@@ -2725,11 +2753,7 @@ object Queries {
     def writeWave(w: Int): Unit = {
       base.filter(col("b") === w).select("doc_id", "text")
         .coalesce(1).write.mode("append").parquet(stage)
-      sfs.listStatus(stagePath).foreach { f =>
-        val n = f.getPath.getName
-        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && stamped.add(n))
-          sfs.setTimes(f.getPath, 1704067200000L + w * 60000L, -1)
-      }
+      stampWave(sfs, stagePath, stamped, w)
     }
     val waveSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id long, text string")
@@ -2748,16 +2772,9 @@ object Queries {
       .start()
     try {
       (0 until 3).foreach(writeWave) // all staged before ingest begins
-      val sq1 = start()
-      try {
-        // kill once batch 1 commits — file 3 unread, stop may land with
-        // batch 2 in flight (the restart then replays it idempotently)
-        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-        while (sq1.isActive && System.nanoTime() < deadline &&
-               Option(sq1.lastProgress).forall(_.batchId < 1)) Thread.sleep(20)
-      } finally sq1.stop()
-      val sq2 = start()
-      try sq2.processAllAvailable() finally sq2.stop()
+      // kill once batch 1 commits — file 3 unread, stop may land with
+      // batch 2 in flight (the restart then replays it idempotently)
+      killRestartDrain(() => start(), killAfter = 1)
     } finally base.unpersist(false)
     spark.read.parquet((0 until 3).map(k => s"$cleanDir/b=$k"): _*)
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),
@@ -2817,11 +2834,7 @@ object Queries {
       val hi = (maxId + 1) * (w + 1) / 3
       emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
         .coalesce(1).write.mode("append").parquet(stage)
-      sfs.listStatus(stagePath).foreach { f =>
-        val n = f.getPath.getName
-        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && stamped.add(n))
-          sfs.setTimes(f.getPath, 1704067200000L + w * 60000L, -1)
-      }
+      stampWave(sfs, stagePath, stamped, w)
     }
     val embSchema = emb.schema
     // q121's config exactly — the oracle claim is the same filtered
@@ -2839,17 +2852,10 @@ object Queries {
       .start()
     try {
       (0 until 2).foreach(writeWave) // terciles 0/1 staged before ingest
-      val sq1 = start()
-      try {
-        // kill once batch 0 commits — the stop may land with batch 1 in
-        // flight (run 2 then replays it idempotently through the
-        // checkpoint, still PRE-takedown: the lifecycle's kill window)
-        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-        while (sq1.isActive && System.nanoTime() < deadline &&
-               Option(sq1.lastProgress).forall(_.batchId < 0)) Thread.sleep(20)
-      } finally sq1.stop()
-      val sq2 = start()
-      try sq2.processAllAvailable() finally sq2.stop()
+      // kill once batch 0 commits — the stop may land with batch 1 in
+      // flight (run 2 then replays it idempotently through the
+      // checkpoint, still PRE-takedown: the lifecycle's kill window)
+      killRestartDrain(() => start(), killAfter = 0)
       // the stream is STOPPED and drained — the quiesced window the
       // rebuild contract demands (and its lease enforces against error)
       val tomb = emb.select(col("vec_id"))
@@ -2859,8 +2865,7 @@ object Queries {
       // resume: third tercile staged, the SAME checkpoint continues at
       // batchId 2 on top of the rebuilt state
       writeWave(2)
-      val sq3 = start()
-      try sq3.processAllAvailable() finally sq3.stop()
+      drainRun(() => start())
     } finally emb.unpersist(false)
     jobs.ClusterMaintenance.latestAssignment(spark, state)
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
@@ -2914,11 +2919,7 @@ object Queries {
       val hi = (maxId + 1) * (w + 1) / 3
       base.filter(col("doc_id") >= lo && col("doc_id") < hi)
         .coalesce(1).write.mode("append").parquet(stage)
-      sfs.listStatus(stagePath).foreach { f =>
-        val n = f.getPath.getName
-        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && stamped.add(n))
-          sfs.setTimes(f.getPath, 1704067200000L + w * 60000L, -1)
-      }
+      stampWave(sfs, stagePath, stamped, w)
     }
     val waveSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id long, text string")
@@ -2937,16 +2938,9 @@ object Queries {
       .start()
     try {
       (0 until 2).foreach(writeWave) // terciles 0/1 staged before ingest
-      val sq1 = start()
-      try {
-        // kill once batch 0 commits — the stop may land with batch 1 in
-        // flight (run 2 replays it idempotently, still pre-takedown)
-        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-        while (sq1.isActive && System.nanoTime() < deadline &&
-               Option(sq1.lastProgress).forall(_.batchId < 0)) Thread.sleep(20)
-      } finally sq1.stop()
-      val sq2 = start()
-      try sq2.processAllAvailable() finally sq2.stop()
+      // kill once batch 0 commits — the stop may land with batch 1 in
+      // flight (run 2 replays it idempotently, still pre-takedown)
+      killRestartDrain(() => start(), killAfter = 0)
       // stream stopped and drained — the quiesced takedown window
       val retained = base
         .filter(col("doc_id") < b && col("doc_id") % 7 =!= 0)
@@ -2957,8 +2951,7 @@ object Queries {
       // resume: third tercile staged, the SAME checkpoint continues at
       // batchId 2 over the rebuilt generation + fresh filter
       writeWave(2)
-      val sq3 = start()
-      try sq3.processAllAvailable() finally sq3.stop()
+      drainRun(() => start())
     } finally base.unpersist(false)
     spark.read.parquet(s"$cleanDir/b=2")
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_starts"),

@@ -2025,10 +2025,6 @@ object SparkEntry {
       |GROUP BY gram_md5 HAVING count(*) >= 2
       |ORDER BY cnt DESC, gram_md5""".stripMargin
 
-  /** The span-dedup service fold-sequence replay, shared by q115 (batch
-    * folds) and q116 (the same folds driven through the streaming
-    * harness with kill/restart — correctness there IS producing the
-    * batch sequence verbatim). */
   /** q122/q124 shared oracle: the full span-dedup replay over the
     * retained-or-post-boundary corpus, restricted to the resumed
     * third-tercile batch (boundary re-derived in SQL). */
@@ -2067,6 +2063,10 @@ object SparkEntry {
         |WHERE t.doc_id >= (SELECT (max(doc_id) + 1) * 2 // 3 FROM documents)
         |ORDER BY t.doc_id""".stripMargin
 
+  /** The span-dedup service fold-sequence replay, shared by q115 (batch
+    * folds) and q116 (the same folds driven through the streaming
+    * harness with kill/restart — correctness there IS producing the
+    * batch sequence verbatim). */
   private val spanServiceFoldOracle =
       """WITH lim AS (SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span FROM documents),
         |t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks,

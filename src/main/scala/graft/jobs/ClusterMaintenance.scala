@@ -286,6 +286,12 @@ object ClusterMaintenance {
     val hconf = spark.sparkContext.hadoopConfiguration
     val spath = new Path(stateDir)
     val sfs = spath.getFileSystem(hconf)
+    // recover an interrupted PRIOR rebuild's STATE swap before deriving the
+    // head: a crash between its aside and its swap-in leaves `.v=N.old`
+    // holding the only committed assignment — without the restore, the head
+    // would resolve one fold low (or nothing at all) and the re-run would
+    // silently rebuild at the wrong fold
+    StateProtocol.restoreAsides(sfs, spath, "v=")
     // the head FOLD is the newest snapshot or delta — under the delta
     // layout the last fold usually wrote d=N, and rebuilding "as of v="
     // alone would silently drop the batches folded since the snapshot
@@ -344,9 +350,20 @@ object ClusterMaintenance {
       val pairs = Similarity.cosineNearDupPairs(keep, "vec_id", "embedding",
         threshold = cfg.threshold, numPlanes = cfg.numPlanes, dim = cfg.dim,
         probeRadius = cfg.probeRadius, numTables = cfg.numTables)
+      // the head snapshot gets the SAME aside treatment as the corpus
+      // generation below — an in-place overwrite of v=$v would destroy the
+      // only committed assignment for the crash window between the delete
+      // and the rewrite's _SUCCESS, leaving the prescribed re-run to
+      // resolve a stale head (or none at all) and bake the loss in
+      val stateTmp = new Path(s"$stateDir/.v=$v.rebuild")
       Dedup.componentAssignments(keep.select(col("vec_id")), "vec_id",
           pairs, "id_a", "id_b")
-        .write.mode("overwrite").parquet(s"$stateDir/v=$v")
+        .write.mode("overwrite").parquet(stateTmp.toString)
+      val stateFin = new Path(s"$stateDir/v=$v")
+      val stateAside = new Path(s"$stateDir/.v=$v.old")
+      StateProtocol.swapIn(sfs, stateFin, stateAside, stateTmp,
+        "rebuildWithoutTombstones")
+      if (sfs.exists(stateAside)) sfs.delete(stateAside, true)
       // Swap via ASIDE, never delete-then-rename ([[StateProtocol.swapIn]]):
       // the old generation is moved aside (not destroyed) until the rebuilt
       // one commits, so a crash or a failed rename at any point leaves

@@ -84,8 +84,15 @@ private[graft] object StateProtocol {
           val committed = new Path(dir, nm.stripPrefix(".").stripSuffix(".old"))
           if (fs.exists(new Path(committed, "_SUCCESS")))
             fs.delete(new Path(dir, nm), true)
-          else require(fs.rename(new Path(dir, nm), committed),
-            s"restoreAsides: could not restore $nm -> $committed under $dir")
+          else {
+            // a destination that exists WITHOUT its marker is a torn write
+            // (every committed dir carries _SUCCESS by protocol) — clear it
+            // or the restore rename fails against the occupied path and the
+            // aside's only copy stays stranded
+            if (fs.exists(committed)) fs.delete(committed, true)
+            require(fs.rename(new Path(dir, nm), committed),
+              s"restoreAsides: could not restore $nm -> $committed under $dir")
+          }
         }
     }
 

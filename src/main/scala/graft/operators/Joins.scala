@@ -153,19 +153,28 @@ object Joins {
     // join executes at the POINT side's partitioning (the window side is
     // typically the broadcast side). When the point side arrives in fewer
     // partitions than the session's shuffle parallelism — a single small
-    // file at test scale; never a real multi-split scan, which already
-    // comes wide and skips this branch — the entire explosion serializes
-    // into those few tasks. Spread the point side by the bucket key first:
-    // the EXPLICIT partition count pins the exchange against AQE
-    // coalescing (whose input-bytes heuristic sees a tiny shuffle exactly
-    // when this matters — the blowup is in the join's output), and hashing
-    // on __b means a non-broadcast right side co-partitions with no second
-    // exchange. Width ≈ interval scale keeps per-bucket point counts
-    // balanced (the operator's existing sizing rule), so bucket-hash
-    // spreading is not a new skew surface.
-    val np = left.sparkSession.sessionState.conf.numShufflePartitions
-    val lb = if (lb0.rdd.getNumPartitions < np) lb0.repartition(np, col("__b"))
-             else lb0
+    // file at test scale — the entire explosion serializes into those few
+    // tasks, and AQE cannot widen it (its coalescing heuristic sees
+    // shuffle INPUT bytes; the blowup is in the join's output). Spread the
+    // point side by the bucket key first: the EXPLICIT partition count
+    // pins the exchange against AQE coalescing, and hashing on __b means
+    // a non-broadcast right side co-partitions with no second exchange.
+    // The gate is PLANNING-ONLY: optimizer size estimates, never `.rdd`
+    // (which materializes the AQE plan — executing every upstream stage a
+    // second time — and throws outright on a streaming input). A point
+    // side estimated below numShufflePartitions × maxPartitionBytes
+    // arrives in fewer splits than the session parallelism (that product
+    // IS the split rule) and is cheap to reshuffle; anything larger — or
+    // unknown, which estimates as huge — already arrives wide and skips
+    // the branch, paying nothing at real scale. Width ≈ interval scale
+    // keeps per-bucket counts balanced, so bucket-hash spreading is not a
+    // new skew surface.
+    val conf = left.sparkSession.sessionState.conf
+    val np = conf.numShufflePartitions
+    val narrow = !lb0.isStreaming &&
+      lb0.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(np.toLong) * conf.filesMaxPartitionBytes
+    val lb = if (narrow) lb0.repartition(np, col("__b")) else lb0
     // Inverted intervals (lo > hi) can never match a point, but Spark's
     // `sequence` steps BACKWARD when start > stop — one dirty row with a
     // large inverted span (say a sentinel hi=0) explodes into a huge

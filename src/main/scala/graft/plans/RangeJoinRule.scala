@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project, RepartitionByExpression}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
@@ -112,7 +112,25 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
         pair match {
           case Some((pt, lo, hi)) if !hasEqui =>
             val lb = Alias(bucket(pt, width), "__graft_lb")()
-            val newLeft = Project(left.output :+ lb, left)
+            val bucketed = Project(left.output :+ lb, left)
+            // Same explode-parallelism guard as Joins.rangeJoin (the two
+            // implementations must not drift): the bucket join's output can
+            // dwarf its input, and a narrow point side serializes the whole
+            // explosion into its few scan tasks with AQE unable to widen it
+            // (input-bytes heuristic; the blowup is in the output). A point
+            // side whose optimizer size estimate is below
+            // numShufflePartitions × maxPartitionBytes arrives in fewer
+            // splits than the session parallelism (that product is the
+            // split rule) and is cheap to reshuffle by the bucket key; the
+            // explicit partition count pins the exchange against AQE
+            // coalescing. Larger or unknown-size inputs skip the branch.
+            val conf = SQLConf.get
+            val np = conf.numShufflePartitions
+            val newLeft =
+              if (left.stats.sizeInBytes <
+                  BigInt(np.toLong) * conf.filesMaxPartitionBytes)
+                RepartitionByExpression(Seq(lb.toAttribute), bucketed, Some(np))
+              else bucketed
             val rb = AttributeReference("__graft_rb", LongType, nullable = false)()
             // Sequence is TimeZoneAwareExpression: without an explicit zone it
             // stays unresolved and fails the optimizer's plan validation.

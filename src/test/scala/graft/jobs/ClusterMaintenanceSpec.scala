@@ -474,4 +474,54 @@ class ClusterMaintenanceSpec extends SparkSpec {
       "id_a", "id_b"))
     assert(rebuilt == full, "post-repair rebuild diverged from the full build")
   }
+
+  test("rebuild state-snapshot crash windows converge: the head snapshot swaps via aside, never overwritten in place") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_vswap").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 2).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+      state, corpus, "vec_id", "embedding", cfg))
+    import spark.implicits._
+    val tomb = (0L until 40L).filter(_ % 7 == 0).toDF("vec_id")
+    val retained = emb.filter(col("vec_id") % 7 =!= 0)
+    val fromScratch = rows(Dedup.componentAssignments(
+      retained.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(retained, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(rows(ClusterMaintenance.rebuildWithoutTombstones(
+      spark, state, corpus, tomb, "vec_id", cfg)) == fromScratch)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window 1: the rebuild died between its state aside and its
+    // swap-in — `.v=1.old` holds the ONLY committed assignment (the state
+    // an in-place overwrite protocol would have simply destroyed, leaving
+    // the re-run to throw "no committed assignment" with the lease held).
+    // The re-run must restore the aside and converge.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$state/v=1"),
+      new org.apache.hadoop.fs.Path(s"$state/.v=1.old")), "premise: aside v=1")
+    assert(rows(ClusterMaintenance.rebuildWithoutTombstones(
+        spark, state, corpus, tomb, "vec_id", cfg)) == fromScratch,
+      "re-run after a state-aside crash diverged")
+    // crash window 2: the swap-in died mid-flight leaving a TORN v=1 (data,
+    // no _SUCCESS) BESIDE the aside — the restore must clear the torn
+    // destination rather than fail the rename against the occupied path
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$state/v=1"),
+      new org.apache.hadoop.fs.Path(s"$state/.v=1.old")), "premise: aside v=1 again")
+    assert(new java.io.File(s"$state/v=1").mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$state/v=1/part-00000"),
+      "torn".getBytes("UTF-8"))
+    assert(rows(ClusterMaintenance.rebuildWithoutTombstones(
+        spark, state, corpus, tomb, "vec_id", cfg)) == fromScratch,
+      "re-run after a torn-destination state swap diverged")
+    assert(!new java.io.File(s"$state/.v=1.old").exists(),
+      "converged rebuild must discard the superseded state aside")
+    assert(!new java.io.File(s"$state/_REBUILD").exists(),
+      "converged rebuild must release the lease")
+  }
 }

@@ -64,6 +64,17 @@ class StateProtocolSpec extends AnyFunSuite {
       assert(!fs.exists(new Path(dir, ".gen=1.old")))
       assert(fs.exists(new Path(dir, "gen=2/_SUCCESS")), "committed dir must survive")
       assert(!fs.exists(new Path(dir, ".gen=2.old")), "superseded aside not discarded")
+      // torn destination: gen=3 exists WITHOUT its marker (a died swap-in)
+      // while .gen=3.old holds the committed copy — the restore must clear
+      // the torn dir, not fail the rename against the occupied path
+      mkCommitted(fs, dir, ".gen=3.old")
+      fs.mkdirs(new Path(dir, "gen=3"))
+      fs.create(new Path(dir, "gen=3/part-0"), true).close()
+      StateProtocol.restoreAsides(fs, dir, "gen=")
+      assert(fs.exists(new Path(dir, "gen=3/_SUCCESS")),
+        "aside not restored over the torn destination")
+      assert(!fs.exists(new Path(dir, "gen=3/part-0")), "torn content must be cleared")
+      assert(!fs.exists(new Path(dir, ".gen=3.old")))
     }
   }
 
