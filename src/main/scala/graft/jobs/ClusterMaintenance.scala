@@ -363,7 +363,7 @@ object ClusterMaintenance {
       val stateAside = new Path(s"$stateDir/.v=$v.old")
       StateProtocol.swapIn(sfs, stateFin, stateAside, stateTmp,
         "rebuildWithoutTombstones")
-      if (sfs.exists(stateAside)) sfs.delete(stateAside, true)
+      StateProtocol.discardAside(sfs, stateAside)
       // Swap via ASIDE, never delete-then-rename ([[StateProtocol.swapIn]]):
       // the old generation is moved aside (not destroyed) until the rebuilt
       // one commits, so a crash or a failed rename at any point leaves
@@ -372,7 +372,7 @@ object ClusterMaintenance {
       val fin = new Path(s"$corpusDir/gen=$v")
       val aside = new Path(s"$corpusDir/.gen=$v.old")
       StateProtocol.swapIn(cfs, fin, aside, tmp, "rebuildWithoutTombstones")
-      if (cfs.exists(aside)) cfs.delete(aside, true)
+      StateProtocol.discardAside(cfs, aside)
       // the bucket state MUST be rebuilt too: stale bk= dirs reference
       // tombstoned ids, and a later fold probing them would resurrect
       // retracted vectors as candidates

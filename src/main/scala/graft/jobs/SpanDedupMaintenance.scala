@@ -244,7 +244,7 @@ object SpanDedupMaintenance {
     val genDf = sess.read.schema("gram_md5 string, cnt long").parquet(fin.toString)
     StateProtocol.writeBloom(fs, gramDir, g,
       genDf.stat.bloomFilter("gram_md5", math.max(1L, genDf.count()), cfg.fpp))
-    if (fs.exists(aside)) fs.delete(aside, true)
+    StateProtocol.discardAside(fs, aside)
     val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
       StateProtocol.numericSuffix(nm, "b=").exists(_ <= g) ||
         StateProtocol.numericSuffix(nm, "gen=").exists(_ < g) ||

@@ -113,6 +113,16 @@ private[graft] object StateProtocol {
         s"$aside — re-running the rebuild restores and converges")
   }
 
+  /** Discard a superseded aside once everything that must outlive the
+    * swap has committed — the closing step of the [[swapIn]] protocol,
+    * here rather than at the call sites so a change to the discard rule
+    * (verification, deferral) cannot drift between the services. A
+    * missing aside (first-time swap) is a no-op. */
+  def discardAside(fs: FileSystem, aside: Path): Unit = {
+    if (fs.exists(aside)) fs.delete(aside, true)
+    ()
+  }
+
   /** Rebuild lease (`_REBUILD` marker file): the takedown rebuilds'
     * quiesce contract, ENFORCED instead of trusted. A rebuild writes the
     * lease before its first slow or destructive step and removes it last;

@@ -162,13 +162,22 @@ object Joins {
     // The gate is PLANNING-ONLY: optimizer size estimates, never `.rdd`
     // (which materializes the AQE plan — executing every upstream stage a
     // second time — and throws outright on a streaming input). A point
-    // side estimated below numShufflePartitions × maxPartitionBytes
-    // arrives in fewer splits than the session parallelism (that product
-    // IS the split rule) and is cheap to reshuffle; anything larger — or
+    // side estimated below numShufflePartitions × maxPartitionBytes is
+    // at-or-near the size where the scan split rule stops yielding the
+    // session's parallelism, and reshuffling it is cheap (bounded by that
+    // same product — one pass over at most np×maxPartitionBytes, trivial
+    // against the explode it parallelizes, even when bytesPerCore would
+    // have split the scan a little wider anyway); anything larger — or
     // unknown, which estimates as huge — already arrives wide and skips
-    // the branch, paying nothing at real scale. Width ≈ interval scale
-    // keeps per-bucket counts balanced, so bucket-hash spreading is not a
-    // new skew surface.
+    // the branch, paying nothing at real scale. Declared limitation of
+    // estimate-based gating: a DERIVED point side whose true output is
+    // tiny but whose estimate is inflated (aggregates/joins estimate
+    // from their children) keeps the ungated pre-guard plan — a caller
+    // with that shape should `repartition(np, bucket)` explicitly before
+    // the join; only runtime (AQE-level) sizes could catch it here, and
+    // reading them costs a full second execution of the lineage. Width ≈
+    // interval scale keeps per-bucket counts balanced, so bucket-hash
+    // spreading is not a new skew surface.
     val conf = left.sparkSession.sessionState.conf
     val np = conf.numShufflePartitions
     val narrow = !lb0.isStreaming &&
