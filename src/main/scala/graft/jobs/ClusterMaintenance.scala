@@ -274,6 +274,11 @@ object ClusterMaintenance {
     * inconsistent (e.g. assignment rebuilt while the corpus still holds
     * tombstoned vectors, whose pairs a fold would adopt back into state),
     * so folds stay blocked until the re-run converges and releases it.
+    * Acquisition is EXCLUSIVE: a second rebuild started while one is live
+    * fails loudly (two interleaved sweep/swap windows would corrupt the
+    * state undetected); the crashed-rebuild re-run is the explicit
+    * `resumeCrashedRebuild = true` path — the operator's declaration that
+    * no other rebuild is running.
     * Corpus batch dirs are read COMMITTED-only with full coverage
     * required: a b=N missing its `_SUCCESS` while the state head is fold
     * ≥ N means a fold crashed between its state and corpus commits, and
@@ -282,7 +287,8 @@ object ClusterMaintenance {
   def rebuildWithoutTombstones(spark: SparkSession, stateDir: String,
                                corpusDir: String, tombstones: DataFrame,
                                idCol: String,
-                               cfg: Config = Config()): DataFrame = {
+                               cfg: Config = Config(),
+                               resumeCrashedRebuild: Boolean = false): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val spath = new Path(stateDir)
     val sfs = spath.getFileSystem(hconf)
@@ -337,7 +343,7 @@ object ClusterMaintenance {
     // to the rebuilt generation and then swept — silent loss). Released
     // only on success; a crash leaves it held so folds stay blocked until
     // the re-run converges.
-    StateProtocol.acquireRebuildLease(sfs, spath)
+    StateProtocol.acquireRebuildLease(sfs, spath, takeover = resumeCrashedRebuild)
     val corpus = spark.read.parquet(parts: _*)
     val dropIds = tombstones.select(col(idCol).cast("long").as("vec_id")).distinct()
     val keep = corpus.join(dropIds, Seq("vec_id"), "left_anti")
@@ -552,12 +558,17 @@ object ClusterMaintenance {
     * snapshot plus its contiguous delta chain — the same walk, so a torn
     * newest write is reported at the fold readers actually see). All
     * listings are COMMITTED (`_SUCCESS`-gated) dirs only, and all are
-    * bounded by retention/compaction, never by stream length. */
+    * bounded by retention/compaction, never by stream length.
+    * `rebuildInProgress` reports the `_REBUILD` lease on the state dir —
+    * a crashed rebuild deliberately leaves it held, so this is the one
+    * field that explains every fold failing after an incident, and the
+    * check an operator makes BEFORE resuming the stream. */
   final case class Status(headFold: Long, snapshots: Seq[Long],
                           deltas: Seq[Long], corpusGeneration: Option[Long],
                           corpusBatches: Seq[Long],
                           bucketGeneration: Option[Long],
-                          bucketBatches: Seq[Long])
+                          bucketBatches: Seq[Long],
+                          rebuildInProgress: Boolean)
 
   def status(spark: SparkSession, stateDir: String, corpusDir: String): Status = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -584,6 +595,7 @@ object ClusterMaintenance {
         .filter(_ > cgen.getOrElse(-1L)),
       bucketGeneration = bkgen,
       bucketBatches = StateProtocol.committedDirs(cfs, cpath, "bk=").sorted.toSeq
-        .filter(_ > bkgen.getOrElse(-1L)))
+        .filter(_ > bkgen.getOrElse(-1L)),
+      rebuildInProgress = sfs.exists(StateProtocol.rebuildLeasePath(spath)))
   }
 }

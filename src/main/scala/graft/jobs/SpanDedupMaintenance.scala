@@ -80,6 +80,11 @@ object SpanDedupMaintenance {
     // the rebuild's recount never saw and its sweep then deletes — fail
     // fast instead
     StateProtocol.requireNoRebuildLease(fs, gpath, "SpanDedupMaintenance.foldBatch")
+    // the accumulated counts are joinable only under the gram length that
+    // built them — validate the `_GRAMCONF` stamp before reading anything
+    // (a mismatch fails loudly prescribing the rebuildState recount; gram
+    // state is the ONLY record, never sweepable like the bucket cache)
+    ensureGramConfig(fs, gpath, cfg)
     val gen = StateProtocol.latestGeneration(fs, gpath, maxGen = batchId - 1)
     val genPart = gen.map(g => s"$gramDir/gen=$g").toSeq
     val batchParts =
@@ -145,13 +150,88 @@ object SpanDedupMaintenance {
         StateProtocol.numericSuffix(nm, "b=").exists(_ <= newGen) ||
           StateProtocol.numericSuffix(nm, "gen=").exists(_ < newGen) ||
           // stale persisted filters follow their generations out
-          nm.startsWith("bloom=") && nm.endsWith(".bin") &&
-            StateProtocol.numericSuffix(
-              nm.stripSuffix(".bin"), "bloom=").exists(_ < newGen)
+          StateProtocol.bloomGen(nm).exists(_ < newGen)
       }
       stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
     }
     sess.read.parquet(s"$cleanDir/b=$batchId")
+  }
+
+  /** The gram-geometry fingerprint persisted beside the state
+    * (`_GRAMCONF`): `Config.n` determines the gram length every count in
+    * the state was built from, so counts accumulated under one `n` are
+    * NOT joinable against batch digests computed under another — without
+    * the stamp, a service restarted with a different `n` would md5-join
+    * (say) 6-gram batch digests against 8-gram corpus digests, nothing
+    * would ever collide, every batch would look fully novel, and dedup
+    * coverage would silently collapse to zero. `fpp`/`compactEvery` are
+    * deliberately excluded: the Bloom filter is a prefilter exactness
+    * never rides on, and the compaction cadence is layout, not semantics —
+    * both can change freely over the same counts. */
+  private def gramFingerprint(cfg: Config): String = s"n=${cfg.n}"
+
+  private def readGramConfig(fs: org.apache.hadoop.fs.FileSystem,
+                             gpath: Path): Option[String] = {
+    val p = new Path(gpath, "_GRAMCONF")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(buf.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def writeGramConfig(fs: org.apache.hadoop.fs.FileSystem,
+                              gpath: Path, fp: String): Unit = {
+    val tmp = new Path(gpath, "._GRAMCONF.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((fp + "\n").getBytes("UTF-8")) finally out.close()
+    val fin = new Path(gpath, "_GRAMCONF")
+    if (fs.exists(fin)) fs.delete(fin, false)
+    if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+    ()
+  }
+
+  /** Validate (or establish) the `_GRAMCONF` stamp before a fold touches
+    * the state. Unlike the cluster side's `_BKCONF` bucket CACHE, gram
+    * counts are the ONLY record — the service never stores text, so a
+    * sweep on mismatch would destroy the corpus history permanently. The
+    * mismatch behavior is therefore FAIL LOUDLY, prescribing either the
+    * original `n` or a [[rebuildState]] recount of the retained corpus
+    * under the new one ([[rebuildState]] is the one writer allowed to
+    * change the stamp: it recounts from scratch, so any `n` is valid).
+    * A missing stamp over EXISTING committed state is the pre-stamp
+    * upgrade window — the dirs' geometry is unknowable after the fact, so
+    * the current config is adopted and stamped (the operator's standing
+    * declaration, recorded so every LATER change is caught); a missing
+    * stamp over an empty dir is simply the first fold, which stamps its
+    * own geometry. A mismatched stamp over NO committed state re-stamps:
+    * there is nothing recorded under the old `n` to protect. */
+  private[jobs] def ensureGramConfig(fs: org.apache.hadoop.fs.FileSystem,
+                                     gpath: Path, cfg: Config): Unit = {
+    val fp = gramFingerprint(cfg)
+    readGramConfig(fs, gpath) match {
+      case Some(stamped) if stamped == fp => ()
+      case Some(stamped) =>
+        val hasState = StateProtocol.committedDirs(fs, gpath, "b=").nonEmpty ||
+          StateProtocol.committedDirs(fs, gpath, "gen=").nonEmpty
+        if (hasState)
+          throw new IllegalStateException(
+            s"SpanDedupMaintenance: the gram state under $gpath was built " +
+              s"with $stamped but this service is configured with $fp — " +
+              "different-length gram digests never collide, so folding on " +
+              "would silently collapse dedup coverage to zero. Gram counts " +
+              "are the only record (never swept): either restore the " +
+              s"original $stamped, or run rebuildState with the retained " +
+              s"corpus under $fp — it recounts and re-stamps.")
+        else writeGramConfig(fs, gpath, fp) // nothing recorded under the old n
+      case None =>
+        if (fs.exists(gpath)) writeGramConfig(fs, gpath, fp)
+        else { fs.mkdirs(gpath); writeGramConfig(fs, gpath, fp) }
+    }
   }
 
   /** Takedown / retraction escape hatch: gram counts are APPEND-ONLY
@@ -188,10 +268,15 @@ object SpanDedupMaintenance {
     * destructive step and releases it only on success; every [[foldBatch]]
     * fails fast while it is held. A crash mid-rebuild leaves the lease in
     * place deliberately — folds stay blocked until the re-run converges
-    * and releases it. */
+    * and releases it. Acquisition is EXCLUSIVE: a second rebuild started
+    * while one is live fails loudly (two interleaved sweep/swap windows
+    * would corrupt the state undetected); the crashed-rebuild re-run is
+    * the explicit `resumeCrashedRebuild = true` path — the operator's
+    * declaration that no other rebuild is running. */
   def rebuildState(retained: DataFrame, gramDir: String,
                    idCol: String, toksCol: String,
-                   cfg: Config = Config()): Unit = {
+                   cfg: Config = Config(),
+                   resumeCrashedRebuild: Boolean = false): Unit = {
     val sess = retained.sparkSession
     val gpath = new Path(gramDir)
     val fs = gpath.getFileSystem(sess.sparkContext.hadoopConfiguration)
@@ -222,7 +307,7 @@ object SpanDedupMaintenance {
     // to the rebuilt generation and then swept — silent loss). Released
     // only on success; a crash leaves it held so folds stay blocked until
     // the re-run converges.
-    StateProtocol.acquireRebuildLease(fs, gpath)
+    StateProtocol.acquireRebuildLease(fs, gpath, takeover = resumeCrashedRebuild)
     val tmp = new Path(s"$gramDir/.gen=$g.rebuild")
     Dedup.spanGramCounts(retained, idCol, toksCol, cfg.n)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -244,13 +329,19 @@ object SpanDedupMaintenance {
     val genDf = sess.read.schema("gram_md5 string, cnt long").parquet(fin.toString)
     StateProtocol.writeBloom(fs, gramDir, g,
       genDf.stat.bloomFilter("gram_md5", math.max(1L, genDf.count()), cfg.fpp))
+    // re-stamp the gram geometry AFTER the swap committed: the rebuild is
+    // the one writer allowed to CHANGE `n` (it recounts from the retained
+    // corpus, so any length is valid), and ordering the stamp after the
+    // swap means a crash in between leaves stamp=old-n over new-n state —
+    // caught by the next fold's mismatch check (which prescribes this very
+    // re-run) — never the reverse window, where a new-n stamp over old-n
+    // state would wave mismatched folds through
+    writeGramConfig(fs, gpath, gramFingerprint(cfg))
     StateProtocol.discardAside(fs, aside)
     val stale = fs.listStatus(gpath).map(_.getPath.getName).filter { nm =>
       StateProtocol.numericSuffix(nm, "b=").exists(_ <= g) ||
         StateProtocol.numericSuffix(nm, "gen=").exists(_ < g) ||
-        nm.startsWith("bloom=") && nm.endsWith(".bin") &&
-          StateProtocol.numericSuffix(
-            nm.stripSuffix(".bin"), "bloom=").exists(_ < g)
+        StateProtocol.bloomGen(nm).exists(_ < g)
     }
     stale.foreach(nm => fs.delete(new Path(s"$gramDir/$nm"), true))
     StateProtocol.releaseRebuildLease(fs, gpath)
@@ -286,10 +377,14 @@ object SpanDedupMaintenance {
     * committed generation, post-generation batch dirs, and whether the
     * generation's persisted Bloom filter is present (absent = folds run
     * the documented scan-and-build fallback — correct but slower, the
-    * signal an operator acts on). Committed dirs only; all listings
-    * bounded by compactEvery. */
+    * signal an operator acts on). `rebuildInProgress` reports the
+    * `_REBUILD` lease — a crashed rebuild deliberately leaves it held, so
+    * this is the one field that explains every fold failing after an
+    * incident, and the check an operator makes BEFORE resuming the
+    * stream. Committed dirs only; all listings bounded by compactEvery. */
   final case class Status(headFold: Long, generation: Option[Long],
-                          batchDirs: Seq[Long], bloomPresent: Boolean)
+                          batchDirs: Seq[Long], bloomPresent: Boolean,
+                          rebuildInProgress: Boolean)
 
   def status(spark: SparkSession, gramDir: String): Status = {
     val gpath = new Path(gramDir)
@@ -302,6 +397,7 @@ object SpanDedupMaintenance {
       headFold = (gen.toSeq ++ bs).max,
       generation = gen,
       batchDirs = bs.filter(_ > gen.getOrElse(-1L)),
-      bloomPresent = gen.exists(g => fs.exists(StateProtocol.bloomPath(gramDir, g))))
+      bloomPresent = gen.exists(g => fs.exists(StateProtocol.bloomPath(gramDir, g))),
+      rebuildInProgress = fs.exists(StateProtocol.rebuildLeasePath(gpath)))
   }
 }

@@ -39,10 +39,15 @@ private[graft] object StateProtocol {
     * gate every directory-name parse in the services goes through, so a
     * foreign entry that merely shares the prefix (a `gen=3.tmp` leftover,
     * an editor backup) is skipped instead of throwing
-    * NumberFormatException out of a fold or a sweep. */
+    * NumberFormatException out of a fold or a sweep. The tail is bounded
+    * at 18 digits (every positive Long fits; 19 can overflow) so an
+    * all-digit foreign name longer than any id the services ever write
+    * is skipped too, instead of `toLong` throwing — the exact
+    * crash-out-of-a-sweep failure mode this gate exists to prevent. */
   def numericSuffix(name: String, prefix: String): Option[Long] = {
     val tail = name.stripPrefix(prefix)
-    if ((tail ne name) && tail.nonEmpty && tail.forall(_.isDigit))
+    if ((tail ne name) && tail.nonEmpty && tail.length <= 18 &&
+        tail.forall(_.isDigit))
       Some(tail.toLong)
     else None
   }
@@ -136,13 +141,36 @@ private[graft] object StateProtocol {
     * that. The lease is a fail-fast guard against operator error, not a
     * distributed lock: a fold already past its gate when the lease lands
     * is the operator running fold and rebuild concurrently, which the
-    * service contract forbids. */
+    * service contract forbids.
+    *
+    * Acquisition is EXCLUSIVE (`fs.create(path, overwrite = false)`): a
+    * second rebuild started while the lease is held fails loudly instead
+    * of silently interleaving its sweeps and swaps with the first — two
+    * overlapping rebuilds each believing they own the aside/swap window
+    * is unrecoverable corruption the overwrite form could not detect.
+    * The crashed-rebuild re-run is therefore an EXPLICIT path: the
+    * operator passes `takeover = true` (the services surface it as
+    * `resumeCrashedRebuild`), declaring no other rebuild is live — the
+    * same declaration the old unconditional overwrite made silently. */
   val RebuildLeaseName = "_REBUILD"
 
   def rebuildLeasePath(dir: Path): Path = new Path(dir, RebuildLeaseName)
 
-  def acquireRebuildLease(fs: FileSystem, dir: Path): Unit = {
-    val out = fs.create(rebuildLeasePath(dir), true)
+  def acquireRebuildLease(fs: FileSystem, dir: Path,
+                          takeover: Boolean = false): Unit = {
+    val p = rebuildLeasePath(dir)
+    val out =
+      try fs.create(p, takeover)
+      catch {
+        case e: java.io.IOException if !takeover && fs.exists(p) =>
+          throw new IllegalStateException(
+            s"acquireRebuildLease: the lease $p is already held — another " +
+              "rebuild is running, or a prior one crashed mid-run. Never " +
+              "start a second rebuild while one is live; to re-run a CRASHED " +
+              "rebuild (same tombstones/retained corpus — it converges and " +
+              "releases the lease), pass resumeCrashedRebuild/takeover = true.",
+            e)
+      }
     try out.write("rebuild in progress\n".getBytes("UTF-8"))
     finally out.close()
   }
@@ -157,7 +185,8 @@ private[graft] object StateProtocol {
       s"$what: a takedown rebuild holds the lease ${rebuildLeasePath(dir)} — " +
         "the fold stream must stay quiesced while a rebuild runs. If the " +
         "rebuild crashed, re-run it with the same tombstones/retained corpus " +
-        "(it converges and releases the lease); folds resume after that.")
+        "and resumeCrashedRebuild = true (it converges and releases the " +
+        "lease); folds resume after that.")
 
   /** Serialized Bloom filter beside its generation: `bloom=G.bin` is the
     * filter over `gen=G`'s key digests, written (tmp + atomic rename)
@@ -168,6 +197,17 @@ private[graft] object StateProtocol {
     * the scan-and-build fallback — exactness never depends on the file. */
   def bloomPath(dir: String, gen: Long): Path =
     new Path(s"$dir/bloom=$gen.bin")
+
+  /** `Some(G)` iff `name` is exactly the `bloom=G.bin` form [[bloomPath]]
+    * writes — the single owner of the filter-file naming convention, so
+    * the stale-sweep filters in the services cannot drift from the writer
+    * (a sweep matching a name the writer never produces, or missing one
+    * it does). Foreign names (`bloom=3.bin.tmp`, `bloom=.bin`) parse to
+    * None, same contract as [[numericSuffix]]. */
+  def bloomGen(name: String): Option[Long] =
+    if (name.endsWith(".bin"))
+      numericSuffix(name.stripSuffix(".bin"), "bloom=")
+    else None
 
   def writeBloom(fs: FileSystem, dir: String, gen: Long,
                  bf: org.apache.spark.util.sketch.BloomFilter): Unit = {

@@ -50,7 +50,8 @@ class ClusterMaintenanceSpec extends SparkSpec {
     val st = ClusterMaintenance.status(spark, state, corpus)
     assert(st == ClusterMaintenance.Status(headFold = 2, snapshots = Seq(0),
       deltas = Seq(1, 2), corpusGeneration = None, corpusBatches = Seq(0, 1, 2),
-      bucketGeneration = None, bucketBatches = Seq(0, 1, 2)),
+      bucketGeneration = None, bucketBatches = Seq(0, 1, 2),
+      rebuildInProgress = false),
       s"unexpected service status: $st")
   }
 
@@ -418,13 +419,26 @@ class ClusterMaintenanceSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("_REBUILD") && ex.getMessage.contains("re-run"),
       s"the fold must fail fast with the operator remedy, got: ${ex.getMessage}")
-    // the prescribed recovery: re-run the rebuild (re-acquiring the lease
-    // is an overwrite); it converges and RELEASES the lease
+    // the held lease is an operator's incident view: status must show it
+    assert(ClusterMaintenance.status(spark, state, corpus).rebuildInProgress,
+      "status must report the held rebuild lease")
     import spark.implicits._
     val noTomb = Seq.empty[Long].toDF("vec_id")
-    ClusterMaintenance.rebuildWithoutTombstones(spark, state, corpus, noTomb, "vec_id", cfg)
+    // the lease is EXCLUSIVE: a rebuild started without the resume flag
+    // while it is held must fail loudly, not silently take over
+    val ex2 = intercept[IllegalStateException] {
+      ClusterMaintenance.rebuildWithoutTombstones(spark, state, corpus, noTomb, "vec_id", cfg)
+    }
+    assert(ex2.getMessage.contains("already held"),
+      s"concurrent rebuild must fail loudly: ${ex2.getMessage}")
+    // the prescribed recovery: re-run the rebuild AS the explicit
+    // crashed-rebuild resume; it converges and RELEASES the lease
+    ClusterMaintenance.rebuildWithoutTombstones(spark, state, corpus, noTomb, "vec_id", cfg,
+      resumeCrashedRebuild = true)
     assert(!new java.io.File(s"$state/_REBUILD").exists(),
       "a completed rebuild must release the lease")
+    assert(!ClusterMaintenance.status(spark, state, corpus).rebuildInProgress,
+      "status must report the released lease")
     ClusterMaintenance.foldBatch(batch(1), 1L, state, corpus, "vec_id", "embedding", cfg)
     val got = rows(ClusterMaintenance.latestAssignment(spark, state))
     val full = rows(Dedup.componentAssignments(

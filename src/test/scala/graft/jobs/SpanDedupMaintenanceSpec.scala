@@ -47,7 +47,8 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
     // committed generation, post-generation batch dirs, filter present
     val st = SpanDedupMaintenance.status(spark, grams)
     assert(st == SpanDedupMaintenance.Status(headFold = 5,
-      generation = Some(3), batchDirs = Seq(4, 5), bloomPresent = true),
+      generation = Some(3), batchDirs = Seq(4, 5), bloomPresent = true,
+      rebuildInProgress = false),
       s"unexpected service status: $st")
   }
 
@@ -315,16 +316,86 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("_REBUILD") && ex.getMessage.contains("re-run"),
       s"the fold must fail fast with the operator remedy, got: ${ex.getMessage}")
-    // the prescribed recovery: re-run the rebuild; it converges and
-    // RELEASES the lease, after which the fold lands normally
+    // the held lease is an operator's incident view: status must show it
+    assert(SpanDedupMaintenance.status(spark, grams).rebuildInProgress,
+      "status must report the held rebuild lease")
     val retained = docs.filter(col("doc_id") < 20)
-    SpanDedupMaintenance.rebuildState(retained, grams, "doc_id", "toks", cfg)
+    // the lease is EXCLUSIVE: a rebuild started without the resume flag
+    // while it is held must fail loudly, not silently take over
+    val ex2 = intercept[IllegalStateException] {
+      SpanDedupMaintenance.rebuildState(retained, grams, "doc_id", "toks", cfg)
+    }
+    assert(ex2.getMessage.contains("already held"),
+      s"concurrent rebuild must fail loudly: ${ex2.getMessage}")
+    // the prescribed recovery: re-run the rebuild AS the explicit
+    // crashed-rebuild resume; it converges and RELEASES the lease, after
+    // which the fold lands normally
+    SpanDedupMaintenance.rebuildState(retained, grams, "doc_id", "toks", cfg,
+      resumeCrashedRebuild = true)
     assert(!new java.io.File(s"$grams/_REBUILD").exists(),
       "a completed rebuild must release the lease")
+    assert(!SpanDedupMaintenance.status(spark, grams).rebuildInProgress,
+      "status must report the released lease")
     val folded = key(SpanDedupMaintenance.foldBatch(batch(2), 2L,
       grams, clean, "doc_id", "toks", cfg))
     val full = key(Dedup.removeDuplicateSpansOfTokens(docs, "doc_id", "toks", n = 8)
       .filter(col("id") >= 20))
     assert(folded == full, "fold after the rebuild-release diverged from the recompute")
+  }
+
+  test("a changed gram length fails fast against the _GRAMCONF stamp; the prescribed rebuild recounts and re-stamps") {
+    val all = toks(spark.read.parquet(s"$sf/documents.parquet"))
+      .filter(col("doc_id") < 40)
+    val docs = all.filter(col("doc_id") < 30)
+    def batch(k: Int) = all.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
+    val root = java.nio.file.Files.createTempDirectory("sdm_gramconf").toString
+    val (grams, clean) = (s"$root/grams", s"$root/clean")
+    val cfg8 = SpanDedupMaintenance.Config(n = 8, compactEvery = 2)
+    (0 until 2).foreach(k => SpanDedupMaintenance.foldBatch(batch(k), k.toLong,
+      grams, clean, "doc_id", "toks", cfg8))
+    assert(new java.io.File(s"$grams/_GRAMCONF").exists(),
+      "the first fold must stamp the gram geometry beside the state")
+    // a service restarted with a DIFFERENT n: without the stamp this would
+    // md5-join 6-gram batch digests against 8-gram corpus digests — zero
+    // collisions, coverage silently collapsed. It must fail loudly instead,
+    // naming both geometries and the rebuild remedy (never sweeping: the
+    // counts are the only record).
+    val cfg6 = SpanDedupMaintenance.Config(n = 6, compactEvery = 2)
+    val ex = intercept[IllegalStateException] {
+      SpanDedupMaintenance.foldBatch(batch(2), 2L, grams, clean, "doc_id", "toks", cfg6)
+    }
+    assert(ex.getMessage.contains("n=8") && ex.getMessage.contains("n=6") &&
+      ex.getMessage.contains("rebuildState"),
+      s"the mismatch must name both geometries and the remedy: ${ex.getMessage}")
+    // the refused fold must not have touched the state: the original-n
+    // service folds on exactly as before
+    val resumed8 = key(SpanDedupMaintenance.foldBatch(batch(2), 2L,
+      grams, clean, "doc_id", "toks", cfg8))
+    assert(resumed8 == key(Dedup.removeDuplicateSpansOfTokens(docs, "doc_id", "toks", n = 8)
+      .filter(col("id") >= 20)), "original-n fold after the refusal diverged")
+    // the prescribed remedy: rebuildState recounts the retained corpus
+    // (all three ingested batches) under the new n and RE-STAMPS; a fresh
+    // new-n fold then lands and matches the full new-n recompute (the
+    // usual split identity)
+    SpanDedupMaintenance.rebuildState(docs, grams, "doc_id", "toks", cfg6)
+    val folded6 = key(SpanDedupMaintenance.foldBatch(batch(3), 3L,
+      grams, clean, "doc_id", "toks", cfg6))
+    assert(folded6 == key(Dedup.removeDuplicateSpansOfTokens(all, "doc_id", "toks", n = 6)
+      .filter(col("id") >= 30)),
+      "new-n fold after the prescribed rebuild diverged from the recompute")
+    // ...and the stamp flipped: the OLD n is now the mismatch
+    val ex2 = intercept[IllegalStateException] {
+      SpanDedupMaintenance.foldBatch(batch(3), 4L, grams, clean, "doc_id", "toks", cfg8)
+    }
+    assert(ex2.getMessage.contains("n=6") && ex2.getMessage.contains("n=8"),
+      s"the re-stamp must now refuse the old geometry: ${ex2.getMessage}")
+    // pre-stamp upgrade window: a layout from before the stamp existed
+    // (stamp deleted, state present) ADOPTS the configured geometry — the
+    // dirs' n is unknowable after the fact, so the fold records the
+    // operator's declaration and every LATER change is caught
+    assert(new java.io.File(s"$grams/_GRAMCONF").delete())
+    SpanDedupMaintenance.foldBatch(batch(2), 4L, grams, clean, "doc_id", "toks", cfg6)
+    assert(new java.io.File(s"$grams/_GRAMCONF").exists(),
+      "a pre-stamp layout must be adopted and stamped on the next fold")
   }
 }

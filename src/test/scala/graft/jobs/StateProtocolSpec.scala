@@ -31,6 +31,28 @@ class StateProtocolSpec extends AnyFunSuite {
     assert(StateProtocol.numericSuffix("gen=-1", "gen=").isEmpty)
     assert(StateProtocol.numericSuffix("xgen=3", "gen=").isEmpty)
     assert(StateProtocol.numericSuffix("gen=3x", "gen=").isEmpty)
+    // an all-digit tail longer than any Long (a foreign 20-digit name)
+    // must be SKIPPED, not overflow toLong into an exception — the same
+    // crash-out-of-a-sweep failure mode the digit check guards
+    assert(StateProtocol.numericSuffix("gen=99999999999999999999", "gen=").isEmpty)
+    // ...while every id the services actually write (≤ 18 digits) parses
+    assert(StateProtocol.numericSuffix("gen=999999999999999999", "gen=")
+      .contains(999999999999999999L))
+  }
+
+  test("bloomGen parses exactly the bloom=G.bin form writeBloom produces") {
+    assert(StateProtocol.bloomGen("bloom=7.bin").contains(7L))
+    assert(StateProtocol.bloomGen("bloom=0.bin").contains(0L))
+    // foreign names — tmp staging, missing id, wrong extension, a dir
+    // prefix-sharing the name — parse to None, never throw
+    assert(StateProtocol.bloomGen(".bloom=7.bin.tmp").isEmpty)
+    assert(StateProtocol.bloomGen("bloom=.bin").isEmpty)
+    assert(StateProtocol.bloomGen("bloom=7").isEmpty)
+    assert(StateProtocol.bloomGen("bloom=7.binx").isEmpty)
+    assert(StateProtocol.bloomGen("gen=7").isEmpty)
+    // round-trip with the writer's own naming
+    assert(StateProtocol.bloomGen(StateProtocol.bloomPath("/s", 42L).getName)
+      .contains(42L))
   }
 
   test("committedDirs and latestGeneration see _SUCCESS-marked dirs only") {
@@ -98,7 +120,7 @@ class StateProtocolSpec extends AnyFunSuite {
     }
   }
 
-  test("rebuild lease: acquire blocks folds, is re-entrant, and releases clean") {
+  test("rebuild lease: acquire blocks folds, is exclusive, and releases clean") {
     withFs { (fs, dir) =>
       fs.mkdirs(dir)
       StateProtocol.requireNoRebuildLease(fs, dir, "test") // absent: no-op
@@ -108,10 +130,24 @@ class StateProtocolSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("_REBUILD") && ex.getMessage.contains("re-run"),
         s"lease error must carry the remedy: ${ex.getMessage}")
-      // a re-run re-acquires over a crashed rebuild's leftover lease
-      StateProtocol.acquireRebuildLease(fs, dir)
+      // EXCLUSIVE: a second rebuild acquiring while the lease is held
+      // fails loudly (two interleaved sweep/swap windows) — it must not
+      // silently overwrite and proceed
+      val ex2 = intercept[IllegalStateException] {
+        StateProtocol.acquireRebuildLease(fs, dir)
+      }
+      assert(ex2.getMessage.contains("already held") &&
+        ex2.getMessage.contains("takeover"),
+        s"concurrent-acquire error must carry the remedy: ${ex2.getMessage}")
+      assert(fs.exists(StateProtocol.rebuildLeasePath(dir)),
+        "a refused concurrent acquire must leave the held lease in place")
+      // the crashed-rebuild re-run is the EXPLICIT takeover path
+      StateProtocol.acquireRebuildLease(fs, dir, takeover = true)
       StateProtocol.releaseRebuildLease(fs, dir)
       StateProtocol.requireNoRebuildLease(fs, dir, "test") // released: no-op
+      // takeover on an ABSENT lease is still a plain acquire
+      StateProtocol.acquireRebuildLease(fs, dir, takeover = true)
+      StateProtocol.releaseRebuildLease(fs, dir)
     }
   }
 
