@@ -183,14 +183,44 @@ object Joins {
     val narrow = !lb0.isStreaming &&
       lb0.queryExecution.optimizedPlan.stats.sizeInBytes <
         BigInt(np.toLong) * conf.filesMaxPartitionBytes
-    val lb = if (narrow) lb0.repartition(np, col("__b")) else lb0
+    // The explosion materializes on whichever side STREAMS, so the build
+    // side must be chosen by blowup, not by the planner's size economics:
+    // left to its estimates, Spark happily broadcasts a small 1-column
+    // POINT side (BuildLeft), streaming the whole explode through the
+    // window side's partitions — which often arrive from an aggregate
+    // exchange AQE has coalesced to near-one task (its input-bytes
+    // heuristic cannot see output blowup; measured on q56: the 28M-pair
+    // explode in ONE task, the point-side repartition swallowed by the
+    // broadcast). When the window side fits the session broadcast
+    // threshold (pre-explode optimizer estimate — the same planning-only
+    // stats family the planner consults; per-interval fan-out is O(1) by
+    // the width contract), HINT it broadcast so the point side streams at
+    // the width pinned below. A runtime-larger window side costs a bigger
+    // broadcast, never wrong rows; a genuinely large one skips the hint
+    // and shuffles on (keys..., __b).
+    val windowBroadcasts = !right.isStreaming &&
+      right.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        conf.autoBroadcastJoinThreshold
+    // Spread keys: hashing on __b alone caps the achieved parallelism at
+    // the number of DISTINCT buckets — a point side whose values fall into
+    // fewer buckets than np still serializes the explode into that few
+    // tasks. Under the broadcast hint there is no co-partitioning to
+    // protect, so spread by (__b, point): near-full fan-out regardless of
+    // bucket count. A non-broadcast window side shuffles on
+    // (keys..., __b), and only a left exchange on a SUBSET of those keys
+    // avoids a second one — keep __b alone there.
+    val spread =
+      if (windowBroadcasts) Seq(col("__b"), col(pointCol))
+      else Seq(col("__b"))
+    val lb = if (narrow) lb0.repartition(np, spread: _*) else lb0
     // Inverted intervals (lo > hi) can never match a point, but Spark's
     // `sequence` steps BACKWARD when start > stop — one dirty row with a
     // large inverted span (say a sentinel hi=0) explodes into a huge
     // descending bucket array. Drop such rows (and null bounds — BETWEEN
     // never matches on null) before exploding.
-    val rb = right.filter(col(loCol) <= col(hiCol)).withColumn("__b",
+    val rb0 = right.filter(col(loCol) <= col(hiCol)).withColumn("__b",
       explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
+    val rb = if (windowBroadcasts) broadcast(rb0) else rb0
     lb.join(rb, keys :+ "__b", "inner")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")

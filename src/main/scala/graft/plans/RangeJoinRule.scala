@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project, RepartitionByExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Generate, HintInfo, Join, LogicalPlan, Project, RepartitionByExpression}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
@@ -124,12 +124,28 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
             // split rule) and is cheap to reshuffle by the bucket key; the
             // explicit partition count pins the exchange against AQE
             // coalescing. Larger or unknown-size inputs skip the branch.
+            // Blowup-aware build side + spread keys, mirroring
+            // Joins.rangeJoin exactly (the two implementations must not
+            // drift): the explosion materializes on whichever side
+            // STREAMS, and left to its size economics Spark broadcasts a
+            // small 1-column point side (BuildLeft), serializing the
+            // explode into the window side's AQE-coalesced partitions. A
+            // window side whose pre-explode estimate fits the broadcast
+            // threshold is therefore HINTED broadcast, and the point side
+            // spreads by (__b, point) — full fan-out, no co-partitioning
+            // to protect. A larger window side keeps __b alone (the
+            // subset-keyed left exchange the shuffle join can reuse).
             val conf = SQLConf.get
             val np = conf.numShufflePartitions
+            val windowBroadcasts =
+              right.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
+            val spread =
+              if (windowBroadcasts) Seq(lb.toAttribute, pt)
+              else Seq[Expression](lb.toAttribute)
             val newLeft =
               if (left.stats.sizeInBytes <
                   BigInt(np.toLong) * conf.filesMaxPartitionBytes)
-                RepartitionByExpression(Seq(lb.toAttribute), bucketed, Some(np))
+                RepartitionByExpression(spread, bucketed, Some(np))
               else bucketed
             val rb = AttributeReference("__graft_rb", LongType, nullable = false)()
             // Sequence is TimeZoneAwareExpression: without an explicit zone it
@@ -151,8 +167,16 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
               Explode(guarded),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(rb), child = right)
+            // The broadcast hint rides the Join node's own hint slot; a
+            // user-supplied right-side hint (e.g. an explicit SHUFFLE_HASH)
+            // always wins over the heuristic.
+            val newHint =
+              if (windowBroadcasts && hint.rightHint.isEmpty)
+                hint.copy(rightHint =
+                  Some(HintInfo(strategy = Some(BROADCAST))))
+              else hint
             val newJoin = Join(newLeft, gen, Inner,
-              Some(And(EqualTo(lb.toAttribute, rb), cond)), hint)
+              Some(And(EqualTo(lb.toAttribute, rb), cond)), newHint)
             Project(j.output, newJoin)
           case _ => j
         }

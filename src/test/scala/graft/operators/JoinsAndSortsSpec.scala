@@ -172,6 +172,45 @@ class JoinsAndSortsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin narrow-point guard spreads by (bucket, point) under a broadcast window side, bucket alone otherwise") {
+    // one wide bucket over every point: with __b alone the whole explode
+    // hashes into ONE task however many shuffle partitions the session has
+    val pts = (0L until 50L).toDF("p")
+    val ivs = Seq((0L, 49L), (10L, 20L)).toDF("lo", "hi")
+    def spreadKeys(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          r.partitionExpressions.length
+      }
+    // window side under the broadcast threshold: no co-partitioning to
+    // protect, so the guard must spread by BOTH keys (full fan-out even
+    // with one distinct bucket)
+    val broad = Joins.rangeJoin(pts, "p", ivs, "lo", "hi", bucketWidth = 1000)
+    assert(spreadKeys(broad) == Seq(2),
+      s"broadcast window side must spread by (bucket, point): ${spreadKeys(broad)}")
+    // ...and the WINDOW side must be the build side: left to its size
+    // economics Spark broadcasts the smaller 1-column point side
+    // (BuildLeft), which streams the whole explode through the window
+    // side's AQE-coalesced partitions — the hint pins BuildRight so the
+    // explosion streams on the spread point side
+    assert(broad.queryExecution.executedPlan.toString.contains("BuildRight"),
+      "the window side must be hinted broadcast (BuildRight)")
+    // broadcast disabled: the window side shuffles on the bucket key, and
+    // only a subset-keyed left exchange avoids a second one — __b alone
+    val naive = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .collect().map(_.toSeq).toSet
+    assert(broad.collect().map(_.toSeq).toSet == naive)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Joins.rangeJoin(pts, "p", ivs, "lo", "hi", bucketWidth = 1000)
+      assert(spreadKeys(shuffled) == Seq(1),
+        s"non-broadcast window side must keep the co-partitionable bucket key: ${spreadKeys(shuffled)}")
+      assert(shuffled.collect().map(_.toSeq).toSet == naive,
+        "spread-key choice must never change rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("rangeJoin matches naive between-join, incl. negatives and equi-keys") {
     val points = Seq((1, -95L), (1, -10L), (1, 0L), (1, 7L), (2, 7L), (1, 211L), (2, 500L))
       .toDF("g", "p")

@@ -41,6 +41,40 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("narrow-point spread mirrors Joins.rangeJoin: (bucket, point) under a broadcast window side, bucket alone otherwise") {
+    def spreadKeys(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          r.partitionExpressions.length
+      }
+    val cond = col("p") >= col("lo") && col("p") <= col("hi")
+    val expected = points.join(ivals, cond).select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule(16) {
+      // ivals is tiny → broadcast side → full (bucket, point) fan-out
+      val broad = points.join(ivals, cond)
+      assert(spreadKeys(broad) == Seq(2),
+        s"broadcast window side must spread by (bucket, point): ${spreadKeys(broad)}")
+      // the window side must be the BUILD side (BuildRight) — without the
+      // hint Spark broadcasts the smaller point side and the explode
+      // serializes into the window side's AQE-coalesced partitions
+      assert(broad.queryExecution.executedPlan.toString.contains("BuildRight"),
+        "the exploded window side must be hinted broadcast (BuildRight)")
+      assert(broad.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val shuffled = points.join(ivals, cond)
+        assert(spreadKeys(shuffled) == Seq(1),
+          s"non-broadcast window side must keep the co-partitionable bucket key: ${spreadKeys(shuffled)}")
+        assert(shuffled.select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet == expected,
+          "spread-key choice must never change rows")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("does not touch joins that already have an equi conjunct") {
     withRule(16) {
       val joined = points.withColumn("k", col("pid") % 3)
