@@ -191,8 +191,20 @@ object SpanDedupMaintenance {
     try out.write((fp + "\n").getBytes("UTF-8")) finally out.close()
     val fin = new Path(gpath, "_GRAMCONF")
     if (fs.exists(fin)) fs.delete(fin, false)
-    if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
-    ()
+    // Unlike `_BKCONF` (a cache stamp — a silent write failure just means
+    // the next fold sweeps and recomputes), the gram stamp is SEMANTIC: a
+    // swallowed rename here leaves NO stamp, and the next fold's
+    // adopt-and-stamp would record ITS OWN `n` over state built under
+    // another — the exact silent-collapse window the stamp closes. Fail
+    // loudly instead.
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"writeGramConfig: rename $tmp -> $fin failed; the gram-geometry " +
+          "stamp was NOT recorded. Re-run the operation — folding on " +
+          "without the stamp risks a later fold adopting a different n " +
+          "over this state.")
+    }
   }
 
   /** Validate (or establish) the `_GRAMCONF` stamp before a fold touches
