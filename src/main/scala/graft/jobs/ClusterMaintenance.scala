@@ -131,6 +131,13 @@ object ClusterMaintenance {
       // fold racing it could read a mid-swap generation or commit a batch
       // dir the rebuild's sweep then deletes — fail fast instead
       StateProtocol.requireNoRebuildLease(sfs, spath, "ClusterMaintenance.foldBatch")
+      // the accumulated assignment is joinable only under the SEMANTIC
+      // config that built it (threshold + LSH candidate geometry decide
+      // which pairs were adopted, and adoption is forever) — validate the
+      // `_CLCONF` stamp before reading anything; a mismatch fails loudly
+      // prescribing the rebuild recompute, never a sweep (unlike the
+      // bucket cache below, the state IS the record)
+      ensureClusterConfig(sfs, spath, cfg)
       val gen = StateProtocol.latestGeneration(fs, cpath, maxGen = batchId - 1)
       val corpusParts =
         gen.map(g => s"$corpusDir/gen=$g").toSeq ++
@@ -370,6 +377,15 @@ object ClusterMaintenance {
       StateProtocol.swapIn(sfs, stateFin, stateAside, stateTmp,
         "rebuildWithoutTombstones")
       StateProtocol.discardAside(sfs, stateAside)
+      // re-stamp the semantic config AFTER the state swap committed: the
+      // rebuild is the one writer allowed to CHANGE it (a full recompute
+      // from the retained corpus is valid under any config), and stamping
+      // after the swap means a crash in the window leaves stamp=old over
+      // new state — harmless, because folds stay blocked behind the held
+      // lease until this very re-run converges and re-stamps — never the
+      // reverse window, where a new-config stamp over old-config state
+      // would wave mismatched folds through
+      StateProtocol.writeStamp(sfs, spath, "_CLCONF", clusterFingerprint(cfg))
       // Swap via ASIDE, never delete-then-rename ([[StateProtocol.swapIn]]):
       // the old generation is moved aside (not destroyed) until the rebuilt
       // one commits, so a crash or a failed rename at any point leaves
@@ -455,6 +471,64 @@ object ClusterMaintenance {
       if (fs.exists(fin)) fs.delete(fin, false)
       if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
       ()
+    }
+  }
+
+  /** The cluster-state SEMANTIC config fingerprint persisted beside the
+    * assignment state (`_CLCONF`): the threshold and the full LSH
+    * candidate geometry (planes/dim/probeRadius/tables) together determine
+    * WHICH near-dup pairs each fold finds and adopts, and adopted pairs
+    * live in the accumulated assignment forever — so state folded under
+    * one config is NOT the state the oracle identity ("fold sequence
+    * equals the full recompute under the same config") describes for
+    * another. Without the stamp, a service restarted with, say, a
+    * tightened threshold keeps every looser-threshold cluster it ever
+    * merged, and the drift is silent and permanent.
+    * `compactEvery`/`scopedFold`/`snapshotEvery` are deliberately
+    * excluded: layout/cadence knobs with spec-pinned result identity.
+    *
+    * Layering vs [[bucketFingerprint]]/`_BKCONF`: `_BKCONF` protects the
+    * bucket CACHE's joinability (sweep-on-mismatch — exactness never rides
+    * on a cache), and still stands alone when a fresh service adopts an
+    * existing shared corpus dir; `_CLCONF` protects the STATE's semantics,
+    * where a sweep is meaningless and the only honest answers are the
+    * original config or the rebuild recompute. */
+  private def clusterFingerprint(cfg: Config): String =
+    s"threshold=${cfg.threshold},planes=${cfg.numPlanes},dim=${cfg.dim}," +
+      s"probe=${cfg.probeRadius},tables=${cfg.numTables}"
+
+  /** Validate (or establish) the `_CLCONF` stamp before a fold touches the
+    * state — the exact [[SpanDedupMaintenance.ensureGramConfig]] contract,
+    * cluster-side: match → no-op; mismatch over COMMITTED state (any
+    * `v=`/`d=` dir) → fail loudly prescribing the original config or a
+    * [[rebuildWithoutTombstones]] recompute with no tombstones under the
+    * new one (the rebuild is the one writer allowed to change the stamp:
+    * it recomputes from the retained corpus, so any config is valid);
+    * mismatch over NO committed state → re-stamp (nothing to protect);
+    * missing stamp → adopt the configured fingerprint (the first fold, or
+    * the pre-stamp upgrade window where the dirs' config is unknowable
+    * after the fact — recorded so every LATER change is caught). */
+  private[jobs] def ensureClusterConfig(fs: FileSystem, statePath: Path,
+                                        cfg: Config): Unit = {
+    val fp = clusterFingerprint(cfg)
+    StateProtocol.readStamp(fs, statePath, "_CLCONF") match {
+      case Some(stamped) if stamped == fp => ()
+      case Some(stamped) =>
+        val hasState = StateProtocol.committedDirs(fs, statePath, "v=").nonEmpty ||
+          StateProtocol.committedDirs(fs, statePath, "d=").nonEmpty
+        if (hasState)
+          throw new IllegalStateException(
+            s"ClusterMaintenance: the assignment state under $statePath was " +
+              s"built with [$stamped] but this service is configured with " +
+              s"[$fp] — pairs are found and adopted under the configured " +
+              "threshold/LSH geometry and live in the accumulated assignment " +
+              "forever, so folding on would silently drift the state away " +
+              "from the full-recompute identity. Either restore the original " +
+              s"[$stamped], or run rebuildWithoutTombstones with no " +
+              "tombstones under the new config — it recomputes the " +
+              "assignment from the retained corpus and re-stamps.")
+        else StateProtocol.writeStamp(fs, statePath, "_CLCONF", fp)
+      case None => StateProtocol.writeStamp(fs, statePath, "_CLCONF", fp)
     }
   }
 

@@ -170,42 +170,19 @@ object SpanDedupMaintenance {
     * both can change freely over the same counts. */
   private def gramFingerprint(cfg: Config): String = s"n=${cfg.n}"
 
+  // read/write through the shared semantic-stamp primitives
+  // ([[StateProtocol.readStamp]]/[[StateProtocol.writeStamp]] — one
+  // implementation for `_GRAMCONF` and the cluster side's `_CLCONF`, so
+  // the stamp handling cannot drift; writeStamp fails loudly on a failed
+  // rename because a LOST semantic stamp lets the next fold's
+  // adopt-and-stamp record its own `n` over state built under another)
   private def readGramConfig(fs: org.apache.hadoop.fs.FileSystem,
-                             gpath: Path): Option[String] = {
-    val p = new Path(gpath, "_GRAMCONF")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(buf.toString("UTF-8").trim)
-      } finally in.close()
-    }
-  }
+                             gpath: Path): Option[String] =
+    StateProtocol.readStamp(fs, gpath, "_GRAMCONF")
 
   private def writeGramConfig(fs: org.apache.hadoop.fs.FileSystem,
-                              gpath: Path, fp: String): Unit = {
-    val tmp = new Path(gpath, "._GRAMCONF.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((fp + "\n").getBytes("UTF-8")) finally out.close()
-    val fin = new Path(gpath, "_GRAMCONF")
-    if (fs.exists(fin)) fs.delete(fin, false)
-    // Unlike `_BKCONF` (a cache stamp — a silent write failure just means
-    // the next fold sweeps and recomputes), the gram stamp is SEMANTIC: a
-    // swallowed rename here leaves NO stamp, and the next fold's
-    // adopt-and-stamp would record ITS OWN `n` over state built under
-    // another — the exact silent-collapse window the stamp closes. Fail
-    // loudly instead.
-    if (!fs.rename(tmp, fin)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"writeGramConfig: rename $tmp -> $fin failed; the gram-geometry " +
-          "stamp was NOT recorded. Re-run the operation — folding on " +
-          "without the stamp risks a later fold adopting a different n " +
-          "over this state.")
-    }
-  }
+                              gpath: Path, fp: String): Unit =
+    StateProtocol.writeStamp(fs, gpath, "_GRAMCONF", fp)
 
   /** Validate (or establish) the `_GRAMCONF` stamp before a fold touches
     * the state. Unlike the cluster side's `_BKCONF` bucket CACHE, gram
@@ -240,9 +217,7 @@ object SpanDedupMaintenance {
               s"original $stamped, or run rebuildState with the retained " +
               s"corpus under $fp — it recounts and re-stamps.")
         else writeGramConfig(fs, gpath, fp) // nothing recorded under the old n
-      case None =>
-        if (fs.exists(gpath)) writeGramConfig(fs, gpath, fp)
-        else { fs.mkdirs(gpath); writeGramConfig(fs, gpath, fp) }
+      case None => writeGramConfig(fs, gpath, fp) // first fold or pre-stamp
     }
   }
 

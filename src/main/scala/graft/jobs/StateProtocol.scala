@@ -233,4 +233,51 @@ private[graft] object StateProtocol {
       finally in.close()
     }
   }
+
+  /** SEMANTIC config stamps (`_GRAMCONF`, `_CLCONF`): a one-line
+    * fingerprint of the config the accumulated state was built under,
+    * persisted beside it, so a service restarted with an incompatible
+    * config FAILS LOUDLY instead of silently diverging (different-geometry
+    * digests never collide; pairs adopted under one threshold stay in the
+    * assignment forever). One read/write implementation so the two
+    * services' stamp handling cannot drift; the MEANING of a mismatch
+    * (fail vs adopt vs re-stamp) stays with each caller — that is the
+    * part that genuinely differs per state kind.
+    *
+    * Contrast with the `_BKCONF` bucket-CACHE stamp, which the cluster
+    * service keeps inline with sweep-on-mismatch and a tolerated silent
+    * write failure: exactness never rides on a cache, so the worst a lost
+    * cache stamp costs is a recompute. A lost SEMANTIC stamp costs the
+    * adopt-and-stamp path recording the WRONG config over real state —
+    * [[writeStamp]] therefore throws on a failed rename instead of
+    * swallowing it. */
+  def readStamp(fs: FileSystem, dir: Path, name: String): Option[String] = {
+    val p = new Path(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(buf.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  def writeStamp(fs: FileSystem, dir: Path, name: String, value: String): Unit = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((value + "\n").getBytes("UTF-8")) finally out.close()
+    val fin = new Path(dir, name)
+    if (fs.exists(fin)) fs.delete(fin, false)
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"writeStamp: rename $tmp -> $fin failed; the semantic config " +
+          "stamp was NOT recorded. Re-run the operation — proceeding " +
+          "without the stamp risks a later restart adopting a different " +
+          "config over this state.")
+    }
+  }
 }

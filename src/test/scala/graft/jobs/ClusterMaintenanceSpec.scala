@@ -386,19 +386,96 @@ class ClusterMaintenanceSpec extends SparkSpec {
     val cfgB = cfgA.copy(numTables = 8)
     assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L, cfgB).isEmpty,
       "bucket rows persisted under geometry A were offered as coverage for geometry B")
-    // a fold under the new geometry self-heals: geometry-A cache dirs are
-    // swept (pure cache — exactness never rode on them), the stamp moves to
-    // B, and the fold recomputes signatures directly
-    ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfgB)
+    // geometry is part of the STATE's semantic fingerprint too (`_CLCONF`):
+    // a fold under cfgB refuses up front — the geometry decides which
+    // candidate pairs entered the accumulated assignment
+    intercept[IllegalStateException] {
+      ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfgB)
+    }
+    // the prescribed path to the new geometry is the rebuild recompute; it
+    // sweeps the geometry-A cache dirs (pure cache — exactness never rode
+    // on them), re-stamps `_BKCONF` to B, and writes the bucket generation
+    // under B
+    import spark.implicits._
+    ClusterMaintenance.rebuildWithoutTombstones(spark, state, corpus,
+      Seq.empty[Long].toDF("vec_id"), "vec_id", cfgB)
     val bkNames = new java.io.File(corpus).listFiles()
       .map(_.getName).filter(n => n.startsWith("bk=") || n.startsWith("bkgen=")).sorted.toSeq
-    assert(bkNames == Seq("bk=2"), s"stale geometry-A bucket dirs must be swept: $bkNames")
-    // coverage stays honestly absent under B until compaction rebuilds it
-    // (bk=0/bk=1 were swept), and geometry A can never claim it again
-    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 3L, cfgB).isEmpty,
-      "incomplete post-sweep coverage must degrade, not probe a partial table")
-    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 3L, cfgA).isEmpty,
+    assert(bkNames == Seq("bkgen=1"),
+      s"the rebuild must sweep geometry-A bucket dirs and rebuild under B: $bkNames")
+    // coverage is claimable under B now — and never again under A
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L, cfgB).isDefined,
+      "post-rebuild bucket coverage must be claimable under the new geometry")
+    assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L, cfgA).isEmpty,
       "the superseded geometry must not claim coverage after the re-stamp")
+    // folds proceed under B on the rebuilt state
+    ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfgB)
+  }
+
+  test("a changed threshold fails fast against the _CLCONF stamp; the prescribed rebuild recomputes and re-stamps") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 80)
+    val cfgA = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    def fullUnder(cfg: ClusterMaintenance.Config, upTo: Long) = {
+      val e = emb.filter(col("vec_id") < upTo)
+      rows(Dedup.componentAssignments(e.select(col("vec_id")), "vec_id",
+        Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+          threshold = cfg.threshold, numPlanes = cfg.numPlanes, dim = cfg.dim,
+          probeRadius = cfg.probeRadius, numTables = cfg.numTables),
+        "id_a", "id_b"))
+    }
+    val root = java.nio.file.Files.createTempDirectory("cmaint_clconf").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 2).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+      state, corpus, "vec_id", "embedding", cfgA))
+    assert(new java.io.File(s"$state/_CLCONF").exists(),
+      "the first fold must stamp the semantic config beside the state")
+    // a service restarted with a TIGHTER threshold: without the stamp the
+    // accumulated assignment keeps every looser-threshold cluster forever —
+    // silent permanent drift from the full-recompute identity. It must
+    // fail loudly instead, naming both configs and the rebuild remedy
+    // (never sweeping: the state is the record).
+    val cfgT = cfgA.copy(threshold = 0.45)
+    val ex = intercept[IllegalStateException] {
+      ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfgT)
+    }
+    assert(ex.getMessage.contains("threshold=0.35") &&
+      ex.getMessage.contains("threshold=0.45") &&
+      ex.getMessage.contains("rebuildWithoutTombstones"),
+      s"the mismatch must name both configs and the remedy: ${ex.getMessage}")
+    // the refused fold must not have touched the state: the original-config
+    // service folds on exactly as before
+    ClusterMaintenance.foldBatch(batch(2), 2L, state, corpus, "vec_id", "embedding", cfgA)
+    assert(rows(ClusterMaintenance.latestAssignment(spark, state)) == fullUnder(cfgA, 60L),
+      "original-config fold after the refusal diverged")
+    // the prescribed remedy: rebuildWithoutTombstones with NO tombstones is
+    // the full recompute of the retained corpus under the new config, and
+    // the one writer allowed to move the stamp; a fresh new-config fold
+    // then lands and matches the full new-config recompute
+    import spark.implicits._
+    ClusterMaintenance.rebuildWithoutTombstones(spark, state, corpus,
+      Seq.empty[Long].toDF("vec_id"), "vec_id", cfgT)
+    ClusterMaintenance.foldBatch(batch(3), 3L, state, corpus, "vec_id", "embedding", cfgT)
+    assert(rows(ClusterMaintenance.latestAssignment(spark, state)) == fullUnder(cfgT, 80L),
+      "new-config fold after the prescribed rebuild diverged from the recompute")
+    // ...and the stamp flipped: the OLD config is now the mismatch
+    val ex2 = intercept[IllegalStateException] {
+      ClusterMaintenance.foldBatch(batch(3), 4L, state, corpus, "vec_id", "embedding", cfgA)
+    }
+    assert(ex2.getMessage.contains("threshold=0.45") &&
+      ex2.getMessage.contains("threshold=0.35"),
+      s"the re-stamp must now refuse the old config: ${ex2.getMessage}")
+    // pre-stamp upgrade window: a layout from before the stamp existed
+    // (stamp deleted, state present) ADOPTS the configured fingerprint —
+    // the dirs' config is unknowable after the fact, so the fold records
+    // the operator's standing declaration and every LATER change is caught
+    assert(new java.io.File(s"$state/_CLCONF").delete())
+    ClusterMaintenance.foldBatch(batch(3), 4L, state, corpus, "vec_id", "embedding", cfgT)
+    assert(new java.io.File(s"$state/_CLCONF").exists(),
+      "a pre-stamp layout must be adopted and stamped on the next fold")
   }
 
   test("foldBatch fails fast under a rebuild lease; re-running the rebuild releases it and folds resume") {
