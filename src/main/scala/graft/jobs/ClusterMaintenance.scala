@@ -511,24 +511,21 @@ object ClusterMaintenance {
   private[jobs] def ensureClusterConfig(fs: FileSystem, statePath: Path,
                                         cfg: Config): Unit = {
     val fp = clusterFingerprint(cfg)
-    StateProtocol.readStamp(fs, statePath, "_CLCONF") match {
-      case Some(stamped) if stamped == fp => ()
-      case Some(stamped) =>
-        val hasState = StateProtocol.committedDirs(fs, statePath, "v=").nonEmpty ||
+    StateProtocol.ensureStamp(fs, statePath, "_CLCONF", fp,
+      hasCommittedState =
+        StateProtocol.committedDirs(fs, statePath, "v=").nonEmpty ||
           StateProtocol.committedDirs(fs, statePath, "d=").nonEmpty
-        if (hasState)
-          throw new IllegalStateException(
-            s"ClusterMaintenance: the assignment state under $statePath was " +
-              s"built with [$stamped] but this service is configured with " +
-              s"[$fp] — pairs are found and adopted under the configured " +
-              "threshold/LSH geometry and live in the accumulated assignment " +
-              "forever, so folding on would silently drift the state away " +
-              "from the full-recompute identity. Either restore the original " +
-              s"[$stamped], or run rebuildWithoutTombstones with no " +
-              "tombstones under the new config — it recomputes the " +
-              "assignment from the retained corpus and re-stamps.")
-        else StateProtocol.writeStamp(fs, statePath, "_CLCONF", fp)
-      case None => StateProtocol.writeStamp(fs, statePath, "_CLCONF", fp)
+    ).foreach { stamped =>
+      throw new IllegalStateException(
+        s"ClusterMaintenance: the assignment state under $statePath was " +
+          s"built with [$stamped] but this service is configured with " +
+          s"[$fp] — pairs are found and adopted under the configured " +
+          "threshold/LSH geometry and live in the accumulated assignment " +
+          "forever, so folding on would silently drift the state away " +
+          "from the full-recompute identity. Either restore the original " +
+          s"[$stamped], or run rebuildWithoutTombstones with no " +
+          "tombstones under the new config — it recomputes the " +
+          "assignment from the retained corpus and re-stamps.")
     }
   }
 

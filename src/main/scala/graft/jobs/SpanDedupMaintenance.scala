@@ -170,16 +170,12 @@ object SpanDedupMaintenance {
     * both can change freely over the same counts. */
   private def gramFingerprint(cfg: Config): String = s"n=${cfg.n}"
 
-  // read/write through the shared semantic-stamp primitives
-  // ([[StateProtocol.readStamp]]/[[StateProtocol.writeStamp]] — one
-  // implementation for `_GRAMCONF` and the cluster side's `_CLCONF`, so
-  // the stamp handling cannot drift; writeStamp fails loudly on a failed
-  // rename because a LOST semantic stamp lets the next fold's
-  // adopt-and-stamp record its own `n` over state built under another)
-  private def readGramConfig(fs: org.apache.hadoop.fs.FileSystem,
-                             gpath: Path): Option[String] =
-    StateProtocol.readStamp(fs, gpath, "_GRAMCONF")
-
+  // writes through the shared semantic-stamp primitive
+  // ([[StateProtocol.writeStamp]] — one implementation for `_GRAMCONF`
+  // and the cluster side's `_CLCONF`, so the stamp handling cannot
+  // drift; it fails loudly on a failed rename because a LOST semantic
+  // stamp lets the next fold's adopt-and-stamp record its own `n` over
+  // state built under another)
   private def writeGramConfig(fs: org.apache.hadoop.fs.FileSystem,
                               gpath: Path, fp: String): Unit =
     StateProtocol.writeStamp(fs, gpath, "_GRAMCONF", fp)
@@ -202,22 +198,19 @@ object SpanDedupMaintenance {
   private[jobs] def ensureGramConfig(fs: org.apache.hadoop.fs.FileSystem,
                                      gpath: Path, cfg: Config): Unit = {
     val fp = gramFingerprint(cfg)
-    readGramConfig(fs, gpath) match {
-      case Some(stamped) if stamped == fp => ()
-      case Some(stamped) =>
-        val hasState = StateProtocol.committedDirs(fs, gpath, "b=").nonEmpty ||
+    StateProtocol.ensureStamp(fs, gpath, "_GRAMCONF", fp,
+      hasCommittedState =
+        StateProtocol.committedDirs(fs, gpath, "b=").nonEmpty ||
           StateProtocol.committedDirs(fs, gpath, "gen=").nonEmpty
-        if (hasState)
-          throw new IllegalStateException(
-            s"SpanDedupMaintenance: the gram state under $gpath was built " +
-              s"with $stamped but this service is configured with $fp — " +
-              "different-length gram digests never collide, so folding on " +
-              "would silently collapse dedup coverage to zero. Gram counts " +
-              "are the only record (never swept): either restore the " +
-              s"original $stamped, or run rebuildState with the retained " +
-              s"corpus under $fp — it recounts and re-stamps.")
-        else writeGramConfig(fs, gpath, fp) // nothing recorded under the old n
-      case None => writeGramConfig(fs, gpath, fp) // first fold or pre-stamp
+    ).foreach { stamped =>
+      throw new IllegalStateException(
+        s"SpanDedupMaintenance: the gram state under $gpath was built " +
+          s"with $stamped but this service is configured with $fp — " +
+          "different-length gram digests never collide, so folding on " +
+          "would silently collapse dedup coverage to zero. Gram counts " +
+          "are the only record (never swept): either restore the " +
+          s"original $stamped, or run rebuildState with the retained " +
+          s"corpus under $fp — it recounts and re-stamps.")
     }
   }
 

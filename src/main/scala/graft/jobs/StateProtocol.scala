@@ -280,4 +280,25 @@ private[graft] object StateProtocol {
           "config over this state.")
     }
   }
+
+  /** The validate-or-establish flow both semantic stamps share — the
+    * POLICY half of the stamp protocol, one owner so the two services
+    * cannot drift: a matching stamp is a no-op; a MISMATCH over committed
+    * state returns `Some(stamped)` for the caller to raise its
+    * service-specific error (the one part that genuinely differs — which
+    * rebuild to prescribe, what the failure means); a mismatch over NO
+    * committed state re-stamps (nothing recorded under the old config to
+    * protect); a missing stamp adopts the configured fingerprint (the
+    * first fold, or the pre-stamp upgrade window where the dirs' config
+    * is unknowable after the fact — recorded so every LATER change is
+    * caught). `hasCommittedState` is evaluated only on mismatch. */
+  def ensureStamp(fs: FileSystem, dir: Path, name: String, fp: String,
+                  hasCommittedState: => Boolean): Option[String] =
+    readStamp(fs, dir, name) match {
+      case Some(stamped) if stamped == fp => None
+      case Some(stamped) =>
+        if (hasCommittedState) Some(stamped)
+        else { writeStamp(fs, dir, name, fp); None }
+      case None => writeStamp(fs, dir, name, fp); None
+    }
 }

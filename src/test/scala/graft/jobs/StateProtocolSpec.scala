@@ -55,6 +55,31 @@ class StateProtocolSpec extends AnyFunSuite {
       .contains(42L))
   }
 
+  test("ensureStamp: match is a lazy no-op, mismatch-over-state is surfaced, mismatch-over-empty re-stamps, missing adopts") {
+    withFs { (fs, dir) =>
+      fs.mkdirs(dir)
+      // missing stamp ADOPTS the configured fingerprint (first fold /
+      // pre-stamp upgrade) — without evaluating hasCommittedState
+      assert(StateProtocol.ensureStamp(fs, dir, "_TESTCONF", "a=1",
+        hasCommittedState = sys.error("must not evaluate on missing")).isEmpty)
+      assert(StateProtocol.readStamp(fs, dir, "_TESTCONF").contains("a=1"))
+      // matching stamp is a no-op, also without the state listing
+      assert(StateProtocol.ensureStamp(fs, dir, "_TESTCONF", "a=1",
+        hasCommittedState = sys.error("must not evaluate on match")).isEmpty)
+      // mismatch over COMMITTED state: surfaced for the caller's
+      // service-specific error, stamp left in place
+      assert(StateProtocol.ensureStamp(fs, dir, "_TESTCONF", "a=2",
+        hasCommittedState = true).contains("a=1"))
+      assert(StateProtocol.readStamp(fs, dir, "_TESTCONF").contains("a=1"),
+        "a surfaced mismatch must leave the held stamp in place")
+      // mismatch over NO committed state: nothing recorded under the old
+      // config to protect — re-stamps silently
+      assert(StateProtocol.ensureStamp(fs, dir, "_TESTCONF", "a=2",
+        hasCommittedState = false).isEmpty)
+      assert(StateProtocol.readStamp(fs, dir, "_TESTCONF").contains("a=2"))
+    }
+  }
+
   test("committedDirs and latestGeneration see _SUCCESS-marked dirs only") {
     withFs { (fs, dir) =>
       mkCommitted(fs, dir, "gen=0")
