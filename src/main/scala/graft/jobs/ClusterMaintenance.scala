@@ -633,13 +633,19 @@ object ClusterMaintenance {
     * `rebuildInProgress` reports the `_REBUILD` lease on the state dir —
     * a crashed rebuild deliberately leaves it held, so this is the one
     * field that explains every fold failing after an incident, and the
-    * check an operator makes BEFORE resuming the stream. */
+    * check an operator makes BEFORE resuming the stream. `configStamp`
+    * reports the `_CLCONF` semantic stamp the assignment was built under
+    * (threshold + LSH candidate geometry) — the fact an operator checks
+    * before restarting the service with a given `Config` (None =
+    * pre-stamp layout; the next fold adopts and stamps its configured
+    * fingerprint). */
   final case class Status(headFold: Long, snapshots: Seq[Long],
                           deltas: Seq[Long], corpusGeneration: Option[Long],
                           corpusBatches: Seq[Long],
                           bucketGeneration: Option[Long],
                           bucketBatches: Seq[Long],
-                          rebuildInProgress: Boolean)
+                          rebuildInProgress: Boolean,
+                          configStamp: Option[String])
 
   def status(spark: SparkSession, stateDir: String, corpusDir: String): Status = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -667,6 +673,7 @@ object ClusterMaintenance {
       bucketGeneration = bkgen,
       bucketBatches = StateProtocol.committedDirs(cfs, cpath, "bk=").sorted.toSeq
         .filter(_ > bkgen.getOrElse(-1L)),
-      rebuildInProgress = sfs.exists(StateProtocol.rebuildLeasePath(spath)))
+      rebuildInProgress = sfs.exists(StateProtocol.rebuildLeasePath(spath)),
+      configStamp = StateProtocol.readStamp(sfs, spath, "_CLCONF"))
   }
 }

@@ -361,10 +361,15 @@ object SpanDedupMaintenance {
     * `_REBUILD` lease — a crashed rebuild deliberately leaves it held, so
     * this is the one field that explains every fold failing after an
     * incident, and the check an operator makes BEFORE resuming the
-    * stream. Committed dirs only; all listings bounded by compactEvery. */
+    * stream. `configStamp` reports the `_GRAMCONF` semantic stamp the
+    * state was built under — the fact an operator checks before
+    * restarting the service with a given `Config.n` (None = pre-stamp
+    * layout; the next fold adopts and stamps its configured geometry).
+    * Committed dirs only; all listings bounded by compactEvery. */
   final case class Status(headFold: Long, generation: Option[Long],
                           batchDirs: Seq[Long], bloomPresent: Boolean,
-                          rebuildInProgress: Boolean)
+                          rebuildInProgress: Boolean,
+                          configStamp: Option[String])
 
   def status(spark: SparkSession, gramDir: String): Status = {
     val gpath = new Path(gramDir)
@@ -378,6 +383,7 @@ object SpanDedupMaintenance {
       generation = gen,
       batchDirs = bs.filter(_ > gen.getOrElse(-1L)),
       bloomPresent = gen.exists(g => fs.exists(StateProtocol.bloomPath(gramDir, g))),
-      rebuildInProgress = fs.exists(StateProtocol.rebuildLeasePath(gpath)))
+      rebuildInProgress = fs.exists(StateProtocol.rebuildLeasePath(gpath)),
+      configStamp = StateProtocol.readStamp(fs, gpath, "_GRAMCONF"))
   }
 }

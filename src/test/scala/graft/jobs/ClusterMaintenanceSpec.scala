@@ -51,7 +51,8 @@ class ClusterMaintenanceSpec extends SparkSpec {
     assert(st == ClusterMaintenance.Status(headFold = 2, snapshots = Seq(0),
       deltas = Seq(1, 2), corpusGeneration = None, corpusBatches = Seq(0, 1, 2),
       bucketGeneration = None, bucketBatches = Seq(0, 1, 2),
-      rebuildInProgress = false),
+      rebuildInProgress = false,
+      configStamp = Some("threshold=0.35,planes=4,dim=64,probe=1,tables=16")),
       s"unexpected service status: $st")
   }
 
@@ -458,6 +459,11 @@ class ClusterMaintenanceSpec extends SparkSpec {
     import spark.implicits._
     ClusterMaintenance.rebuildWithoutTombstones(spark, state, corpus,
       Seq.empty[Long].toDF("vec_id"), "vec_id", cfgT)
+    // the operator's pre-restart check: status reports the stamp the
+    // rebuild moved
+    assert(ClusterMaintenance.status(spark, state, corpus).configStamp
+      .contains("threshold=0.45,planes=4,dim=64,probe=1,tables=16"),
+      "status must report the re-stamped semantic config")
     ClusterMaintenance.foldBatch(batch(3), 3L, state, corpus, "vec_id", "embedding", cfgT)
     assert(rows(ClusterMaintenance.latestAssignment(spark, state)) == fullUnder(cfgT, 80L),
       "new-config fold after the prescribed rebuild diverged from the recompute")

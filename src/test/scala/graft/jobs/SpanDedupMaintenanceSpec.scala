@@ -48,7 +48,7 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
     val st = SpanDedupMaintenance.status(spark, grams)
     assert(st == SpanDedupMaintenance.Status(headFold = 5,
       generation = Some(3), batchDirs = Seq(4, 5), bloomPresent = true,
-      rebuildInProgress = false),
+      rebuildInProgress = false, configStamp = Some("n=8")),
       s"unexpected service status: $st")
   }
 
@@ -378,6 +378,10 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
     // new-n fold then lands and matches the full new-n recompute (the
     // usual split identity)
     SpanDedupMaintenance.rebuildState(docs, grams, "doc_id", "toks", cfg6)
+    // the operator's pre-restart check: status reports the stamp the
+    // rebuild moved
+    assert(SpanDedupMaintenance.status(spark, grams).configStamp.contains("n=6"),
+      "status must report the re-stamped gram geometry")
     val folded6 = key(SpanDedupMaintenance.foldBatch(batch(3), 3L,
       grams, clean, "doc_id", "toks", cfg6))
     assert(folded6 == key(Dedup.removeDuplicateSpansOfTokens(all, "doc_id", "toks", n = 6)
