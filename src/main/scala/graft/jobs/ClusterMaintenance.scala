@@ -434,18 +434,13 @@ object ClusterMaintenance {
   private def bucketFingerprint(cfg: Config): String =
     s"planes=${cfg.numPlanes},dim=${cfg.dim},tables=${cfg.numTables}"
 
-  private def readBucketConfig(fs: FileSystem, corpusDir: Path): Option[String] = {
-    val p = new Path(corpusDir, "_BKCONF")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(buf.toString("UTF-8").trim)
-      } finally in.close()
-    }
-  }
+  // the read side shares the protocol primitive; the WRITE below stays
+  // inline because its failure policy deliberately differs from
+  // [[StateProtocol.writeStamp]] — `_BKCONF` stamps a CACHE, so a failed
+  // rename is tolerated (the next fold just sweeps and recomputes),
+  // whereas a lost SEMANTIC stamp must raise
+  private def readBucketConfig(fs: FileSystem, corpusDir: Path): Option[String] =
+    StateProtocol.readStamp(fs, corpusDir, "_BKCONF")
 
   /** Stamp the current LSH geometry beside the bucket state; on a MISSING
     * stamp (pre-fingerprint layout — the dirs' geometry is unknown) or a
