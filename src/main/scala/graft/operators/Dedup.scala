@@ -20,9 +20,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on `keyCols` digest, keeping the row minimizing `tieBreak`.
-    * Single shuffle (groupBy digest + min_by), no window needed. */
+    * Single shuffle (groupBy digest + min_by), no window needed — the digest
+    * keeps the shuffle key at 32 hex chars even when the keys are whole
+    * documents (grouping on the raw keys would shuffle the full text).
+    *
+    * The tuple digest is INJECTIVE (up to md5 collision): each key becomes a
+    * fixed-width 32-char block — its md5, or a non-hex null marker (null
+    * keys group together, matching groupBy null semantics) — and the blocks
+    * are concatenated then digested once. The separator-join this replaces
+    * (concat_ws over the raw keys) was not injective: concat_ws SKIPS nulls,
+    * so ("x", null) and (null, "x") merged, and a separator byte INSIDE one
+    * key shifts the block boundaries, so ("a\u0000b", "c") and
+    * ("a", "b\u0000c") merged — the silent wrong-merge class exact dedup
+    * exists to prevent. Keys group by their string cast. */
   def exactDedup(df: DataFrame, keyCols: Seq[Column], tieBreak: Column): DataFrame = {
-    val digest = md5(to_binary(concat_ws("\u0000", keyCols: _*), lit("utf-8")))
+    val blocks = keyCols.map(k =>
+      coalesce(md5(to_binary(k.cast("string"), lit("utf-8"))), lit("x" * 32)))
+    val digest = md5(to_binary(concat(blocks: _*), lit("utf-8")))
     val packed = struct(df.columns.map(col): _*)
     df.groupBy(digest.as("__digest"))
       .agg(min_by(packed, tieBreak).as("__row"))

@@ -163,8 +163,20 @@ object Packing {
 
   private def packPositioned(base: DataFrame, capacity: Long,
                              bucketTarget: Int, basePos: Long): DataFrame = {
+    // The bucket width is positive only when max(id) >= 0. An ALL-NEGATIVE
+    // id space (plausible: a signed-hash-derived id column whose draws all
+    // came out negative) gives w <= 0, the bucket division nulls out, and
+    // the bucket join would then drop EVERY row with no error — fail loudly
+    // instead. Mixed-sign ids are fine (negative buckets order correctly),
+    // and an empty input never reaches the error branch (null max_id takes
+    // the first branch; the null w is moot against zero base rows).
     val w = base.agg(max(col("id")).as("max_id"))
-      .select((floor(col("max_id") / bucketTarget) + 1).as("w"))
+      .select(when(col("max_id").isNull || col("max_id") >= 0,
+          floor(col("max_id") / bucketTarget) + 1)
+        .otherwise(raise_error(format_string(
+          "packSequences: all doc ids are negative (max id = %s) — the " +
+            "bucket width derivation needs a non-negative max id; remap or " +
+            "offset the id column", col("max_id").cast("string")))).as("w"))
     val bucketed = base.crossJoin(broadcast(w))
       .withColumn("bucket", floor(col("id") / col("w")))
     // per-bucket totals -> exclusive running base per bucket (bounded frame:

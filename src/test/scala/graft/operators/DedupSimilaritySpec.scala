@@ -14,6 +14,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(1L, 3L))
   }
 
+  test("exactDedup tuple digest is injective: null-position and embedded-NUL tuples stay distinct") {
+    // concat_ws-style joining would merge rows 1/2 (concat_ws skips nulls)
+    // and rows 3/4 (a NUL inside a key shifts the boundary between keys);
+    // the fixed-width per-key digest blocks must keep all four distinct,
+    // while rows 5/6 (genuinely equal tuples with nulls) still dedup
+    val df = Seq(
+      (1L, Some("x"), None: Option[String]),
+      (2L, None: Option[String], Some("x")),
+      (3L, Some("a\u0000b"), Some("c")),
+      (4L, Some("a"), Some("b\u0000c")),
+      (5L, None: Option[String], Some("y")),
+      (6L, None: Option[String], Some("y"))).toDF("id", "k1", "k2")
+    val out = Dedup.exactDedup(df, Seq(col("k1"), col("k2")), col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("minhash estimate tracks true jaccard for identical and disjoint docs") {
     val words = (0 until 50).map(i => s"w$i").mkString(" ")
     val other = (100 until 150).map(i => s"w$i").mkString(" ")

@@ -201,6 +201,27 @@ class PackingSpec extends SparkSpec {
     assert(fine == coarse)
   }
 
+  test("packSequences: mixed-sign ids pack correctly; all-negative ids fail loudly") {
+    import spark.implicits._
+    // mixed sign: max id positive keeps the bucket width positive, negative
+    // ids land in negative buckets that still order before the positives
+    val mixed = Seq(-7L -> 10L, -2L -> 20L, 3L -> 30L).toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(mixed, "doc_id", "n_tokens", capacity = 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // id order -7, -2, 3 at positions 0, 10, 30
+    assert(got == Seq((-7L, 0L, 0L), (-2L, 0L, 10L), (3L, 1L, 5L)))
+    // all-negative: the bucket width derivation would go non-positive and
+    // null out every bucket (rows silently vanish) — must raise instead
+    val allNeg = Seq(-7L -> 10L, -2L -> 20L).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packSequences(allNeg, "doc_id", "n_tokens", capacity = 25L).collect()
+    }
+    assert(e.getMessage.contains("all doc ids are negative"))
+    // empty input stays empty, no error
+    assert(Packing.packSequences(mixed.filter(col("doc_id") > 100),
+      "doc_id", "n_tokens", capacity = 25L).collect().isEmpty)
+  }
+
   test("lengthBucketsReleasable and tokenBudgetSampleReleasable drop their caches on release") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, 1L + i % 9)).toDF("id", "len")
