@@ -43,7 +43,12 @@ object FieldSelection {
   /** Selected fields of a split-line array, as a flat array column. */
   def selectFields(arr: Column, specs: Seq[FieldSpec]): Column = {
     val parts: Seq[Column] = specs.map {
-      case Single(i)     => array(element_at(arr, i + 1))
+      // get(), not element_at(i + 1): ANSI mode (Spark 4's default, and this
+      // engine's) makes an out-of-bounds element_at THROW, so one ragged
+      // line — fewer fields than the spec names — would kill the job where
+      // the reference's FieldSelectionHelper just drops the missing field;
+      // get() is 0-based and OOB-null-safe, and the filter below drops it
+      case Single(i)     => array(get(arr, lit(i)))
       case Closed(a, b)  => slice(arr, a + 1, math.max(b - a + 1, 0))
       case Open(a)       => slice(arr, lit(a + 1), greatest(size(arr) - a, lit(0)))
     }

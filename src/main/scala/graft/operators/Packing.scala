@@ -165,11 +165,13 @@ object Packing {
                              bucketTarget: Int, basePos: Long): DataFrame = {
     // The bucket width is positive only when max(id) >= 0. An ALL-NEGATIVE
     // id space (plausible: a signed-hash-derived id column whose draws all
-    // came out negative) gives w <= 0, the bucket division nulls out, and
-    // the bucket join would then drop EVERY row with no error — fail loudly
-    // instead. Mixed-sign ids are fine (negative buckets order correctly),
-    // and an empty input never reaches the error branch (null max_id takes
-    // the first branch; the null w is moot against zero base rows).
+    // came out negative) gives w <= 0: under ANSI (this engine's default)
+    // the bucket division dies with an unactionable DIVIDE_BY_ZERO deep in
+    // the plan, and with ANSI off it nulls out and the bucket join silently
+    // drops EVERY row — fail loudly with the remedy instead, in both modes.
+    // Mixed-sign ids are fine (negative buckets order correctly), and an
+    // empty input never reaches the error branch (null max_id takes the
+    // first branch; the null w is moot against zero base rows).
     val w = base.agg(max(col("id")).as("max_id"))
       .select(when(col("max_id").isNull || col("max_id") >= 0,
           floor(col("max_id") / bucketTarget) + 1)

@@ -30,6 +30,17 @@ class FieldSelectionSpec extends SparkSpec {
     assert(out.getString(1) == "")
   }
 
+  test("out-of-range SINGLE is dropped, not thrown (ragged line under ANSI)") {
+    import spark.implicits._
+    // a line with fewer fields than the spec names must lose the missing
+    // field like the reference's FieldSelectionHelper — under ANSI mode an
+    // element_at-based single would ABORT the job on the first ragged line
+    val df = Seq("x-y", "a-b-c-d").toDF("line")
+    val out = FieldSelection(df, "line", "-", "0,3:1,9")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("x", "y"), ("a-d", "b")))
+  }
+
   test("property: selected singles reproduce the split fields (seeded trials)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
