@@ -162,11 +162,18 @@ object TextFunctions {
     val nUniq = size(array_distinct(toks)).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
     val nStop = size(filter(toks, w => array_contains(typedLitStrings(stopwords), w))).cast("long")
+    // Token-less documents carry NULL ratios (no `otherwise`): the ratios
+    // are undefined at n = 0, and the unguarded division would ABORT the
+    // whole scan under ANSI mode (Spark 4's default and this engine's) on
+    // the first empty/whitespace-only document in the corpus — a quality
+    // gate comparing against a null ratio evaluates null → filtered out,
+    // which is what every gate wants for an empty document anyway.
+    def ratio(num: Column): Column = when(n > 0, round(num / n, 6))
     struct(
       n.as("n_tokens"),
       nUniq.as("n_uniq"),
-      round(nUniq / n, 6).as("uniq_ratio"),
-      round(sumLen / n, 6).as("avg_token_len"),
-      round(nStop / n, 6).as("stopword_ratio"))
+      ratio(nUniq).as("uniq_ratio"),
+      ratio(sumLen).as("avg_token_len"),
+      ratio(nStop).as("stopword_ratio"))
   }
 }

@@ -31,9 +31,12 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity between two float-array columns (computed in double). */
+  /** Cosine similarity between two float-array columns (computed in double).
+    * A zero-norm side has no direction, so the cosine is NULL (try_divide)
+    * rather than an ANSI DIVIDE_BY_ZERO that would abort the whole job on
+    * one zero vector; non-zero rows execute the identical IEEE division. */
   def cosine(a: Column, b: Column, dim: Int = -1): Column =
-    dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
+    try_divide(dot(a, b, dim), sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
 
   /** Brute-force cosine top-k: for each row of `queries` (qid, qvec), the `k`
     * nearest corpus rows (id, vec) by cosine, self-matches excluded, ties
@@ -46,12 +49,15 @@ object Similarity {
                  queries: DataFrame, qidCol: String, qvecCol: String,
                  k: Int, dim: Int = -1): DataFrame = {
     // float-array columns go through the native VectorDot expression
-    // (graft.plans): tight codegen'd loop, bit-identical accumulation order
+    // (graft.plans): tight codegen'd loop, bit-identical accumulation order.
+    // Zero-norm rows are EXCLUDED at the norm projection (see normFiltered):
+    // cosine is undefined for them, and the raw norm-product division would
+    // otherwise abort the whole job under ANSI on one zero vector.
     val d = graft.plans.VectorExpressions.vec_dot _
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sqrt(d(col(vecCol), col(vecCol))).as("cnorm"))
-    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
-      sqrt(d(col(qvecCol), col(qvecCol))).as("qnorm"))
+    val c = normFiltered(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(d(col(vecCol), col(vecCol))).as("cnorm")), "cnorm")
+    val q = normFiltered(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      sqrt(d(col(qvecCol), col(qvecCol))).as("qnorm")), "qnorm")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
@@ -60,6 +66,19 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Drop rows whose vector norm is zero — cosine is UNDEFINED for a
+    * zero-norm vector (no direction), and under ANSI mode (this engine's
+    * default) the norm-product division would abort the entire job on the
+    * FIRST zero vector in a 100 TB corpus (a failed encoder emitting
+    * all-zero embeddings is a routine dirty input). Excluding them at the
+    * norm projection keeps every score expression's arithmetic byte-for-
+    * byte unchanged for real vectors — oracle replays are unaffected —
+    * and gives the principled semantics: a direction-less vector is
+    * nobody's neighbor and has no neighbors. (A null vector stays null
+    * through the norm and is dropped by the same predicate.) */
+  private def normFiltered(df: DataFrame, normCol: String): DataFrame =
+    df.filter(col(normCol) > 0)
 
   /** Random-hyperplane sign signature (for cosine LSH): `planes` is a fixed
     * Seq of unit-ish vectors; output = bit-packed sign pattern as long.
@@ -118,17 +137,22 @@ object Similarity {
     // The corpus projection is scanned once per Lloyd iteration plus once for
     // the final bucketing — persist it so the parquet read + norm computation
     // happens once (id + vec + norm ≈ 300 B/row; spills to disk if large).
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm"))
+    val c = normFiltered(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm")), "cnorm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def centroidLit(v: Array[Double]): Column =
       array(v.map(x => lit(x.toFloat)): _*)
 
-    // nearest-centroid id by cosine (centroids are broadcast as literals)
+    // nearest-centroid id by cosine (centroids are broadcast as literals).
+    // try_divide: a ZERO centroid (a Lloyd mean can cancel to zero even
+    // over non-zero members) scores null — array_max skips nulls, so the
+    // row assigns to its best REAL centroid instead of the whole stage
+    // dying on an ANSI DIVIDE_BY_ZERO; non-zero centroids execute the
+    // identical IEEE division.
     def assign(vecC: Column, normC: Column, cents: Seq[Array[Double]]): Column = {
-      val scores = cents.map(ct => vec_dot(vecC, centroidLit(ct)) /
-        (normC * math.sqrt(ct.map(x => x * x).sum)))
+      val scores = cents.map(ct => try_divide(vec_dot(vecC, centroidLit(ct)),
+        normC * lit(math.sqrt(ct.map(x => x * x).sum))))
       val arr = array(scores: _*)
       (array_position(arr, array_max(arr)) - 1).cast("int")
     }
@@ -159,11 +183,11 @@ object Similarity {
     val bucketed = c.select(col("id"), col("vec"), col("cnorm"),
       assign(col("vec"), col("cnorm"), cents).as("cid"))
     // each query probes its nprobe nearest lists
-    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
-      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm"))
+    val q = normFiltered(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm")), "qnorm")
     val qScores = cents.zipWithIndex.map { case (ct, i) =>
-      struct((vec_dot(col("qvec"), centroidLit(ct)) /
-        (col("qnorm") * math.sqrt(ct.map(x => x * x).sum))).as("s"), lit(i).as("cid"))
+      struct(try_divide(vec_dot(col("qvec"), centroidLit(ct)),
+        col("qnorm") * lit(math.sqrt(ct.map(x => x * x).sum))).as("s"), lit(i).as("cid"))
     }
     val probes = q.select(col("qid"), col("qvec"), col("qnorm"),
       explode(slice(reverse(array_sort(array(qScores: _*))), 1, nprobe)).as("p"))
@@ -205,9 +229,9 @@ object Similarity {
                    k: Int, nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
     import graft.plans.VectorExpressions.vec_dot
     val md5id = graft.functions.TextFunctions.md5Hash32(col("id").cast("string"))
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val c = normFiltered(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       quantizeInt8(col(vecCol)).as("qv"),
-      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm"))
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm")), "cnorm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact double literals (components are integers)
@@ -215,9 +239,13 @@ object Similarity {
     def centNorm(s: Array[Double]): Double = math.sqrt(s.map(x => x * x).sum)
 
     // nearest-sum-vector list id: argmax of dot/||S|| (the row's own norm is
-    // constant across lists — omitted), first (lowest) list id on ties
+    // constant across lists — omitted), first (lowest) list id on ties.
+    // try_divide: a sum-vector can cancel to EXACT zero over non-zero
+    // members; its score is null (skipped by array_max) instead of an ANSI
+    // DIVIDE_BY_ZERO killing the stage — non-zero lists divide identically,
+    // so the oracle's replay of the build is unchanged.
     def assign(qvC: Column, cents: Seq[Array[Double]]): Column = {
-      val scores = cents.map(s => vec_dot(qvC, centLit(s)) / centNorm(s))
+      val scores = cents.map(s => try_divide(vec_dot(qvC, centLit(s)), lit(centNorm(s))))
       val arr = array(scores: _*)
       (array_position(arr, array_max(arr)) - 1).cast("int")
     }
@@ -242,11 +270,12 @@ object Similarity {
 
     val bucketed = c.select(col("id"), col("vec"), col("cnorm"),
       assign(col("qv"), cents).as("cid"))
-    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+    val q = normFiltered(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
       quantizeInt8(col(qvecCol)).as("qqv"),
-      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm"))
+      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm")), "qnorm")
     val qScores = cents.zipWithIndex.map { case (s, i) =>
-      struct((vec_dot(col("qqv"), centLit(s)) / centNorm(s)).as("s"), lit(i).as("cid"))
+      struct(try_divide(vec_dot(col("qqv"), centLit(s)), lit(centNorm(s))).as("s"),
+        lit(i).as("cid"))
     }
     val probes = q.select(col("qid"), col("qvec"), col("qnorm"),
       explode(slice(reverse(array_sort(array(qScores: _*))), 1, nprobe)).as("p"))
@@ -295,8 +324,10 @@ object Similarity {
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b")).distinct()
       }
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sqrt(vec_dot(col(vecCol), col(vecCol))).as("norm"))
+    // zero-norm rows excluded (see normFiltered): their cosine is
+    // undefined, and the inner joins below then drop their candidate pairs
+    val v = normFiltered(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("norm")), "norm")
     cand
       .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("id_b"))
@@ -352,8 +383,8 @@ object Similarity {
       .select(least(col("bid"), col("id")).as("id_a"),
         greatest(col("bid"), col("id")).as("id_b"))
       .distinct()
-    val v = full.select(col("id"), col("vec"),
-      sqrt(vec_dot(col("vec"), col("vec"))).as("norm"))
+    val v = normFiltered(full.select(col("id"), col("vec"),
+      sqrt(vec_dot(col("vec"), col("vec"))).as("norm")), "norm")
     pairs
       .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("id_b"))
@@ -413,8 +444,8 @@ object Similarity {
       .distinct()
     val full = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    val v = full.select(col("id"), col("vec"),
-      sqrt(vec_dot(col("vec"), col("vec"))).as("norm"))
+    val v = normFiltered(full.select(col("id"), col("vec"),
+      sqrt(vec_dot(col("vec"), col("vec"))).as("norm")), "norm")
     pairs
       .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("id_b"))
@@ -606,10 +637,10 @@ object Similarity {
           .filter(col("id") =!= col("qid"))
           .select(col("qid"), col("id")).distinct()
       }
-    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm"))
-    val qv = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
-      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm"))
+    val cv = normFiltered(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cnorm")), "cnorm")
+    val qv = normFiltered(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      sqrt(vec_dot(col(qvecCol), col(qvecCol))).as("qnorm")), "qnorm")
     val scored = cand.join(broadcast(qv), Seq("qid")).join(cv, Seq("id"))
       .select(col("qid"), col("id"),
         (vec_dot(col("qvec"), col("vec")) / (col("qnorm") * col("cnorm"))).as("cos"))

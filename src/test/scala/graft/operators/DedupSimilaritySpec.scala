@@ -83,6 +83,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1.0 / 3.0)))
   }
 
+  test("zero-norm vectors are excluded from similarity search, not fatal") {
+    // a zero embedding (failed encoder output) has no direction: under ANSI
+    // the norm-product division would abort the whole job; the operators
+    // must instead exclude the row — nobody's neighbor, and no neighbors
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val q = df.filter(col("id") === 1 || col("id") === 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val top = Similarity.cosineTopK(df, "id", "vec", q, "qid", "qvec", 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // qid 3 (zero query) returns nothing; id 3 never appears as a neighbor
+    assert(top == Set((1L, 2L), (1L, 4L)))
+    val pairs = Similarity.cosineNearDupPairs(df, "id", "vec",
+        threshold = 0.9, numPlanes = 4, dim = 2, probeRadius = 4, numTables = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    val ivf = Similarity.ivfTopK(df, "id", "vec", q, "qid", "qvec", 10,
+        nlist = 2, nprobe = 2)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == Set((1L, 2L), (1L, 4L)))
+  }
+
   test("cosine: orthogonal = 0, identical = 1") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f)))

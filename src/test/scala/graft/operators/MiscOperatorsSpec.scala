@@ -137,6 +137,24 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.666667) < 1e-6)
   }
 
+  test("quality metrics: token-less documents get null ratios, not a DIVIDE_BY_ZERO abort") {
+    // an empty/whitespace-only doc has n_tokens = 0: the ratios are
+    // undefined (null), and under ANSI the unguarded division would kill
+    // the whole scan on the first such doc; a gate comparing a null ratio
+    // evaluates null -> the row is filtered, which is what gates want
+    val df = Seq("", "   ", "real words here").toDF("text")
+    val rows = df.select(TextFunctions.qualityMetrics(col("text"), Seq("the")).as("q"))
+      .select(col("q.*")).collect()
+    val empty = rows.filter(_.getAs[Long]("n_tokens") == 0L)
+    assert(empty.length == 2)
+    empty.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("uniq_ratio")))
+      assert(r.isNullAt(r.fieldIndex("avg_token_len")))
+      assert(r.isNullAt(r.fieldIndex("stopword_ratio")))
+    }
+    assert(rows.count(_.getAs[Long]("n_tokens") == 3L) == 1)
+  }
+
   test("redactPii replaces email/phone/ip with typed tags; piiCounts counts them") {
     val df = Seq(
       "write to jane.doe+x@example.co.uk or call +1 (555) 123-4567 from 10.0.0.1",
