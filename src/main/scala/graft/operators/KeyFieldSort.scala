@@ -31,11 +31,15 @@ object KeyFieldSort {
   /** Sort expressions over a split-line array column. A line with fewer
     * fields than the spec sorts as NULL / empty (the reference comparator's
     * missing-field behavior) — `get` is OOB-null-safe where `element_at`
-    * would throw under Spark 4 ANSI mode. */
+    * would throw under Spark 4 ANSI mode. A NON-NUMERIC field under a
+    * numeric (`n`) key sorts as null too (`try_cast`): a plain cast under
+    * ANSI aborts the whole sort on the first garbage line, where sort(1)
+    * and the reference comparator just order it degenerately — nulls
+    * group with the missing fields, first ascending / last descending. */
   def sortColumns(arr: Column, keys: Seq[KeySpec]): Seq[Column] =
     keys.map { k =>
       val f = get(arr, lit(k.field - 1))
-      val typed = if (k.numeric) f.cast("double") else coalesce(f, lit(""))
+      val typed = if (k.numeric) f.try_cast("double") else coalesce(f, lit(""))
       if (k.reverse) typed.desc_nulls_last else typed.asc_nulls_first
     }
 

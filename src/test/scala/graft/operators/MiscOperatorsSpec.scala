@@ -14,6 +14,12 @@ class MiscOperatorsSpec extends SparkSpec {
     val df = Seq("b 2", "a 10", "c 2").toDF("line")
     val got = sortLines(df, "line", " ", "-k2,2nr -k1,1").collect().map(_.getString(0)).toSeq
     assert(got == Seq("a 10", "b 2", "c 2")) // numeric desc (10 first), then word asc
+    // a NON-NUMERIC field under -kn sorts as null (with the missing
+    // fields: last under desc) instead of aborting the sort under ANSI
+    val dirty = Seq("b 2", "a oops", "c 10", "d").toDF("line")
+    val got2 = sortLines(dirty, "line", " ", "-k2,2nr -k1,1")
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 == Seq("c 10", "b 2", "a oops", "d"))
   }
 
   test("Aggregates DSL matches direct aggregation") {
