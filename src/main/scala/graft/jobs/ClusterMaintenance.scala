@@ -139,9 +139,19 @@ object ClusterMaintenance {
       // bucket cache below, the state IS the record)
       ensureClusterConfig(sfs, spath, cfg)
       val gen = StateProtocol.latestGeneration(fs, cpath, maxGen = batchId - 1)
-      val corpusParts =
-        gen.map(g => s"$corpusDir/gen=$g").toSeq ++
-          ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$corpusDir/b=$i")
+      val batchParts =
+        ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$corpusDir/b=$i")
+      // fold-side read gate (the generation is _SUCCESS-gated by
+      // latestGeneration): a torn prior b=i would read as EMPTY parquet and
+      // this fold's near-dup pass would silently miss batch i's whole
+      // corpus contribution — fail fast naming the replay instead (the
+      // bucket CACHE below already degrades on torn dirs because exactness
+      // never rides on it; the corpus read is the record itself)
+      StateProtocol.requireCommitted(fs, batchParts,
+        "ClusterMaintenance.foldBatch",
+        "a prior fold crashed mid-write; replay that fold first (its keyed " +
+          "overwrite converges), then fold later batches")
+      val corpusParts = gen.map(g => s"$corpusDir/gen=$g").toSeq ++ batchParts
       val corpus =
         if (corpusParts.isEmpty) b.limit(0)
         else sess.read.schema(b.schema).parquet(corpusParts: _*)

@@ -89,6 +89,14 @@ object SpanDedupMaintenance {
     val genPart = gen.map(g => s"$gramDir/gen=$g").toSeq
     val batchParts =
       ((gen.getOrElse(-1L) + 1) until batchId).map(i => s"$gramDir/b=$i")
+    // fold-side read gate (the generation is _SUCCESS-gated by
+    // latestGeneration already): a torn prior b=i would read as empty and
+    // this fold would silently miss batch i's grams — fail fast naming the
+    // replay instead
+    StateProtocol.requireCommitted(fs, batchParts,
+      "SpanDedupMaintenance.foldBatch",
+      "a prior fold crashed mid-write; replay that fold first (its keyed " +
+        "overwrite converges), then fold later batches")
     val priorParts = genPart ++ batchParts
     val gramSchema = "gram_md5 string, cnt long"
     val prior =
@@ -335,19 +343,31 @@ object SpanDedupMaintenance {
   def gramCounts(spark: SparkSession, gramDir: String): DataFrame = {
     val gpath = new Path(gramDir)
     val fs = gpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bs =
-      if (!fs.exists(gpath)) Seq.empty[Long]
-      else fs.listStatus(gpath).map(_.getPath.getName)
-        .flatMap(StateProtocol.numericSuffix(_, "b=")).toSeq
     // a standalone reader takes the newest committed generation, whatever
     // its id — after a tombstone rebuild the state can be ONE generation
     // with no batch dirs at all (the replay-safety maxGen bound is a
     // FOLD's concern, scoped to its own batchId)
     val gen = StateProtocol.latestGeneration(fs, gpath, maxGen = Long.MaxValue)
-    val parts = gen.map(g => s"$gramDir/gen=$g").toSeq ++
-      bs.filter(_ > gen.getOrElse(-1L)).sorted.map(i => s"$gramDir/b=$i")
-    require(parts.nonEmpty,
+    // COMMITTED post-generation batch dirs only (a torn dir reads as empty
+    // parquet — silently missing that batch's counts). The committed set
+    // must be CONTIGUOUS from the generation to its own head: folds are
+    // sequential, so a gap means a torn/deleted dir in the MIDDLE of the
+    // accumulated state — fail loudly naming the replay rather than
+    // serving counts that silently miss one batch's contribution. A torn
+    // dir ABOVE the committed head is an in-flight fold and is correctly
+    // excluded (it is not yet part of the accumulated state).
+    val bs = StateProtocol.committedDirs(fs, gpath, "b=")
+      .filter(_ > gen.getOrElse(-1L)).sorted.toSeq
+    require(gen.nonEmpty || bs.nonEmpty,
       s"SpanDedupMaintenance: no committed gram state under $gramDir")
+    val expected = (gen.getOrElse(-1L) + 1) to bs.lastOption.getOrElse(-1L)
+    require(bs == expected,
+      s"SpanDedupMaintenance.gramCounts: committed batch dirs under " +
+        s"$gramDir are not contiguous (have b=${bs.mkString(",")}, expected " +
+        s"b=${expected.mkString(",")}) — a fold crashed mid-write; replay it " +
+        "(its keyed overwrite converges) before reading the accumulated counts")
+    val parts = gen.map(g => s"$gramDir/gen=$g").toSeq ++
+      bs.map(i => s"$gramDir/b=$i")
     spark.read.schema("gram_md5 string, cnt long").parquet(parts: _*)
       .groupBy("gram_md5").agg(sum(col("cnt")).as("cnt"))
   }

@@ -63,6 +63,24 @@ private[graft] object StateProtocol {
           .filter(_ => fs.exists(new Path(vp, "_SUCCESS")))
       }
 
+  /** Require every listed state dir to be COMMITTED (`_SUCCESS` present) —
+    * the FOLD-side read gate, closing the same hole on the fold path that
+    * the committed-only listings closed on the rebuilds: a TORN `b=N` (a
+    * fold that crashed mid-write, its replay pending) reads as EMPTY
+    * parquet — Spark's reader skips `_temporary`/dot files — so a later
+    * fold consuming it would silently miss that batch's whole
+    * contribution and diverge from the full-recompute identity with no
+    * error. One `exists()` per post-generation dir (bounded by
+    * compactEvery), same envelope as the existing listings. A missing dir
+    * gets the same loud message (the raw read would throw PATH_NOT_FOUND
+    * anyway, but without naming the replay remedy). */
+  def requireCommitted(fs: FileSystem, dirs: Seq[String], what: String,
+                       remedy: String): Unit =
+    dirs.foreach { d =>
+      require(fs.exists(new Path(d, "_SUCCESS")),
+        s"$what: state dir $d is missing or torn (no _SUCCESS marker) — $remedy")
+    }
+
   /** Latest COMMITTED generation ≤ `maxGen` under the state dir: a
     * `gen=G` dir counts only with its `_SUCCESS` marker (a torn dir from
     * a crash mid-compaction is invisible — readers fall back to the

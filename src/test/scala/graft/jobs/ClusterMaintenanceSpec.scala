@@ -621,4 +621,38 @@ class ClusterMaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(s"$state/_REBUILD").exists(),
       "converged rebuild must release the lease")
   }
+
+  test("foldBatch fails fast on a torn prior corpus batch dir and converges after the replay") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 80)
+    def batch(w: Int) = emb.filter(col("vec_id") >= w * 20 && col("vec_id") < (w + 1) * 20)
+    val cfg = ClusterMaintenance.Config(threshold = 0.35, numPlanes = 4,
+      dim = 64, probeRadius = 1, numTables = 16)
+    val root = java.nio.file.Files.createTempDirectory("cmaint_foldgate").toString
+    val (state, corpus) = (s"$root/state", s"$root/corpus")
+    (0 until 3).foreach(w => ClusterMaintenance.foldBatch(batch(w), w.toLong,
+      state, corpus, "vec_id", "embedding", cfg))
+    // fold 1 "crashed mid-write": corpus b=1 present, no _SUCCESS. Pre-fix,
+    // fold 3 read it as EMPTY parquet — batch 1's vectors vanished from the
+    // near-dup corpus side and the fold silently diverged from the
+    // full-recompute identity; the gate must refuse naming the replay
+    assert(new java.io.File(s"$corpus/b=1/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      ClusterMaintenance.foldBatch(batch(3), 3L, state, corpus, "vec_id", "embedding", cfg)
+    }
+    assert(e.getMessage.contains("replay") && e.getMessage.contains("b=1"),
+      s"fold must name the torn dir and the replay remedy: ${e.getMessage}")
+    // replay fold 1 (keyed overwrite recommits b=1), then fold 3 lands and
+    // the final assignment equals the full pruned build over everything
+    ClusterMaintenance.foldBatch(batch(1), 1L, state, corpus, "vec_id", "embedding", cfg)
+    ClusterMaintenance.foldBatch(batch(3), 3L, state, corpus, "vec_id", "embedding", cfg)
+    val got = rows(ClusterMaintenance.latestAssignment(spark, state))
+    val full = rows(Dedup.componentAssignments(
+      emb.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64, probeRadius = 1, numTables = 16),
+      "id_a", "id_b"))
+    assert(got == full, "post-replay fold diverged from the full pruned build")
+  }
 }

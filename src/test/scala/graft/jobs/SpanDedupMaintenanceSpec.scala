@@ -402,4 +402,50 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
     assert(new java.io.File(s"$grams/_GRAMCONF").exists(),
       "a pre-stamp layout must be adopted and stamped on the next fold")
   }
+
+  test("foldBatch fails fast on a torn prior batch dir; gramCounts is committed-only") {
+    val docs = toks(spark.read.parquet(s"$sf/documents.parquet"))
+      .filter(col("doc_id") < 30)
+    def batch(k: Int) = docs.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
+    val root = java.nio.file.Files.createTempDirectory("sdm_foldgate").toString
+    val (grams, clean) = (s"$root/grams", s"$root/clean")
+    val cfg = SpanDedupMaintenance.Config(n = 8, compactEvery = 10)
+    (0 until 3).foreach(k => SpanDedupMaintenance.foldBatch(batch(k), k.toLong,
+      grams, clean, "doc_id", "toks", cfg))
+    // fold 1 "crashed mid-write": b=1 present, no _SUCCESS. Pre-fix, fold 3
+    // read it as EMPTY parquet and silently missed batch 1's grams; the
+    // gate must refuse with the replay remedy instead
+    assert(new java.io.File(s"$grams/b=1/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      SpanDedupMaintenance.foldBatch(batch(3), 3L, grams, clean, "doc_id", "toks", cfg)
+    }
+    assert(e.getMessage.contains("replay") && e.getMessage.contains("b=1"),
+      s"fold must name the torn dir and the replay remedy: ${e.getMessage}")
+    // ...and the standalone reader refuses the same middle gap loudly
+    val e2 = intercept[IllegalArgumentException] {
+      SpanDedupMaintenance.gramCounts(spark, grams).collect()
+    }
+    assert(e2.getMessage.contains("contiguous"),
+      s"gramCounts must refuse a middle gap: ${e2.getMessage}")
+    // a torn dir ABOVE the committed head is an in-flight fold: after the
+    // replay of fold 1, tearing b=2 leaves committed state = batches 0..1
+    SpanDedupMaintenance.foldBatch(batch(1), 1L, grams, clean, "doc_id", "toks", cfg)
+    assert(new java.io.File(s"$grams/b=2/_SUCCESS").delete())
+    val counts = SpanDedupMaintenance.gramCounts(spark, grams)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val prefix01 = Dedup.spanGramCounts(
+        docs.filter(col("doc_id") < 20), "doc_id", "toks", n = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(counts == prefix01,
+      "gramCounts over a torn trailing fold must equal the committed prefix")
+    // the replay converges: re-fold 2, then fold 3 equals the recompute
+    SpanDedupMaintenance.foldBatch(batch(2), 2L, grams, clean, "doc_id", "toks", cfg)
+    val all = toks(spark.read.parquet(s"$sf/documents.parquet"))
+      .filter(col("doc_id") < 40)
+    val folded = key(SpanDedupMaintenance.foldBatch(
+      all.filter(col("doc_id") >= 30), 3L, grams, clean, "doc_id", "toks", cfg))
+    assert(folded == key(Dedup.removeDuplicateSpansOfTokens(all, "doc_id", "toks", n = 8)
+      .filter(col("id") >= 30)),
+      "post-replay fold diverged from the full recompute")
+  }
 }
