@@ -47,4 +47,30 @@ class ScalingRatchetSpec extends AnyFlatSpec with Matchers {
     ratchetBaseline(Map("old" -> 2.5), Map("new" -> 1.7), Set.empty) shouldBe
       Map("old" -> 2.5, "new" -> 1.7)
   }
+
+  import graft.Bench.scalingSuspicious
+
+  "scalingSuspicious" should "flag a doubled ratio only with a reliable (>= 1 s) small leg" in {
+    // the r14 session's observed false positives: same-code runs moved
+    // q49's ratio 2.5 -> 6.5 and q51's 1.8 -> 5.1 purely on sub-second
+    // sf0.01 denominators (±0.2 s of JIT/host noise is a whole multiple)
+    scalingSuspicious(6.5, 2.5, big = 2.8, small = 0.43) shouldBe false
+    scalingSuspicious(5.1, 1.8, big = 2.9, small = 0.57) shouldBe false
+    // the same doubled ratio with a reliable denominator IS a flag
+    scalingSuspicious(6.5, 2.5, big = 14.0, small = 2.2) shouldBe true
+  }
+
+  it should "still catch a latent quadratic behind a sub-second small leg" in {
+    // a true blowup dwarfs denominator noise: 0.5 s -> 50 s is ratio 100
+    scalingSuspicious(100.0, 2.5, big = 50.0, small = 0.5) shouldBe true
+    // the documented latent-quadratic line is the sub-second threshold
+    scalingSuspicious(15.1, 2.5, big = 7.5, small = 0.5) shouldBe true
+    scalingSuspicious(14.9, 2.5, big = 7.5, small = 0.5) shouldBe false
+  }
+
+  it should "keep the original guards: doubling, ratio > 3, big >= 1 s" in {
+    scalingSuspicious(4.0, 2.5, big = 5.0, small = 2.0) shouldBe false // not doubled
+    scalingSuspicious(2.9, 1.0, big = 5.0, small = 2.0) shouldBe false // ratio <= 3
+    scalingSuspicious(6.5, 2.5, big = 0.9, small = 2.0) shouldBe false // big < 1 s
+  }
 }
