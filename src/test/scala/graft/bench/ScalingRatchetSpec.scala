@@ -73,4 +73,20 @@ class ScalingRatchetSpec extends AnyFlatSpec with Matchers {
     scalingSuspicious(2.9, 1.0, big = 5.0, small = 2.0) shouldBe false // ratio <= 3
     scalingSuspicious(6.5, 2.5, big = 0.9, small = 2.0) shouldBe false // big < 1 s
   }
+
+  it should "lower the sub-second line to 8 for a MEDIAN-of-3 denominator (r15)" in {
+    // the r14 mute: a real (2x-baseline, 15x] regression behind a
+    // sub-second denominator could NEVER flag. With a median-of-3 re-timed
+    // denominator (robustSmall), the band (8, 15] regains coverage...
+    scalingSuspicious(14.9, 2.5, big = 7.5, small = 0.5, robustSmall = true) shouldBe true
+    scalingSuspicious(9.0, 2.5, big = 4.5, small = 0.5, robustSmall = true) shouldBe true
+    // ...while the session's observed false positives (ratios 5-6.5 on
+    // sub-second denominators — the sublinear-absolute noise class) stay
+    // non-flags EVEN when the denominator is robust
+    scalingSuspicious(6.5, 2.5, big = 2.8, small = 0.43, robustSmall = true) shouldBe false
+    scalingSuspicious(5.1, 1.8, big = 2.9, small = 0.57, robustSmall = true) shouldBe false
+    // a >= 1 s denominator never needed the line: robustSmall is irrelevant
+    scalingSuspicious(6.5, 2.5, big = 14.0, small = 2.2, robustSmall = true) shouldBe true
+    scalingSuspicious(4.0, 2.5, big = 5.0, small = 2.0, robustSmall = true) shouldBe false
+  }
 }

@@ -52,7 +52,8 @@ class ClusterMaintenanceSpec extends SparkSpec {
       deltas = Seq(1, 2), corpusGeneration = None, corpusBatches = Seq(0, 1, 2),
       bucketGeneration = None, bucketBatches = Seq(0, 1, 2),
       rebuildInProgress = false,
-      configStamp = Some("threshold=0.35,planes=4,dim=64,probe=1,tables=16")),
+      configStamp = Some("threshold=0.35,planes=4,dim=64,probe=1,tables=16"),
+      bucketConfigStamp = Some("planes=4,dim=64,tables=16")),
       s"unexpected service status: $st")
   }
 
@@ -404,6 +405,13 @@ class ClusterMaintenanceSpec extends SparkSpec {
       .map(_.getName).filter(n => n.startsWith("bk=") || n.startsWith("bkgen=")).sorted.toSeq
     assert(bkNames == Seq("bkgen=1"),
       s"the rebuild must sweep geometry-A bucket dirs and rebuild under B: $bkNames")
+    // the operator's recall-diagnosis view: status surfaces WHICH geometry
+    // built the persisted buckets, through the geometry-change rebuild
+    // (r14 verdict item 4 — previously only discoverable by listing the
+    // corpus dir by hand)
+    assert(ClusterMaintenance.status(spark, state, corpus).bucketConfigStamp
+      .contains("planes=4,dim=64,tables=8"),
+      "status must report the re-stamped bucket-cache geometry")
     // coverage is claimable under B now — and never again under A
     assert(ClusterMaintenance.committedBucketParts(fs, corpus, 2L, cfgB).isDefined,
       "post-rebuild bucket coverage must be claimable under the new geometry")

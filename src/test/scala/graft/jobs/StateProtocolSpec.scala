@@ -190,4 +190,36 @@ class StateProtocolSpec extends AnyFunSuite {
       assert(!fs.exists(new Path(dir, ".bloom=7.bin.tmp")))
     }
   }
+
+  test("requireCommitted distinguishes a TORN dir from a never-folded MISSING one") {
+    withFs { (fs, dir) =>
+      mkCommitted(fs, dir, "b=0")
+      // torn: the dir exists but its crash left no _SUCCESS — the remedy
+      // is the caller-supplied replay prescription
+      fs.mkdirs(new Path(dir, "b=1"))
+      val torn = intercept[IllegalArgumentException] {
+        StateProtocol.requireCommitted(fs,
+          Seq(s"$dir/b=0", s"$dir/b=1"), "spec", "replay fold 1")
+      }
+      assert(torn.getMessage.contains("TORN") &&
+        torn.getMessage.contains("replay fold 1") &&
+        torn.getMessage.contains("b=1"),
+        s"a torn dir must get the replay remedy: ${torn.getMessage}")
+      // missing: the dir was never written at all — a skipped fold id is a
+      // caller bug, and prescribing the torn-write replay would
+      // misdiagnose it (the r14 message did exactly that)
+      val missing = intercept[IllegalArgumentException] {
+        StateProtocol.requireCommitted(fs,
+          Seq(s"$dir/b=0", s"$dir/b=7"), "spec", "replay fold 7")
+      }
+      assert(missing.getMessage.contains("never") &&
+        missing.getMessage.contains("consecutive") &&
+        !missing.getMessage.contains("replay fold 7"),
+        s"a missing dir must get the skipped-id diagnosis, not the replay remedy: ${missing.getMessage}")
+      // both present and committed: a no-op
+      mkCommitted(fs, dir, "b=1")
+      StateProtocol.requireCommitted(fs,
+        Seq(s"$dir/b=0", s"$dir/b=1"), "spec", "unused")
+    }
+  }
 }

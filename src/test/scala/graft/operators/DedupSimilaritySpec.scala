@@ -31,6 +31,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("exactDedup binary keys digest raw bytes, not the lossy string cast") {
+    // two DISTINCT single-byte keys, both invalid as UTF-8 (lone lead
+    // bytes): the r14 digest cast every key to string and re-encoded it,
+    // which folds invalid bytes to U+FFFD — both keys digest identically
+    // and dedup silently MERGES them. Binary keys must feed md5 their raw
+    // bytes (rows 1/2 distinct); genuinely equal byte keys still dedup
+    // (rows 1/3).
+    val df = Seq(
+      (1L, Array(0xC3.toByte)), (2L, Array(0xC4.toByte)),
+      (3L, Array(0xC3.toByte))).toDF("id", "k")
+    // the counterfactual premise: the old string-cast digest collides here
+    val oldDigests = df.select(
+        md5(to_binary(col("k").cast("string"), lit("utf-8"))).as("d"))
+      .distinct().count()
+    assert(oldDigests == 1L,
+      s"premise: the string-cast path must fold both invalid bytes to one digest, got $oldDigests")
+    val out = Dedup.exactDedup(df, Seq(col("k")), col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
   test("minhash estimate tracks true jaccard for identical and disjoint docs") {
     val words = (0 until 50).map(i => s"w$i").mkString(" ")
     val other = (100 until 150).map(i => s"w$i").mkString(" ")
@@ -105,6 +126,28 @@ class DedupSimilaritySpec extends SparkSpec {
         nlist = 2, nprobe = 2)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf == Set((1L, 2L), (1L, 4L)))
+  }
+
+  test("ivfTopK fails loudly when EVERY coarse centroid degenerates to zero") {
+    // +v/-v pairs with nlist=1: the Lloyd mean cancels to exactly (0,0),
+    // every centroid score is null (try_divide by a zero norm), array_max
+    // is null — pre-fix, array_position(arr, null) gave every row a null
+    // cid and the whole corpus silently dropped out of the bucketed join
+    // (empty result, no error). The guard must name the degeneracy.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f))).toDF("id", "vec")
+    val q = df.filter(col("id") === 1)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val e = intercept[Throwable] {
+      Similarity.ivfTopK(df, "id", "vec", q, "qid", "qvec", 2,
+        nlist = 1, nprobe = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("every coarse centroid scored null")),
+      s"degenerate quantizer must fail loudly, got: ${messages(e).mkString(" | ")}")
   }
 
   test("cosine: orthogonal = 0, identical = 1") {
