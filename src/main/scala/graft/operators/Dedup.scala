@@ -37,7 +37,12 @@ object Dedup {
     * invalid-UTF-8 bytes to replacement chars, so two distinct byte keys
     * could digest identically through the cast (the last conditional in
     * the injectivity claim, closed r15). The per-key datatype dispatch is
-    * driver-side analysis only (one `df.select(k).schema` per key). */
+    * driver-side analysis only (one `df.select(k).schema` per key).
+    *
+    * Determinism contract: ties in `tieBreak` keep an ARBITRARY row of the
+    * group (min_by semantics) — partition-order- and retry-dependent. Pass
+    * a group-unique tiebreak (an id) when the surviving row's identity
+    * must be reproducible across runs; every call site here does. */
   def exactDedup(df: DataFrame, keyCols: Seq[Column], tieBreak: Column): DataFrame = {
     val blocks = keyCols.map { k =>
       val bytes = df.select(k).schema.head.dataType match {

@@ -168,8 +168,12 @@ object Similarity {
         .otherwise((array_position(arr, best) - 1).cast("int"))
     }
 
-    // deterministic seeds: the nlist corpus vectors with smallest xxhash64(id)
-    var cents: Seq[Array[Double]] = c.orderBy(xxhash64(col("id"))).limit(nlist)
+    // deterministic seeds: the nlist corpus vectors with smallest
+    // (xxhash64(id), id) — the id tiebreak makes seed choice exact under
+    // task retries even across an xxhash64 collision (the exact variant
+    // below always had it; this path previously tied arbitrarily)
+    var cents: Seq[Array[Double]] = c.orderBy(xxhash64(col("id")), col("id"))
+      .limit(nlist)
       .select(col("vec")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
     var it = 0

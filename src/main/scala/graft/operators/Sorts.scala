@@ -37,7 +37,14 @@ object Sorts {
 
   /** Columnar secondary sort: per group, collect `payload` ordered by
     * `orderCols` (ties broken by payload) into an array. Deterministic iff
-    * (orderCols, payload) is unique per row. */
+    * (orderCols, payload) is unique per row.
+    *
+    * MEMORY CONTRACT: the whole group materializes in one aggregation
+    * buffer (collect_list), so group sizes must be bounded by the data
+    * model (q07 groups lineitem by order: <= 7 rows). For unbounded or
+    * skew-prone groups use [[flatMapSortedGroups]], which STREAMS each
+    * group's sorted rows through the callback without materializing it —
+    * the 100 TB-safe form of the reference's reducer value stream. */
   def sortedGroupList(df: DataFrame, groupCols: Seq[Column],
                       orderCols: Seq[Column], payload: Column,
                       alias: String = "values"): DataFrame = {
