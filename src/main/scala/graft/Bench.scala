@@ -140,6 +140,20 @@ object Bench {
     * to the kernel's work is a loud diff here, never a silent recalibration. */
   private[graft] val CalibExpected = 3530180424024517018L
 
+  /** The `calib_spark` probe plan: a pinned 4M-row synthesized GLOBAL SORT
+    * (range exchange + sort + the noop write the harness adds) — fixed
+    * scheduler + shuffle + codegen work, no data dir. Hoisted out of main
+    * so CalibrationProbeSpec can pin the PLAN SHAPE: the probe's whole
+    * value rests on the sort surviving optimization — a future change that
+    * let Catalyst elide it would leave calib_spark silently timing an
+    * empty pipeline, and every cross-window division would lie. */
+  private[graft] def calibSparkPlan(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.range(0, 4000000L)
+      .select((col("id") * 2654435761L).as("k"))
+      .orderBy(col("k"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -248,12 +262,7 @@ object Bench {
     // driver-window/quiet-window speed question becomes ONE division:
     // window_a.calib / window_b.calib.
     val calibSparkFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-      (s, _) => {
-        import org.apache.spark.sql.functions._
-        s.range(0, 4000000L)
-          .select((col("id") * 2654435761L).as("k"))
-          .orderBy(col("k"))
-      }
+      (s, _) => calibSparkPlan(s)
     def runCalib(initial: Boolean): Unit = {
       try {
         if (initial) calibrationWork(1) // untimed JIT warm of the kernel loop
