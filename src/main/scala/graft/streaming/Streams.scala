@@ -95,8 +95,6 @@ object Streams {
       Session(userId, new java.sql.Timestamp(s.startMs),
         new java.sql.Timestamp(s.endMs), s.n, s.sum)
 
-    def close(userId: Long, buf: Seq[Event]): Session =
-      Session(userId, buf.head.ts, buf.last.ts, buf.size.toLong, buf.map(_.value).sum)
 
     /** Merge a start-sorted aggregate list: consecutive segments within
       * gap-reach coalesce (max() because an existing aggregate's span can
@@ -154,20 +152,43 @@ object Streams {
             }
         }
     } else {
-      // batch path: same session semantics in one pass per user
-      events.groupByKey(_.user_id).flatMapGroups { (userId: Long, it: Iterator[Event]) =>
-        val sorted = it.toSeq.sortBy(_.ts.getTime)
-        val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[Event]]
-        var cur = scala.collection.mutable.ArrayBuffer.empty[Event]
-        sorted.foreach { e =>
-          if (cur.nonEmpty && e.ts.getTime - cur.last.ts.getTime > gapMillis) {
-            sessions += cur.toSeq
-            cur = scala.collection.mutable.ArrayBuffer.empty[Event]
+      // Batch path: same session semantics, STREAMED. flatMapSortedGroups
+      // sorts each group through Spark's spillable external sorter and
+      // hands an in-order iterator — the prior `it.toSeq.sortBy` form
+      // materialized a user's WHOLE event history on the heap, the exact
+      // unbounded-group-state class the streaming branch's SegAgg design
+      // exists to avoid (a hot key at corpus scale OOM'd the oracle path).
+      // The single-pass fold below holds only the OPEN session's aggregate
+      // and emits lazily, so per-group heap is O(1) + one pending Session.
+      // Values still sum in ascending-ts order — bit-identical to the old
+      // buffered fold for every group.
+      events.groupByKey(_.user_id).flatMapSortedGroups(col("ts")) {
+        (userId: Long, it: Iterator[Event]) =>
+          new scala.collection.AbstractIterator[Session] {
+            private var cur: SegAgg = null
+            private var ready: Session = null
+            private def advance(): Unit = {
+              while (ready == null && it.hasNext) {
+                val e = it.next(); val t = e.ts.getTime
+                if (cur == null) cur = SegAgg(t, t, 1L, e.value)
+                else if (t - cur.endMs > gapMillis) {
+                  ready = toSession(userId, cur)
+                  cur = SegAgg(t, t, 1L, e.value)
+                } else cur = SegAgg(cur.startMs, math.max(cur.endMs, t),
+                  cur.n + 1L, cur.sum + e.value)
+              }
+              if (ready == null && cur != null && !it.hasNext) {
+                ready = toSession(userId, cur)
+                cur = null
+              }
+            }
+            def hasNext: Boolean = { advance(); ready != null }
+            def next(): Session = {
+              advance()
+              if (ready == null) throw new NoSuchElementException("next on empty session iterator")
+              val r = ready; ready = null; r
+            }
           }
-          cur += e
-        }
-        if (cur.nonEmpty) sessions += cur.toSeq
-        sessions.map(close(userId, _)).iterator
       }
     }
   }
