@@ -99,6 +99,22 @@ object Bench {
     ratio > 2 * baseline && ratio > 3 && big >= 1.0 &&
       (small >= 1.0 || ratio > (if (robustSmall) 8 else 15))
 
+  /** The confirmation pass's denominator decision, extracted pure so the
+    * spec can pin it: given the first-pass small-leg sample and the
+    * re-timed runs, return (denominator, robust). Empty re-runs (every
+    * re-time failed) fall back to the single first-pass sample and are NOT
+    * robust (the 15x single-sample line applies). A >= 1 s first pass
+    * keeps the r12-r14 min-of-passes. A SUB-SECOND first pass uses the
+    * MEDIAN of the re-timed runs alone — the first-pass sample is excluded
+    * on purpose: it is the suspect (a lucky-fast first pass is exactly what
+    * inflated the ratio), and a median over runs that include it would let
+    * the outlier vote on its own verdict. */
+  private[graft] def confirmedSmall(small0: Double,
+                                    reruns: Seq[Double]): (Double, Boolean) =
+    if (reruns.isEmpty) (small0, false)
+    else if (small0 >= 1.0) (math.min(small0, reruns.min), true)
+    else { val xs = reruns.sorted; (xs(xs.size / 2), true) }
+
   /** Fixed-work host-speed calibration kernel (r14 verdict item 1): a
     * deterministic, data-independent in-memory fill + sort + fold-hash
     * loop — `reps` rounds over 2^22 longs from a pinned xorshift64 stream.
@@ -1121,11 +1137,7 @@ object Bench {
                 Some((System.nanoTime() - q0) / 1e9)
               } catch { case _: Throwable => None }
             }
-            val (small2, robust) =
-              if (smallRuns.isEmpty) (small0, false) // re-time failed: keep
-                // the single first-pass sample, single-sample (15x) line
-              else if (small0 >= 1.0) (math.min(small0, smallRuns.min), true)
-              else { val xs = smallRuns.sorted; (xs(xs.size / 2), true) }
+            val (small2, robust) = confirmedSmall(small0, smallRuns)
             if (small2 > 0) {
               val ratio2 = big2 / small2
               scaling.put(name, ratio2)

@@ -89,4 +89,23 @@ class ScalingRatchetSpec extends AnyFlatSpec with Matchers {
     scalingSuspicious(6.5, 2.5, big = 14.0, small = 2.2, robustSmall = true) shouldBe true
     scalingSuspicious(4.0, 2.5, big = 5.0, small = 2.0, robustSmall = true) shouldBe false
   }
+
+  import graft.Bench.confirmedSmall
+
+  "confirmedSmall" should "median the re-timed runs for a sub-second first pass" in {
+    // the suspect lucky-fast first pass (0.43) does NOT vote: the median is
+    // over the three re-timed runs alone
+    confirmedSmall(0.43, Seq(0.62, 0.41, 0.65)) shouldBe ((0.62, true))
+    // a reproduced fast denominator IS the honest value
+    confirmedSmall(0.43, Seq(0.44, 0.42, 0.45)) shouldBe ((0.44, true))
+  }
+
+  it should "keep the min-of-passes for a >= 1 s first pass" in {
+    confirmedSmall(1.4, Seq(1.2)) shouldBe ((1.2, true))
+    confirmedSmall(1.1, Seq(1.6)) shouldBe ((1.1, true))
+  }
+
+  it should "fall back non-robust when every re-time failed" in {
+    confirmedSmall(0.43, Seq.empty) shouldBe ((0.43, false))
+  }
 }
