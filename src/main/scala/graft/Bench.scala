@@ -71,6 +71,50 @@ object Bench {
       n -> v
     }
 
+  /** Window band for accepting a ratio-LOOSENING reseed: a run may raise
+    * baseline entries only when its calib_cpu probe is within 5% of the
+    * quietest probe the baseline has seen. Placement datum (r15): the
+    * builder's quiet closes probed 1.228-1.264 (a ±1.5% band) while the
+    * driver's noisy window probed 1.328-1.413 (8-15% above quiet) and
+    * inflated seeded ratios by a median 1.17x, stream legs up to 2.4x —
+    * 1.05 cleanly separates the two populations with margin on both
+    * sides. */
+  private[graft] val CalibReseedBand = 1.05
+
+  /** Probe-gated reseed (r15 verdict item 1). The flag line is
+    * `ratio > 2 x baseline`, so every reseed from a noisy window used to
+    * permanently HALVE flag sensitivity on the entries it inflated (the
+    * r15 driver run moved q67's baseline 1.02 -> 2.49: a later q67 ratio
+    * needed to reach ~5.0 to flag where the quiet baseline flagged at
+    * 2.04). The gate: the run's calib_cpu must sit within
+    * [[CalibReseedBand]] of the calib recorded BESIDE the baseline, else
+    * only entries the run would TIGHTEN (current <= prev) or introduce
+    * (no prev) pass through to [[ratchetBaseline]] — a slow window can
+    * never loosen the committed ratchet. Improvements stay adopted even
+    * from a noisy window because window noise inflates ratios, so a ratio
+    * that DROPPED under inflation is real a fortiori. The persisted calib
+    * ratchets to the MINIMUM quiet probe seen, so the band cannot creep
+    * upward by 5% per round; a failed probe (runCalib <= 0) cannot
+    * certify its window and is treated as noisy. A baseline with no
+    * recorded calib (pre-gate format, or a fresh file) bootstraps:
+    * adopt + record. Returns (new baseline, calib to persist). */
+  private[graft] def gatedRatchetBaseline(prev: Map[String, Double],
+                                          current: Map[String, Double],
+                                          regressed: Set[String],
+                                          prevCalib: Option[Double],
+                                          runCalib: Double)
+      : (Map[String, Double], Option[Double]) = {
+    val quiet = runCalib > 0 &&
+      prevCalib.forall(pc => runCalib <= pc * CalibReseedBand)
+    val adopted =
+      if (quiet) current
+      else current.filter { case (n, r) => prev.get(n).forall(r <= _) }
+    val nextCalib =
+      if (!quiet) prevCalib
+      else Some(prevCalib.fold(runCalib)(math.min(_, runCalib)))
+    (ratchetBaseline(prev, adopted, regressed), nextCalib)
+  }
+
   /** The scaling-regression trigger, one owner for both passes (the cheap
     * first look and the re-measured confirmation). A flag needs the ratio
     * to DOUBLE over the ratcheted baseline, be > 3 absolutely, and a main-
@@ -104,16 +148,60 @@ object Bench {
     * re-timed runs, return (denominator, robust). Empty re-runs (every
     * re-time failed) fall back to the single first-pass sample and are NOT
     * robust (the 15x single-sample line applies). A >= 1 s first pass
-    * keeps the r12-r14 min-of-passes. A SUB-SECOND first pass uses the
-    * MEDIAN of the re-timed runs alone — the first-pass sample is excluded
-    * on purpose: it is the suspect (a lucky-fast first pass is exactly what
-    * inflated the ratio), and a median over runs that include it would let
-    * the outlier vote on its own verdict. */
+    * keeps the r12-r14 min-of-passes — but `robust` holds only if the
+    * CHOSEN denominator is itself >= 1 s: a single re-run dipping below
+    * 1 s is a min-of-two single sample, exactly the ±0.2 s noise class
+    * the lowered line (8) must not be applied to (r15 ADVICE). A
+    * SUB-SECOND first pass uses the MEDIAN of the re-timed runs alone —
+    * the first-pass sample is excluded on purpose: it is the suspect (a
+    * lucky-fast first pass is exactly what inflated the ratio), and a
+    * median over runs that include it would let the outlier vote on its
+    * own verdict. */
   private[graft] def confirmedSmall(small0: Double,
                                     reruns: Seq[Double]): (Double, Boolean) =
     if (reruns.isEmpty) (small0, false)
-    else if (small0 >= 1.0) (math.min(small0, reruns.min), true)
-    else { val xs = reruns.sorted; (xs(xs.size / 2), true) }
+    else if (small0 >= 1.0) {
+      val m = math.min(small0, reruns.min)
+      (m, m >= 1.0)
+    } else { val xs = reruns.sorted; (xs(xs.size / 2), true) }
+
+  /** The WHOLE two-phase ratchet pipeline for one entry, extracted pure
+    * over timing thunks so a spec can drive a fake timing source through
+    * screen -> confirm (r15 verdict item 3: the composition existed only
+    * as a comment). Phase 1 screens at `robustSmall = true` — a
+    * sub-second denominator whose ratio cleared the robust line (8) must
+    * become a CANDIDATE so the confirmation can re-time it robustly;
+    * screening at the single-sample line (15) would re-create the r14
+    * mute. Phase 2 re-times the big leg once (min-of-passes — a stall
+    * window must reproduce to keep inflating it), re-times the small leg
+    * 3x when it was sub-second (the [[confirmedSmall]] median) or 1x
+    * otherwise, and re-applies [[scalingSuspicious]] with the TRUE
+    * `robust` flag of the chosen denominator. Over-admission at the
+    * screen costs only re-time work; a flag requires the blowup to
+    * reproduce in every confirmation sample.
+    *
+    * @param retimeBig   one extra main-scale sample; <= 0 means the
+    *                    re-time failed (the first-pass big stands alone)
+    * @param retimeSmall n re-timed scaling-dir samples; failures omitted
+    * @return (final ratio for the scaling record, regression verdict);
+    *         a non-candidate returns (ratio0, false) without timing. */
+  private[graft] def ratchetVerdict(ratio0: Double, baseline: Double,
+                                    big0: Double, small0: Double,
+                                    retimeBig: () => Double,
+                                    retimeSmall: Int => Seq[Double])
+      : (Double, Boolean) =
+    if (!scalingSuspicious(ratio0, baseline, big0, small0, robustSmall = true))
+      (ratio0, false)
+    else {
+      val t = retimeBig()
+      val big2 = math.min(big0, if (t > 0) t else Double.MaxValue)
+      val reruns = if (small0 > 0 && small0 < 1.0) 3 else 1
+      val (small2, robust) = confirmedSmall(small0, retimeSmall(reruns))
+      if (small2 > 0) {
+        val ratio2 = big2 / small2
+        (ratio2, scalingSuspicious(ratio2, baseline, big2, small2, robust))
+      } else (ratio0, false)
+    }
 
   /** Fixed-work host-speed calibration kernel (r14 verdict item 1): a
     * deterministic, data-independent in-memory fill + sort + fold-hash
@@ -1075,84 +1163,99 @@ object Bench {
     // clean. Guards against noise: only queries currently >= 1 s at the main
     // scale and with ratio > 3 can flag.
     val scalingRegressions = scala.collection.mutable.ArrayBuffer[String]()
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASELINE", "scaling_baseline.json")
+    // Ratios are only comparable between runs measured at the SAME
+    // (main-dir, scaling-dir) pair: a run with SPARK_GRAFT_SF_DIR=sf0.01
+    // (ratio ~1) would otherwise overwrite the baseline with incomparable
+    // numbers and mass-flag the next normal run. The pair is embedded in
+    // the baseline file; on mismatch the prior baseline is DISCARDED (no
+    // comparison, fresh ratchet at the new pair).
+    val dirsTag = s"$sfDir|$scalingDir"
+    // __-prefixed keys are file metadata, not ratio entries: __dirs (the
+    // measurement pair) and __calib (the quietest calib_cpu probe among
+    // the runs that seeded this baseline — the reseed gate's reference).
+    val (prev, prevCalib): (Map[String, Double], Option[Double]) =
+      if (scaling.isEmpty) (Map.empty, None)
+      else try {
+        val p = java.nio.file.Paths.get(basePath)
+        if (java.nio.file.Files.exists(p)) {
+          val txt = java.nio.file.Files.readString(p)
+          val prevTag = "\"__dirs\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+          if (prevTag.contains(dirsTag)) {
+            val all = "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            (all.filterNot(_._1.startsWith("__")), all.get("__calib"))
+          } else {
+            System.err.println(s"[bench] scaling baseline measured at " +
+              s"${prevTag.getOrElse("<untagged>")}, this run is $dirsTag — starting fresh")
+            (Map.empty, None)
+          }
+        } else (Map.empty, None)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaling baseline read failed: ${e.getMessage}")
+        (Map.empty, None)
+      }
     if (!scaling.isEmpty) {
-      val basePath = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASELINE", "scaling_baseline.json")
-      // Ratios are only comparable between runs measured at the SAME
-      // (main-dir, scaling-dir) pair: a run with SPARK_GRAFT_SF_DIR=sf0.01
-      // (ratio ~1) would otherwise overwrite the baseline with incomparable
-      // numbers and mass-flag the next normal run. The pair is embedded in
-      // the baseline file; on mismatch the prior baseline is DISCARDED (no
-      // comparison, fresh ratchet at the new pair).
-      val dirsTag = s"$sfDir|$scalingDir"
-      val prev: Map[String, Double] =
-        try {
-          val p = java.nio.file.Paths.get(basePath)
-          if (java.nio.file.Files.exists(p)) {
-            val txt = java.nio.file.Files.readString(p)
-            val prevTag = "\"__dirs\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
-            if (prevTag.contains(dirsTag))
-              "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            else {
-              System.err.println(s"[bench] scaling baseline measured at " +
-                s"${prevTag.getOrElse("<untagged>")}, this run is $dirsTag — starting fresh")
-              Map.empty
-            }
-          } else Map.empty
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] scaling baseline read failed: ${e.getMessage}")
-          Map.empty
-        }
       // Candidate regressions get the same stall defense the absolute
-      // numbers have: re-measure BOTH scales once and recompute the ratio
-      // from per-scale minima — a single host slow window inflating either
-      // side must persist across two passes to flag. (A real plan
+      // numbers have: re-measure BOTH scales and recompute the ratio from
+      // per-scale minima/medians — a single host slow window inflating
+      // either side must persist across two passes to flag. (A real plan
       // regression reproduces; noise doesn't — one observed false positive
       // was a first pass 3.98 s sitting just under the re-bench threshold.)
-      // The screening pass runs with robustSmall = true: a sub-second
-      // denominator whose ratio cleared the robust line (8) must become a
-      // CANDIDATE so the confirmation can re-time it robustly — screening
-      // at the single-sample line (15) would re-create the r14 mute this
-      // parameter exists to close.
+      // The whole screen -> confirm composition lives in ratchetVerdict
+      // (pure over the timing thunks, spec-driven); this loop only wires
+      // the real timers in.
       scaling.forEach { (name, ratio0) =>
         prev.get(name).foreach { p =>
-          if (scalingSuspicious(ratio0, p, results.getOrDefault(name, 0.0),
-              scalingSmall.getOrDefault(name, -1.0), robustSmall = true)) {
-            val fn = selected.toMap.apply(name)
-            val big2 = math.min(results.get(name),
-              { val t = timeOnce(s"rescale:$name", fn); recordRun(name, t)
-                if (t > 0) t else Double.MaxValue })
-            // Sub-second denominators are re-timed THREE times and the
-            // MEDIAN denominates — one lucky-fast sample (the documented
-            // q49/q51 false-flag class: ±0.2 s swings the ratio by whole
-            // multiples) cannot drag a median of three, while a true
-            // blowup reproduces in every sample. A >= 1 s leg keeps the
-            // r12-r14 one-extra-pass minimum.
-            val small0 = scalingSmall.getOrDefault(name, -1.0)
-            val reruns = if (small0 > 0 && small0 < 1.0) 3 else 1
-            val smallRuns = (1 to reruns).flatMap { _ =>
+          val fn = selected.toMap.apply(name)
+          val (ratio2, flagged) = ratchetVerdict(
+            ratio0, p,
+            big0 = results.getOrDefault(name, 0.0),
+            small0 = scalingSmall.getOrDefault(name, -1.0),
+            retimeBig = () => {
+              val t = timeOnce(s"rescale:$name", fn); recordRun(name, t); t
+            },
+            retimeSmall = n => (1 to n).flatMap { _ =>
               val q0 = System.nanoTime()
               try {
                 fn(spark, scalingDir).write.mode("overwrite").format("noop").save()
                 Some((System.nanoTime() - q0) / 1e9)
               } catch { case _: Throwable => None }
-            }
-            val (small2, robust) = confirmedSmall(small0, smallRuns)
-            if (small2 > 0) {
-              val ratio2 = big2 / small2
-              scaling.put(name, ratio2)
-              if (scalingSuspicious(ratio2, p, big2, small2, robust))
-                scalingRegressions += name
-            }
-          }
+            })
+          scaling.put(name, ratio2)
+          if (flagged) scalingRegressions += name
         }
       }
+    }
+
+    // end-of-run calibration sample: brackets the window the run saw
+    runCalib(initial = false)
+
+    // Baseline reseed — AFTER the closing probe on purpose: the gate judges
+    // the run's SLOWEST probe (start or end), so a window that turned noisy
+    // mid-run cannot certify itself with its quiet opening bracket.
+    if (!scaling.isEmpty) {
       try {
         import scala.jdk.CollectionConverters._
-        val persisted =
-          ratchetBaseline(prev, scaling.asScala.toMap, scalingRegressions.toSet)
-            .toSeq.sortBy(_._1)
-        val line = (("\"__dirs\":\"" + dirsTag + "\"") +: persisted
+        // Probe-gated: a noisy-window run (calib_cpu outside the band of
+        // the baseline's recorded probe) may tighten and introduce entries
+        // but never loosen one — see gatedRatchetBaseline.
+        val runCalib = Option(allRuns.get("calib_cpu"))
+          .map(_.asScala.filter(_ > 0)) match {
+          case Some(xs) if xs.nonEmpty => xs.max
+          case _                       => -1.0
+        }
+        val (reseeded, nextCalib) = gatedRatchetBaseline(prev,
+          scaling.asScala.toMap, scalingRegressions.toSet, prevCalib, runCalib)
+        if (runCalib > 0 && prevCalib.exists(pc => runCalib > pc * CalibReseedBand))
+          System.err.println(f"[bench] calib_cpu $runCalib%.3f outside " +
+            f"${CalibReseedBand}x of baseline probe ${prevCalib.get}%.3f — " +
+            "noisy window: baseline entries may tighten but not loosen")
+        val persisted = reseeded.toSeq.sortBy(_._1)
+        val meta = ("\"__dirs\":\"" + dirsTag + "\"") +:
+          nextCalib.toSeq.map(c =>
+            "\"__calib\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(c)))
+        val line = (meta ++ persisted
           .map { case (k, v) => "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) })
           .mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(basePath), line + "\n")
@@ -1160,9 +1263,6 @@ object Bench {
         System.err.println(s"[bench] scaling baseline write failed: ${e.getMessage}")
       }
     }
-
-    // end-of-run calibration sample: brackets the window the run saw
-    runCalib(initial = false)
 
     val wall = (System.nanoTime() - t0) / 1e9
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

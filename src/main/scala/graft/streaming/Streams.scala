@@ -116,9 +116,10 @@ object Streams {
       // points are added — a new event lands inside a segment's gap-reach,
       // bridges two neighbors, or opens its own segment; no arrival can ever
       // SPLIT an existing segment (gaps between sorted points only shrink).
-      // Everything close() emits (start, end, count, sum) composes
-      // associatively under that merge, so compacting each event to a
-      // singleton aggregate on arrival loses nothing. A never-idle hot key
+      // Everything a closed session emits — the Session fields start, end,
+      // n_events, sum_value — composes associatively under that merge, so
+      // compacting each event to a singleton aggregate on arrival loses
+      // nothing. A never-idle hot key
       // (a bot firing an event each second for weeks) therefore holds ONE
       // aggregate regardless of event count — the raw-event buffer this
       // replaces grew linearly until the first gap, the classic
@@ -134,9 +135,13 @@ object Streams {
               state.remove()
               out
             } else {
+              // n/sum tiebreak: equal-span segments merge in a deterministic
+              // order within a batch (across batches the grouping of events
+              // into micro-batches already varies; sum_value rides the
+              // rounded-float comparator discipline like every other sum)
               val incoming = it.map(e => SegAgg(e.ts.getTime, e.ts.getTime, 1L, e.value))
               val segs = coalesce((state.getOption.getOrElse(Nil) ++ incoming)
-                .sortBy(s => (s.startMs, s.endMs)))
+                .sortBy(s => (s.startMs, s.endMs, s.n, s.sum)))
               // emit every segment already safely closed: no event still
               // admissible under the watermark (ts >= wm) can reach a
               // segment whose end + gap precedes the watermark
@@ -161,8 +166,14 @@ object Streams {
       // The single-pass fold below holds only the OPEN session's aggregate
       // and emits lazily, so per-group heap is O(1) + one pending Session.
       // Values still sum in ascending-ts order — bit-identical to the old
-      // buffered fold for every group.
-      events.groupByKey(_.user_id).flatMapSortedGroups(col("ts")) {
+      // buffered fold for every group. (event_type, value) break timestamp
+      // ties so equal-ts events accumulate in a DETERMINISTIC order across
+      // task retries and shuffle layouts: events identical on the full key
+      // are interchangeable in summation, so sum_value's bits no longer
+      // depend on partition arrival order (the one unrounded-float
+      // order-dependence the r15 sweep left to the comparator's rounding).
+      events.groupByKey(_.user_id)
+        .flatMapSortedGroups(col("ts"), col("event_type"), col("value")) {
         (userId: Long, it: Iterator[Event]) =>
           new scala.collection.AbstractIterator[Session] {
             private var cur: SegAgg = null

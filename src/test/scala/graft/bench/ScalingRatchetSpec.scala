@@ -105,7 +105,140 @@ class ScalingRatchetSpec extends AnyFlatSpec with Matchers {
     confirmedSmall(1.1, Seq(1.6)) shouldBe ((1.1, true))
   }
 
+  it should "not grant robust when the chosen min dips below 1 s (r15 ADVICE)" in {
+    // a >= 1 s first pass whose single re-run lands at 0.8 s: the chosen
+    // denominator is a min-of-two single sub-second sample, not a median
+    // of three — the lowered line (8) must NOT apply to it. The non-robust
+    // verdict sends it through the 15x single-sample line instead.
+    confirmedSmall(1.2, Seq(0.8)) shouldBe ((0.8, false))
+    // exactly at the boundary the denominator is reliable again
+    confirmedSmall(1.2, Seq(1.0)) shouldBe ((1.0, true))
+  }
+
   it should "fall back non-robust when every re-time failed" in {
     confirmedSmall(0.43, Seq.empty) shouldBe ((0.43, false))
+  }
+
+  import graft.Bench.{gatedRatchetBaseline, CalibReseedBand}
+
+  // The r15 driver incident, in numbers: quiet probes 1.228-1.264, the
+  // driver window 1.328-1.413, and the driver reseed moved q67's baseline
+  // 1.022 -> 2.487 — halving flag sensitivity (flag line is 2x baseline).
+  "gatedRatchetBaseline" should "refuse to loosen entries from a noisy window" in {
+    val (b, c) = gatedRatchetBaseline(
+      prev = Map("q67" -> 1.022, "q07" -> 1.816),
+      current = Map("q67" -> 2.487, "q07" -> 4.339),
+      regressed = Set.empty, prevCalib = Some(1.228), runCalib = 1.413)
+    b shouldBe Map("q67" -> 1.022, "q07" -> 1.816) // inflated ratios rejected
+    c shouldBe Some(1.228)                          // reference probe kept
+  }
+
+  it should "still adopt tightening and new entries from a noisy window" in {
+    // a ratio that DROPPED under window inflation is real a fortiori, and
+    // a first measurement has no alternative seed
+    val (b, c) = gatedRatchetBaseline(
+      prev = Map("q1" -> 3.0, "q2" -> 2.0),
+      current = Map("q1" -> 2.4, "q2" -> 4.0, "qNew" -> 5.0),
+      regressed = Set.empty, prevCalib = Some(1.23), runCalib = 1.40)
+    b shouldBe Map("q1" -> 2.4, "q2" -> 2.0, "qNew" -> 5.0)
+    c shouldBe Some(1.23)
+  }
+
+  it should "reseed fully from a quiet window and ratchet the probe down" in {
+    val (b, c) = gatedRatchetBaseline(
+      prev = Map("q" -> 1.8), current = Map("q" -> 3.4),
+      regressed = Set.empty, prevCalib = Some(1.264), runCalib = 1.234)
+    b shouldBe Map("q" -> 3.4)   // healthy queries track the measurement
+    c shouldBe Some(1.234)       // quietest probe seen becomes the reference
+    // within the band but slightly slower: reseed allowed, probe NOT raised
+    // (the band must not creep upward by 5% per round)
+    val (b2, c2) = gatedRatchetBaseline(
+      prev = b, current = Map("q" -> 3.6),
+      regressed = Set.empty, prevCalib = c, runCalib = 1.26)
+    assert(1.26 <= 1.234 * CalibReseedBand)
+    b2 shouldBe Map("q" -> 3.6)
+    c2 shouldBe Some(1.234)
+  }
+
+  it should "bootstrap a pre-gate baseline and keep the regression rule" in {
+    // no recorded probe (r15-format file): adopt and start recording
+    val (b, c) = gatedRatchetBaseline(
+      prev = Map("q" -> 2.0), current = Map("q" -> 2.2, "r" -> 9.0),
+      regressed = Set("r"), prevCalib = None, runCalib = 1.25)
+    b("q") shouldBe 2.2
+    c shouldBe Some(1.25)
+    // a REGRESSED entry keeps its previous baseline even on a quiet run
+    val (b3, _) = gatedRatchetBaseline(
+      prev = Map("r" -> 3.0), current = Map("r" -> 9.0),
+      regressed = Set("r"), prevCalib = Some(1.25), runCalib = 1.25)
+    b3 shouldBe Map("r" -> 3.0)
+  }
+
+  it should "treat a failed probe as a noisy window" in {
+    // a run that cannot certify its window must not loosen the baseline
+    val (b, c) = gatedRatchetBaseline(
+      prev = Map("q" -> 1.8), current = Map("q" -> 4.3),
+      regressed = Set.empty, prevCalib = Some(1.23), runCalib = -1.0)
+    b shouldBe Map("q" -> 1.8)
+    c shouldBe Some(1.23)
+  }
+
+  import graft.Bench.ratchetVerdict
+
+  // The two-phase screen -> confirm composition, driven end-to-end by a
+  // fake timing source (r15 verdict item 3: it existed only as a comment).
+  "ratchetVerdict" should "re-time a lucky-fast sub-second first pass and un-flag it" in {
+    var bigCalls = 0; var smallCalls = 0; var smallN = -1
+    // screen: ratio0 10.0 > robust line 8 on a 0.14 s denominator -> candidate
+    val (ratio, flagged) = ratchetVerdict(
+      ratio0 = 10.0, baseline = 2.0, big0 = 1.4, small0 = 0.14,
+      retimeBig = () => { bigCalls += 1; 1.4 },
+      retimeSmall = n => { smallCalls += 1; smallN = n; Seq(0.55, 0.60, 0.50) })
+    bigCalls shouldBe 1
+    smallCalls shouldBe 1
+    smallN shouldBe 3                    // sub-second leg re-times 3x
+    ratio shouldBe (1.4 / 0.55) +- 1e-9  // median denominates, not the suspect
+    flagged shouldBe false               // 2.5x is under both lines
+  }
+
+  it should "flag a blowup that reproduces in every confirmation sample" in {
+    val (ratio, flagged) = ratchetVerdict(
+      ratio0 = 24.0, baseline = 2.0, big0 = 12.0, small0 = 0.5,
+      retimeBig = () => 12.2,
+      retimeSmall = _ => Seq(0.52, 0.48, 0.50))
+    ratio shouldBe (12.0 / 0.50) +- 1e-9
+    flagged shouldBe true
+  }
+
+  it should "never time a non-candidate" in {
+    var calls = 0
+    val (ratio, flagged) = ratchetVerdict(
+      ratio0 = 3.4, baseline = 2.0, big0 = 5.0, small0 = 1.5,
+      retimeBig = () => { calls += 1; 5.0 },
+      retimeSmall = n => { calls += 1; Seq.fill(n)(1.5) })
+    calls shouldBe 0
+    (ratio, flagged) shouldBe ((3.4, false))
+  }
+
+  it should "re-time a >= 1 s denominator once and min the big leg" in {
+    var smallN = -1
+    val (ratio, flagged) = ratchetVerdict(
+      ratio0 = 8.0, baseline = 2.0, big0 = 9.6, small0 = 1.2,
+      retimeBig = () => 8.8,               // stall did not reproduce
+      retimeSmall = n => { smallN = n; Seq(1.3) })
+    smallN shouldBe 1
+    ratio shouldBe (8.8 / 1.2) +- 1e-9     // min big / min small
+    flagged shouldBe true                  // 7.3x > 2x baseline with robust legs
+  }
+
+  it should "apply the single-sample line when every re-time failed" in {
+    // confirmation could not produce a robust denominator: the 15x line
+    // governs, so a 10x ratio on the lone sub-second sample stays quiet
+    val (ratio, flagged) = ratchetVerdict(
+      ratio0 = 10.0, baseline = 2.0, big0 = 1.4, small0 = 0.14,
+      retimeBig = () => 1.4,
+      retimeSmall = _ => Seq.empty)
+    ratio shouldBe 10.0 +- 1e-9
+    flagged shouldBe false
   }
 }
