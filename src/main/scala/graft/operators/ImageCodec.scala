@@ -18,6 +18,12 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO's default ImageInputStream cache writes a TEMP FILE per
+  // decode — per-image disk churn that serves no purpose for in-memory
+  // byte[] payloads and dominates small-image decode cost. Process-wide
+  // and idempotent; set once when the codec loads in each executor JVM.
+  ImageIO.setUseCache(false)
+
   private def be16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
   private def be32(b: Array[Byte], i: Int): Int =
