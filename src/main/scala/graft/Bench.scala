@@ -51,21 +51,31 @@ object Bench {
   /** Baseline-persistence rule for the scaling tracker. A REGRESSED query
     * keeps its previous baseline ratio, so a persistent regression keeps
     * flagging every round instead of becoming the new normal after one run;
-    * healthy queries track the current measurement. Improvements adopt at
-    * most 2x per run: a single lucky-fast sample would otherwise poison the
-    * baseline low and turn the steady-state ratio into a permanent false
-    * regression (observed: one 1.7 sample on a query whose steady ratio is
-    * ~3.6 flagged every later run, and the regression branch then pinned the
-    * poisoned value forever). A real large improvement still converges,
-    * halving the baseline each round. Queries absent from this run keep
-    * their old entry. */
+    * healthy queries track the current measurement. Adoption is capped at
+    * 2x per run IN BOTH DIRECTIONS:
+    *  - improvements at most halve: a single lucky-fast sample would
+    *    otherwise poison the baseline low and turn the steady-state ratio
+    *    into a permanent false regression (observed: one 1.7 sample on a
+    *    query whose steady ratio is ~3.6 flagged every later run, and the
+    *    regression branch then pinned the poisoned value forever);
+    *  - loosenings at most double: a single lucky-SLOW sample (the
+    *    sub-second-denominator class jitters 2-6x across QUIET windows —
+    *    observed r16: q07's 0.37 s leg posted ratio 6.17 against its quiet
+    *    1.8) would otherwise halve flag sensitivity in one run even when
+    *    the window probe certifies quiet. The window gate
+    *    ([[gatedRatchetBaseline]]) stops noisy-WINDOW loosening; this cap
+    *    stops quiet-window single-SAMPLE loosening.
+    * Either way a real persistent change converges, halving or doubling
+    * the baseline each round while a one-off spike decays back (max(r,
+    * p/2) pulls a spiked baseline down as soon as the honest ratio
+    * returns). Queries absent from this run keep their old entry. */
   private[graft] def ratchetBaseline(prev: Map[String, Double],
                                      current: Map[String, Double],
                                      regressed: Set[String]): Map[String, Double] =
     prev ++ current.map { case (n, r) =>
       val v = prev.get(n) match {
         case Some(p) if regressed(n) => p
-        case Some(p)                 => math.max(r, p / 2)
+        case Some(p)                 => math.min(math.max(r, p / 2), p * 2)
         case None                    => r
       }
       n -> v

@@ -48,6 +48,20 @@ class ScalingRatchetSpec extends AnyFlatSpec with Matchers {
       Map("old" -> 2.5, "new" -> 1.7)
   }
 
+  it should "cap loosening adoption at 2x per run (r16)" in {
+    // the quiet-window single-sample jitter class: q07's 0.37 s denominator
+    // posted ratio 6.17 against its quiet baseline 1.8 in a PROBE-CERTIFIED
+    // quiet window. Uncapped "healthy tracking" would have cut q07's flag
+    // sensitivity 3.4x in one run; the cap admits at most one doubling
+    ratchetBaseline(Map("q" -> 1.8), Map("q" -> 6.17), Set.empty) shouldBe Map("q" -> 3.6)
+    // a one-off spike decays as soon as the honest ratio returns...
+    ratchetBaseline(Map("q" -> 3.6), Map("q" -> 1.9), Set.empty) shouldBe Map("q" -> 1.9)
+    // ...while a real persistent growth converges by doubling each round
+    val g1 = ratchetBaseline(Map("q" -> 1.8), Map("q" -> 6.17), Set.empty)
+    val g2 = ratchetBaseline(g1, Map("q" -> 6.17), Set.empty)
+    g2("q") shouldBe 6.17
+  }
+
   import graft.Bench.scalingSuspicious
 
   "scalingSuspicious" should "flag a doubled ratio only with a reliable (>= 1 s) small leg" in {
