@@ -263,8 +263,21 @@ private[graft] object StateProtocol {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
+      // An UNREADABLE filter degrades exactly like a missing one (the
+      // readers fall back to scan-and-build with identical results) — it
+      // must not throw out of a fold. The concrete upgrade case: Spark's
+      // sketch format is version-stamped and `readFrom` raises on a
+      // version it does not speak, so a filter written by a LATER Spark
+      // (rollback) or a corrupted file would otherwise abort the service
+      // where the design explicitly prices in filterless folds.
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-      finally in.close()
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[state] bloom gen=$gen unreadable (${e.getMessage}) — " +
+              "degrading to scan-and-build")
+          None
+      } finally in.close()
     }
   }
 

@@ -191,6 +191,19 @@ class StateProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("an unreadable bloom file degrades to None like a missing one (r16)") {
+    withFs { (fs, dir) =>
+      fs.mkdirs(dir)
+      // a filter a FUTURE sketch format (or corruption) produced: readFrom
+      // raises on its version stamp, and the service must fall back to the
+      // scan-and-build path instead of aborting the fold
+      val out = fs.create(new Path(dir, "bloom=3.bin"), true)
+      try out.write(Array[Byte](0, 0, 0, 99, 1, 2, 3, 4)) finally out.close()
+      assert(StateProtocol.readBloom(fs, dir.toString, 3L).isEmpty,
+        "unreadable filter must degrade, not throw")
+    }
+  }
+
   test("requireCommitted distinguishes a TORN dir from a never-folded MISSING one") {
     withFs { (fs, dir) =>
       mkCommitted(fs, dir, "b=0")
