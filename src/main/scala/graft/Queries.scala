@@ -1180,7 +1180,7 @@ object Queries {
     * parse, n_pixels from the DECODED image — the oracle's closed-form
     * expectation cross-checks encode → header-sniff → decode agreement.
     *
-    * Thumbnail-tier dimensions (~128-143 x 96-103) and bounded decode
+    * Thumbnail-tier dimensions (~160-175 x 120-127) and bounded decode
     * batches: a parquet split of image METADATA rows can reference far
     * more decode work than one task should own (a single 128 MB metadata
     * split is millions of images), so the decode stage repartitions to
@@ -1190,7 +1190,7 @@ object Queries {
     * of the scaling ratchet's sub-second noise class (r15 verdict item 2:
     * it was the last entry riding the documented-noise exemption). */
   /** Images decoded per task in [[imageMeta]] — the bounded decode-batch
-    * size (~4 ms/image at the thumbnail tier keeps a task near ~2 s). */
+    * size (~6 ms/image at the thumbnail tier keeps a task near ~3 s). */
   private[graft] val ImageDecodeBatch = 500L
 
   def imageMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -1202,8 +1202,8 @@ object Queries {
     val ids = ids0.repartition(batches)
     ids.mapPartitions { it =>
       it.map { id =>
-        val w = 128 + (id % 16).toInt
-        val h = 96 + (id % 8).toInt
+        val w = 160 + (id % 16).toInt
+        val h = 120 + (id % 8).toInt
         val png = ImageCodec.synthPng(id, w, h)
         val (fmt, hw, hh) = ImageCodec.parseHeader(png)
           .getOrElse(throw new IllegalStateException(s"unparseable header for id=$id"))

@@ -883,9 +883,9 @@ object SparkEntry {
       // closed-form expectation for the synthesized image set: the Spark side
       // must round-trip PNG encode -> header parse -> full decode to match
       """SELECT doc_id AS media_id, 'png' AS format,
-        |CAST(128 + doc_id % 16 AS INT) AS width,
-        |CAST(96 + doc_id % 8 AS INT) AS height,
-        |CAST((128 + doc_id % 16) * (96 + doc_id % 8) AS BIGINT) AS n_pixels
+        |CAST(160 + doc_id % 16 AS INT) AS width,
+        |CAST(120 + doc_id % 8 AS INT) AS height,
+        |CAST((160 + doc_id % 16) * (120 + doc_id % 8) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY media_id""".stripMargin,
     "q51_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS w
