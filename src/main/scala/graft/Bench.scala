@@ -103,11 +103,20 @@ object Bench {
     * never loosen the committed ratchet. Improvements stay adopted even
     * from a noisy window because window noise inflates ratios, so a ratio
     * that DROPPED under inflation is real a fortiori. The persisted calib
-    * ratchets to the MINIMUM quiet probe seen, so the band cannot creep
-    * upward by 5% per round; a failed probe (runCalib <= 0) cannot
-    * certify its window and is treated as noisy. A baseline with no
-    * recorded calib (pre-gate format, or a fresh file) bootstraps:
-    * adopt + record. Returns (new baseline, calib to persist). */
+    * is the minimum over quiet runs of EACH RUN'S SLOWEST probe (the
+    * caller passes max-over-brackets as `runCalib` — the statistic the
+    * gate itself judges, so a window that turned noisy mid-run can't
+    * certify on its quiet opening bracket), ratcheting down monotonically
+    * so the band cannot creep upward by 5% per round; a failed probe
+    * (runCalib <= 0) cannot certify its window and is treated as noisy.
+    * A baseline with no recorded calib (pre-gate format, or a fresh file)
+    * bootstraps: adopt + record — KNOWN EXPOSURE: the bootstrap run is
+    * treated as quiet by construction, so a noisy first window records an
+    * inflated reference that loosens the band until a quieter run ratchets
+    * it down (observed recovery: the committed 1.257 reference was reached
+    * within one session of quiet closes). Seed fresh baselines from a
+    * known-quiet window when one is available. Returns (new baseline,
+    * calib to persist). */
   private[graft] def gatedRatchetBaseline(prev: Map[String, Double],
                                           current: Map[String, Double],
                                           regressed: Set[String],
@@ -1250,15 +1259,15 @@ object Bench {
         // Probe-gated: a noisy-window run (calib_cpu outside the band of
         // the baseline's recorded probe) may tighten and introduce entries
         // but never loosen one — see gatedRatchetBaseline.
-        val runCalib = Option(allRuns.get("calib_cpu"))
+        val worstProbe = Option(allRuns.get("calib_cpu"))
           .map(_.asScala.filter(_ > 0)) match {
           case Some(xs) if xs.nonEmpty => xs.max
           case _                       => -1.0
         }
         val (reseeded, nextCalib) = gatedRatchetBaseline(prev,
-          scaling.asScala.toMap, scalingRegressions.toSet, prevCalib, runCalib)
-        if (runCalib > 0 && prevCalib.exists(pc => runCalib > pc * CalibReseedBand))
-          System.err.println(f"[bench] calib_cpu $runCalib%.3f outside " +
+          scaling.asScala.toMap, scalingRegressions.toSet, prevCalib, worstProbe)
+        if (worstProbe > 0 && prevCalib.exists(pc => worstProbe > pc * CalibReseedBand))
+          System.err.println(f"[bench] calib_cpu $worstProbe%.3f outside " +
             f"${CalibReseedBand}x of baseline probe ${prevCalib.get}%.3f — " +
             "noisy window: baseline entries may tighten but not loosen")
         val persisted = reseeded.toSeq.sortBy(_._1)

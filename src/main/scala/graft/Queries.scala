@@ -1174,6 +1174,10 @@ object Queries {
       .orderBy("custkey")
   }
 
+  /** Images decoded per task in [[imageMeta]] — the bounded decode-batch
+    * size (~6 ms/image at the thumbnail tier keeps a task near ~3 s). */
+  private[graft] val ImageDecodeBatch = 500L
+
   /** Real image decode end-to-end (q49): synthesize a deterministic PNG per
     * document id in each task, then byte-parse the header AND fully decode
     * the pixels with the pure-JVM codec. width/height come from the header
@@ -1188,11 +1192,14 @@ object Queries {
     * the corpus, not with the accidental metadata split geometry. At the
     * gated SFs this also sizes the per-leg wall above 1 s, moving q49 out
     * of the scaling ratchet's sub-second noise class (r15 verdict item 2:
-    * it was the last entry riding the documented-noise exemption). */
-  /** Images decoded per task in [[imageMeta]] — the bounded decode-batch
-    * size (~6 ms/image at the thumbnail tier keeps a task near ~3 s). */
-  private[graft] val ImageDecodeBatch = 500L
-
+    * it was the last entry riding the documented-noise exemption).
+    *
+    * Sizing the batches runs a metadata-only count() AT PLAN-CONSTRUCTION
+    * TIME — the one query constructor that triggers a Spark job before the
+    * caller executes the returned plan. Fine for the bench/oracle surface
+    * (every caller executes immediately); a library embedding would derive
+    * the batch count lazily (fixed target or defaultParallelism) to keep
+    * construction side-effect free. */
   def imageMeta(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val ids0 = t(spark, dir).documents.select(col("doc_id").cast("long")).as(Encoders.scalaLong)
@@ -2232,17 +2239,28 @@ object Queries {
       .orderBy("check_name", "target")
   }
 
+  /** Payload replication factor for [[unicodeNormalize]] — sizes the q97
+    * sf0.01 leg above the scaling ratchet's 1 s denominator line (r16
+    * verdict item 2: q97 was the last rider of the sub-second noise class,
+    * a ~0.16 s leg whose ratio swung to 7.25 on quiet-window jitter while
+    * a REAL regression in (2x-baseline, 8] could never flag). Replication
+    * multiplies the normalize + digest work by the same factor at every
+    * SF, so the sf0.1/sf0.01 ratio stays an honest linear observable. */
+  private[graft] val NfcRepeat = 48
+
   /** Unicode canonicalization (q97): the `normalize_text` native expression
     * (NFC) as a corpus pass — the step that makes two crawls of the same
     * page digest identically when they differ only in composed vs
     * combining-mark encoding. Every document is suffixed with a live
-    * combining sequence ("e" + U+0301 → NFC "é") so each row genuinely
-    * exercises the fold; the digest of the normalized text is then a
+    * combining sequence ("e" + U+0301 → NFC "é") and the suffixed text
+    * is replicated [[NfcRepeat]] times, so each row exercises the fold at
+    * every copy's suffix; the digest of the normalized text is then a
     * data-dependent hash the DuckDB `nfc_normalize` replay must reproduce
     * byte-for-byte. */
   def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.TextExpressions.normalize_text
-    val aug = concat(col("text"), lit("e\u0301")) // combining acute; NFC folds to U+00E9
+    // combining acute per copy; NFC folds each copy's trailing pair to U+00E9
+    val aug = repeat(concat(col("text"), lit("e\u0301")), NfcRepeat)
     t(spark, dir).documents.select(
         col("doc_id"),
         md5(to_binary(aug, lit("utf-8"))).as("raw_md5"),

@@ -269,15 +269,33 @@ private[graft] object StateProtocol {
       // sketch format is version-stamped and `readFrom` raises on a
       // version it does not speak, so a filter written by a LATER Spark
       // (rollback) or a corrupted file would otherwise abort the service
-      // where the design explicitly prices in filterless folds.
+      // where the design explicitly prices in filterless folds. The
+      // degrade must hold END TO END: NonFatal (not just Exception)
+      // because a corrupt size field can surface as OutOfMemoryError on a
+      // huge declared bit-array length, and close() on a truncated
+      // checksummed stream can itself throw out of the finally block —
+      // both were abort paths the comment above promised away (r16
+      // ADVICE).
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       catch {
-        case e: Exception =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[state] bloom gen=$gen unreadable (${e.getMessage}) — " +
               "degrading to scan-and-build")
           None
-      } finally in.close()
+        case e: OutOfMemoryError =>
+          // the one VM error with a benign cause here: readFrom allocates
+          // the DECLARED bit-array length before validating it, so a
+          // corrupt size field asks for an absurd allocation. The filter
+          // is advisory; degrade like any other unreadable payload.
+          System.err.println(
+            s"[state] bloom gen=$gen declared an unallocatable size " +
+              s"(${e.getMessage}) — degrading to scan-and-build")
+          None
+      } finally {
+        try in.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 

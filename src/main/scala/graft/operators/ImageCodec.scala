@@ -15,13 +15,24 @@ import javax.imageio.ImageIO
   *    mean-luminance embedding — the expensive pass you run after filtering.
   * Both are pure functions of the payload bytes: safe inside `mapPartitions`
   * with no shared state.
+  *
+  * EMBEDDER NOTE — process-global side effect: loading this object calls
+  * `ImageIO.setUseCache(false)`, which disables ImageIO's disk-backed
+  * stream cache for EVERY ImageIO user sharing the executor/driver JVM,
+  * including user UDFs decoding images large enough to benefit from the
+  * temp-file cache. For this engine's in-memory `byte[]` payloads the
+  * cache is pure per-image disk churn (it dominated small-image decode
+  * cost — r16); an embedder that needs the cache back can call
+  * `ImageIO.setUseCache(true)` after first touching this object, at the
+  * price of re-paying the temp-file overhead in [[decode]]/[[parseHeader]].
   */
 object ImageCodec {
 
   // ImageIO's default ImageInputStream cache writes a TEMP FILE per
   // decode — per-image disk churn that serves no purpose for in-memory
   // byte[] payloads and dominates small-image decode cost. Process-wide
-  // and idempotent; set once when the codec loads in each executor JVM.
+  // and idempotent; set once when the codec loads in each executor JVM
+  // (global effect documented in the object scaladoc above).
   ImageIO.setUseCache(false)
 
   private def be16(b: Array[Byte], i: Int): Int =
