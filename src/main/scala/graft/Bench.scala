@@ -222,6 +222,59 @@ object Bench {
       } else (ratio0, false)
     }
 
+  /** Probe-normalize an ABSOLUTE entry time into quiet-window-equivalent
+    * seconds (r16 verdict item 1b): engine wall times inflate roughly with
+    * the host window, so a raw absolute measured in a noisy window would
+    * false-flag against a quiet-window baseline. The run's slowest
+    * calib_cpu probe over the baseline's recorded quiet reference IS the
+    * window's inflation estimate; dividing it out converts the comparison
+    * to quiet-vs-quiet. The factor is capped at 1.0 — the reference
+    * ratchets to the QUIETEST probe seen, so a run probing faster than it
+    * is a new quietest window whose raw time is already quiet-equivalent
+    * (scaling the time UP by a probe ratio would manufacture regressions
+    * out of probe jitter). No reference or no probe → raw time (bootstrap
+    * runs compare nothing; they only seed). */
+  private[graft] def probeNormalize(v: Double, refCalib: Option[Double],
+                                    runCalib: Double): Double =
+    refCalib match {
+      case Some(rc) if runCalib > 0 && rc > 0 =>
+        v * math.min(1.0, rc / runCalib)
+      case _ => v
+    }
+
+  /** The absolute-time regression trigger — the class the RATIO ratchet is
+    * structurally blind to (r16: q88 posted 25.0 s against its 8.8-12.1 s
+    * band and q65 8.7 s against ~3.2 s, both with UNCHANGED sf0.1/sf0.01
+    * ratios, because a regression that inflates both scale legs equally
+    * cancels out of the ratio). A flag needs the probe-normalized time to
+    * DOUBLE over the ratcheted baseline AND be >= 1 s absolutely — the
+    * same 2x + sub-second-noise discipline the ratio tracker uses (a
+    * sub-second entry's ±0.2 s jitter is whole multiples; its absolute
+    * regressions surface through the ratio tracker's legs when real). */
+  private[graft] def absSuspicious(norm: Double, baseline: Double): Boolean =
+    norm > 2 * baseline && norm >= 1.0
+
+  /** Screen -> confirm for one entry's absolute time, pure over the
+    * re-time thunk (same shape as [[ratchetVerdict]]). A candidate whose
+    * normalized time cleared the flag line is re-timed once and the MIN
+    * of the passes is re-judged: a host stall inflates one pass, not
+    * both, so a stall can never masquerade as an absolute regression — a
+    * real regression reproduces in every sample. A failed re-time (<= 0)
+    * leaves the first-pass value standing alone.
+    * @return (normalized time for the record, regression verdict). */
+  private[graft] def absVerdict(v0: Double, baseline: Double,
+                                refCalib: Option[Double], runCalib: Double,
+                                retime: () => Double): (Double, Boolean) = {
+    val n0 = probeNormalize(v0, refCalib, runCalib)
+    if (!absSuspicious(n0, baseline)) (n0, false)
+    else {
+      val t = retime()
+      val v2 = if (t > 0) math.min(v0, t) else v0
+      val n2 = probeNormalize(v2, refCalib, runCalib)
+      (n2, absSuspicious(n2, baseline))
+    }
+  }
+
   /** Fixed-work host-speed calibration kernel (r14 verdict item 1): a
     * deterministic, data-independent in-memory fill + sort + fold-hash
     * loop — `reps` rounds over 2^22 longs from a pinned xorshift64 stream.
@@ -1193,8 +1246,11 @@ object Bench {
     // __-prefixed keys are file metadata, not ratio entries: __dirs (the
     // measurement pair) and __calib (the quietest calib_cpu probe among
     // the runs that seeded this baseline — the reseed gate's reference).
-    val (prev, prevCalib): (Map[String, Double], Option[Double]) =
-      if (scaling.isEmpty) (Map.empty, None)
+    // "abs:"-prefixed keys are the ABSOLUTE-time baseline (probe-normalized
+    // per-entry seconds at the main scale — r16 verdict item 1b), ratcheted
+    // and gated exactly like the ratio entries but judged by absSuspicious.
+    val (prev, prevAbs, prevCalib): (Map[String, Double], Map[String, Double], Option[Double]) =
+      if (scaling.isEmpty) (Map.empty, Map.empty, None)
       else try {
         val p = java.nio.file.Paths.get(basePath)
         if (java.nio.file.Files.exists(p)) {
@@ -1203,16 +1259,18 @@ object Bench {
           if (prevTag.contains(dirsTag)) {
             val all = "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            (all.filterNot(_._1.startsWith("__")), all.get("__calib"))
+            (all.filterNot { case (k, _) => k.startsWith("__") || k.startsWith("abs:") },
+             all.collect { case (k, v) if k.startsWith("abs:") => k.stripPrefix("abs:") -> v },
+             all.get("__calib"))
           } else {
             System.err.println(s"[bench] scaling baseline measured at " +
               s"${prevTag.getOrElse("<untagged>")}, this run is $dirsTag — starting fresh")
-            (Map.empty, None)
+            (Map.empty, Map.empty, None)
           }
-        } else (Map.empty, None)
+        } else (Map.empty, Map.empty, None)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaling baseline read failed: ${e.getMessage}")
-        (Map.empty, None)
+        (Map.empty, Map.empty, None)
       }
     if (!scaling.isEmpty) {
       // Candidate regressions get the same stall defense the absolute
@@ -1250,27 +1308,88 @@ object Bench {
     // end-of-run calibration sample: brackets the window the run saw
     runCalib(initial = false)
 
+    import scala.jdk.CollectionConverters._
+    // The run's SLOWEST successful calib_cpu probe — the statistic the
+    // reseed gate judges (a window that turned noisy mid-run cannot
+    // certify itself with its quiet opening bracket) and the absolute
+    // tracker normalizes by.
+    def worstProbe(): Double = Option(allRuns.get("calib_cpu"))
+      .map(_.asScala.filter(_ > 0)) match {
+      case Some(xs) if xs.nonEmpty => xs.max
+      case _                       => -1.0
+    }
+
+    // Absolute-time ratchet (r16 verdict item 1): per-entry probe-normalized
+    // absolutes against the persisted "abs:" baseline — the class the ratio
+    // tracker is structurally blind to (a regression inflating BOTH scale
+    // legs equally cancels out of the ratio; observed r16: q88 25.0 s vs
+    // its 8.8-12.1 s band, q65 8.7 s vs ~3.2 s, ratios unchanged). Runs
+    // after the closing probe so normalization sees the full bracket. A
+    // candidate is re-timed once (min-of-passes — a stall must reproduce);
+    // if any candidate re-timed, one more probe re-brackets the window for
+    // the reseed gate below. Queries only: tera/mrbench/soak entries carry
+    // their own in-harness bounds and stage attribution.
+    val absRegressions = scala.collection.mutable.ArrayBuffer[String]()
+    val absNorm = scala.collection.mutable.Map[String, Double]()
+    if (!scaling.isEmpty) {
+      val selMap = selected.toMap
+      val probe0 = worstProbe()
+      var retimed = false
+      selMap.keys.toSeq.sorted.foreach { name =>
+        val v = results.getOrDefault(name, -1.0)
+        if (v > 0) {
+          val (norm, flagged) = absVerdict(v,
+            prevAbs.getOrElse(name, Double.PositiveInfinity),
+            prevCalib, probe0,
+            retime = () => {
+              retimed = true
+              val t = timeOnce(s"reabs:$name", selMap(name))
+              if (t > 0) {
+                recordRun(name, t)
+                if (t < results.getOrDefault(name, Double.MaxValue))
+                  results.put(name, t)
+              }
+              t
+            })
+          absNorm(name) = norm
+          if (flagged) {
+            absRegressions += name
+            System.err.println(f"[bench] ABSOLUTE regression $name: " +
+              f"${norm}%.3f s normalized vs baseline ${prevAbs(name)}%.3f s " +
+              "(ratio-invisible class — reproduce on a quiet close before trusting)")
+          }
+        }
+      }
+      if (retimed) runCalib(initial = false)
+    }
+
     // Baseline reseed — AFTER the closing probe on purpose: the gate judges
     // the run's SLOWEST probe (start or end), so a window that turned noisy
     // mid-run cannot certify itself with its quiet opening bracket.
+    // reseedRefused records the gate FIRING for the run record (r16 verdict
+    // item 3: refusals were stderr-only; the JSON must carry them).
+    var reseedRefused: Option[(Double, Double)] = None
     if (!scaling.isEmpty) {
       try {
-        import scala.jdk.CollectionConverters._
         // Probe-gated: a noisy-window run (calib_cpu outside the band of
         // the baseline's recorded probe) may tighten and introduce entries
-        // but never loosen one — see gatedRatchetBaseline.
-        val worstProbe = Option(allRuns.get("calib_cpu"))
-          .map(_.asScala.filter(_ > 0)) match {
-          case Some(xs) if xs.nonEmpty => xs.max
-          case _                       => -1.0
-        }
+        // but never loosen one — see gatedRatchetBaseline. The ratio and
+        // absolute baselines ride the SAME gate decision (one window, one
+        // verdict); nextCalib is identical from both calls, keep the first.
+        val worst = worstProbe()
         val (reseeded, nextCalib) = gatedRatchetBaseline(prev,
-          scaling.asScala.toMap, scalingRegressions.toSet, prevCalib, worstProbe)
-        if (worstProbe > 0 && prevCalib.exists(pc => worstProbe > pc * CalibReseedBand))
-          System.err.println(f"[bench] calib_cpu $worstProbe%.3f outside " +
-            f"${CalibReseedBand}x of baseline probe ${prevCalib.get}%.3f — " +
+          scaling.asScala.toMap, scalingRegressions.toSet, prevCalib, worst)
+        val (reseededAbs, _) = gatedRatchetBaseline(prevAbs,
+          absNorm.toMap, absRegressions.toSet, prevCalib, worst)
+        val quiet = worst > 0 && prevCalib.forall(pc => worst <= pc * CalibReseedBand)
+        if (!quiet) {
+          reseedRefused = Some((worst, prevCalib.getOrElse(-1.0)))
+          System.err.println(f"[bench] calib_cpu $worst%.3f outside " +
+            f"${CalibReseedBand}x of baseline probe ${prevCalib.getOrElse(-1.0)}%.3f — " +
             "noisy window: baseline entries may tighten but not loosen")
-        val persisted = reseeded.toSeq.sortBy(_._1)
+        }
+        val persisted = reseeded.toSeq.sortBy(_._1) ++
+          reseededAbs.toSeq.sortBy(_._1).map { case (k, v) => ("abs:" + k, v) }
         val meta = ("\"__dirs\":\"" + dirsTag + "\"") +:
           nextCalib.toSeq.map(c =>
             "\"__calib\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(c)))
@@ -1285,7 +1404,6 @@ object Bench {
 
     val wall = (System.nanoTime() - t0) / 1e9
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    import scala.jdk.CollectionConverters._
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val entries = results.asScala.toSeq.sortBy(_._1)
@@ -1316,9 +1434,18 @@ object Bench {
       name -> m
     }.sortBy(_._1)
     val medianTotal = medians.filter(e => additive(e._1)).map(_._2).sum
-    val allFailed = failed ++ scalingRegressions.sorted.map("scaling_regression:" + _)
+    val allFailed = failed ++ scalingRegressions.sorted.map("scaling_regression:" + _) ++
+      absRegressions.sorted.map("abs_regression:" + _)
     val failedJson = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressionsJson = scalingRegressions.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val absRegressionsJson = absRegressions.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // reseed_refused: the probe gate fired — this window could tighten but
+    // not loosen the persisted baselines (probe/ref quoted for the record)
+    val reseedJson = reseedRefused match {
+      case Some((rp, rr)) =>
+        s""""reseed_refused":true,"reseed_probe":${num(rp)},"reseed_ref":${num(rr)},"""
+      case None => s""""reseed_refused":false,"""
+    }
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
       s""""first":${jmap(firsts)},"first_total":${num(firstTotal)},""" +
       s""""median":${jmap(medians)},"median_total":${num(medianTotal)},""" +
@@ -1326,6 +1453,7 @@ object Bench {
       s""""failed":${allFailed.size},"failed_entries":$failedJson,""" +
       s""""scaling":${jmap(scaling.asScala.toSeq.sortBy(_._1))},""" +
       s""""scaling_regressions":$regressionsJson,""" +
+      s""""abs_regressions":$absRegressionsJson,""" + reseedJson +
       s""""wall":${num(wall)},"sf":"$sfDir"}"""
     // Durable copy: round 1's JSON line was buried in sbt [info] noise and the
     // driver recorded parsed:null. Write the line to a file as well, and print

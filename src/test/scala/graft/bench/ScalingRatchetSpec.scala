@@ -255,4 +255,96 @@ class ScalingRatchetSpec extends AnyFlatSpec with Matchers {
     ratio shouldBe 10.0 +- 1e-9
     flagged shouldBe false
   }
+
+  import graft.Bench.{probeNormalize, absSuspicious, absVerdict}
+
+  // The absolute-time tracker (r16 verdict item 1): the class the ratio
+  // ratchet is structurally blind to, pinned with the literal r16 driver
+  // record — q88_pipeline_segments 25.0 s against its 8.8-12.1 s band and
+  // q65_curation_report 8.7 s against ~3.2 s, both with UNCHANGED ratios,
+  // in a window probing 1.356 against the committed quiet reference 1.257.
+  "probeNormalize" should "deflate a noisy window's time to quiet-equivalent" in {
+    // the r16 driver window: 1.079x inflation estimate divides out
+    probeNormalize(25.0, Some(1.257), 1.356) shouldBe (25.0 * 1.257 / 1.356) +- 1e-9
+  }
+
+  it should "never inflate: a quieter-than-reference probe is a new quiet window" in {
+    // scaling UP by a probe ratio would manufacture regressions from
+    // probe jitter; the raw time of a quieter window is already
+    // quiet-equivalent (and the gate will ratchet the reference down)
+    probeNormalize(10.0, Some(1.257), 1.200) shouldBe 10.0
+    probeNormalize(10.0, Some(1.257), 1.257) shouldBe 10.0
+  }
+
+  it should "pass raw times through with no reference or no probe" in {
+    probeNormalize(10.0, None, 1.3) shouldBe 10.0      // bootstrap: seed only
+    probeNormalize(10.0, Some(1.257), -1.0) shouldBe 10.0 // failed probe
+  }
+
+  "absSuspicious" should "flag the r16 q65 datum and the 2x line exactly" in {
+    // q65: 8.7 s in the 1.356 window normalizes to 8.06 vs ~3.2 baseline
+    val q65 = probeNormalize(8.7, Some(1.257), 1.356)
+    absSuspicious(q65, 3.2) shouldBe true
+    // q88 at the TOP of its recorded band (12.1): 23.17 normalized is
+    // under 2x24.2 — the 2x line is deliberate (the band top already
+    // absorbed growth); at the band floor it flags
+    val q88 = probeNormalize(25.0, Some(1.257), 1.356)
+    absSuspicious(q88, 12.1) shouldBe false
+    absSuspicious(q88, 8.8) shouldBe true
+  }
+
+  it should "never flag a sub-second normalized time" in {
+    // ±0.2 s jitter is whole multiples of a sub-second entry; its real
+    // regressions surface through the ratio tracker's >= 1 s legs
+    absSuspicious(0.9, 0.2) shouldBe false
+    absSuspicious(1.1, 0.2) shouldBe true
+  }
+
+  it should "never flag an entry with no baseline (bootstrap)" in {
+    absSuspicious(25.0, Double.PositiveInfinity) shouldBe false
+  }
+
+  "absVerdict" should "un-flag a stall that does not reproduce on re-time" in {
+    var calls = 0
+    // first pass 25.0 flags vs baseline 10; the re-time lands in-band —
+    // min-of-passes takes it and the flag clears (a stall inflates one
+    // pass, not both)
+    val (norm, flagged) = absVerdict(25.0, 10.0, Some(1.257), 1.257,
+      retime = () => { calls += 1; 10.8 })
+    calls shouldBe 1
+    norm shouldBe 10.8 +- 1e-9
+    flagged shouldBe false
+  }
+
+  it should "flag a regression that reproduces" in {
+    val (norm, flagged) = absVerdict(25.0, 10.0, Some(1.257), 1.257,
+      retime = () => 24.1)
+    norm shouldBe 24.1 +- 1e-9
+    flagged shouldBe true
+  }
+
+  it should "never re-time a non-candidate" in {
+    var calls = 0
+    val (norm, flagged) = absVerdict(11.0, 10.0, Some(1.257), 1.257,
+      retime = () => { calls += 1; 11.0 })
+    calls shouldBe 0
+    (norm, flagged) shouldBe ((11.0, false))
+  }
+
+  it should "keep the first pass standing when the re-time fails" in {
+    val (norm, flagged) = absVerdict(25.0, 10.0, Some(1.257), 1.257,
+      retime = () => -1.0)
+    norm shouldBe 25.0 +- 1e-9
+    flagged shouldBe true
+  }
+
+  it should "ride the same ratchet: a flagged absolute keeps its baseline" in {
+    // the regressed-keeps-baseline rule applies to "abs:" entries through
+    // the SAME gatedRatchetBaseline call the ratios use — a persistent
+    // absolute regression keeps flagging instead of becoming the new normal
+    val (b, _) = gatedRatchetBaseline(
+      prev = Map("q88" -> 10.0), current = Map("q88" -> 23.2),
+      regressed = Set("q88"), prevCalib = Some(1.257), runCalib = 1.257)
+    b shouldBe Map("q88" -> 10.0)
+  }
 }
