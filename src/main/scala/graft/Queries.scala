@@ -2245,8 +2245,13 @@ object Queries {
     * a ~0.16 s leg whose ratio swung to 7.25 on quiet-window jitter while
     * a REAL regression in (2x-baseline, 8] could never flag). Replication
     * multiplies the normalize + digest work by the same factor at every
-    * SF, so the sf0.1/sf0.01 ratio stays an honest linear observable. */
-  private[graft] val NfcRepeat = 48
+    * SF, so the sf0.1/sf0.01 ratio stays an honest linear observable.
+    * Sized against the WARM full-suite leg, not a standalone run: cold
+    * JIT inflates a standalone q97 ~4x (measured 2.49 s cold vs 0.58 s
+    * warm at factor 48), and the scaling pass runs after the whole main
+    * suite has warmed the JVM — 144 puts the warm leg ~1.6 s, >= 1 s
+    * even at the fastest observed window dip (~30%). */
+  private[graft] val NfcRepeat = 144
 
   /** Unicode canonicalization (q97): the `normalize_text` native expression
     * (NFC) as a corpus pass — the step that makes two crawls of the same
