@@ -377,7 +377,13 @@ object SpanDedupMaintenance {
     * committed generation, post-generation batch dirs, and whether the
     * generation's persisted Bloom filter is present (absent = folds run
     * the documented scan-and-build fallback — correct but slower, the
-    * signal an operator acts on). `rebuildInProgress` reports the
+    * signal an operator acts on). `degradedFilterCount` counts filter
+    * files that are PRESENT but fail to load (status attempts the read):
+    * [[StateProtocol.readBloom]]'s degrade path is stderr-only inside a
+    * fold, so a persistently corrupt filter would otherwise re-scan the
+    * generation every fold forever with `bloomPresent = true` masking it
+    * (r16 verdict) — a nonzero count here is the rebuild-the-filter
+    * signal, observable from any process. `rebuildInProgress` reports the
     * `_REBUILD` lease — a crashed rebuild deliberately leaves it held, so
     * this is the one field that explains every fold failing after an
     * incident, and the check an operator makes BEFORE resuming the
@@ -388,6 +394,7 @@ object SpanDedupMaintenance {
     * Committed dirs only; all listings bounded by compactEvery. */
   final case class Status(headFold: Long, generation: Option[Long],
                           batchDirs: Seq[Long], bloomPresent: Boolean,
+                          degradedFilterCount: Long,
                           rebuildInProgress: Boolean,
                           configStamp: Option[String])
 
@@ -398,11 +405,16 @@ object SpanDedupMaintenance {
     val bs = StateProtocol.committedDirs(fs, gpath, "b=").sorted.toSeq
     require(gen.nonEmpty || bs.nonEmpty,
       s"SpanDedupMaintenance.status: no committed gram state under $gramDir")
+    val present = gen.filter(g => fs.exists(StateProtocol.bloomPath(gramDir, g)))
     Status(
       headFold = (gen.toSeq ++ bs).max,
       generation = gen,
       batchDirs = bs.filter(_ > gen.getOrElse(-1L)),
-      bloomPresent = gen.exists(g => fs.exists(StateProtocol.bloomPath(gramDir, g))),
+      bloomPresent = present.nonEmpty,
+      // attempted load of each PRESENT filter: present-but-unreadable is
+      // the silent re-scan-forever state bloomPresent alone masks
+      degradedFilterCount =
+        present.count(g => StateProtocol.readBloom(fs, gramDir, g).isEmpty).toLong,
       rebuildInProgress = fs.exists(StateProtocol.rebuildLeasePath(gpath)),
       configStamp = StateProtocol.readStamp(fs, gpath, "_GRAMCONF"))
   }

@@ -48,8 +48,32 @@ class SpanDedupMaintenanceSpec extends SparkSpec {
     val st = SpanDedupMaintenance.status(spark, grams)
     assert(st == SpanDedupMaintenance.Status(headFold = 5,
       generation = Some(3), batchDirs = Seq(4, 5), bloomPresent = true,
-      rebuildInProgress = false, configStamp = Some("n=8")),
+      degradedFilterCount = 0, rebuildInProgress = false,
+      configStamp = Some("n=8")),
       s"unexpected service status: $st")
+
+    // r17: corrupt the committed generation's PERSISTED filter in place
+    // (readFrom raises on the bogus version stamp). Status — where
+    // bloomPresent=true alone would mask the corruption forever — must
+    // count the present-but-unreadable filter, and the next fold must
+    // degrade to scan-and-build with IDENTICAL results.
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$grams/bloom=3.bin"),
+      Array[Byte](0, 0, 0, 99, 9, 9, 9, 9))
+    val stc = SpanDedupMaintenance.status(spark, grams)
+    assert(stc.bloomPresent && stc.degradedFilterCount == 1L,
+      s"present-but-corrupt filter not surfaced: $stc")
+    val docs7 = toks(spark.read.parquet(s"$sf/documents.parquet"))
+      .filter(col("doc_id") < 70)
+    val got6 = key(SpanDedupMaintenance.foldBatch(
+      docs7.filter(col("doc_id") >= 60), 6L, grams, clean, "doc_id", "toks", cfg))
+    val want6 = key(Dedup.removeDuplicateSpansOfTokens(docs7, "doc_id", "toks", n = 8)
+      .filter(col("id") >= 60))
+    assert(got6 == want6, "fold over a corrupt filter diverged from its recompute")
+    // fold 6 compacted (gen=5) and re-persisted a fresh filter — the
+    // documented remedy; the degrade observable clears on its own
+    val sth = SpanDedupMaintenance.status(spark, grams)
+    assert(sth.bloomPresent && sth.degradedFilterCount == 0L,
+      s"compaction did not heal the degraded filter: $sth")
   }
 
   /** Executions (SQL actions) whose physical plan scans a `gen=` parquet
