@@ -2262,11 +2262,24 @@ object Queries {
     * every copy's suffix; the digest of the normalized text is then a
     * data-dependent hash the DuckDB `nfc_normalize` replay must reproduce
     * byte-for-byte. */
+  /** Documents normalized per task in [[unicodeNormalize]] — the q49
+    * decode-batch recipe applied to the normalize pass: the test corpus is
+    * ONE small parquet file at every SF, so without repartitioning the
+    * whole pass runs on a single task (serial wall grows 10x per SF step —
+    * an unscalable plan shape, and exactly what a 100 TB corpus pass must
+    * not do). Bounding rows-per-task makes normalize parallelism follow
+    * corpus size: ~500 docs x ~43 KB replicated text = ~21 MB per task. */
+  private[graft] val NfcBatch = 500L
+
   def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.TextExpressions.normalize_text
     // combining acute per copy; NFC folds each copy's trailing pair to U+00E9
     val aug = repeat(concat(col("text"), lit("e\u0301")), NfcRepeat)
-    t(spark, dir).documents.select(
+    val docs0 = t(spark, dir).documents.select(col("doc_id"), col("text"))
+    // metadata-only row count (same construction-time pattern as imageMeta,
+    // documented there) sizes the bounded repartition
+    val batches = math.max(1L, (docs0.count() + NfcBatch - 1) / NfcBatch).toInt
+    docs0.repartition(batches).select(
         col("doc_id"),
         md5(to_binary(aug, lit("utf-8"))).as("raw_md5"),
         md5(to_binary(normalize_text(aug), lit("utf-8"))).as("norm_md5"),
