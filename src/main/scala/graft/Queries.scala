@@ -2246,12 +2246,13 @@ object Queries {
     * a REAL regression in (2x-baseline, 8] could never flag). Replication
     * multiplies the normalize + digest work by the same factor at every
     * SF, so the sf0.1/sf0.01 ratio stays an honest linear observable.
-    * Sized against the WARM full-suite leg, not a standalone run: cold
-    * JIT inflates a standalone q97 ~4x (measured 2.49 s cold vs 0.58 s
-    * warm at factor 48), and the scaling pass runs after the whole main
-    * suite has warmed the JVM — 144 puts the warm leg ~1.6 s, >= 1 s
+    * Sized against the FULLY-WARM end-of-suite leg, not a standalone
+    * run: cold JIT inflates a standalone q97 ~4x (2.49 s cold vs 0.58 s
+    * warm at factor 48), and the scaling pass runs AFTER the whole sf0.1
+    * suite — the warmest point of the run (measured 0.77 s at 144 there
+    * vs 1.28 s mid-suite). 288 puts the fully-warm leg ~1.55 s, >= 1 s
     * even at the fastest observed window dip (~30%). */
-  private[graft] val NfcRepeat = 144
+  private[graft] val NfcRepeat = 288
 
   /** Unicode canonicalization (q97): the `normalize_text` native expression
     * (NFC) as a corpus pass — the step that makes two crawls of the same

@@ -1595,16 +1595,16 @@ object SparkEntry {
     // q97: DuckDB's nfc_normalize replays the native NormalizeText
     // expression — the appended combining sequence makes every row's
     // normalized digest differ from its raw digest, so an identity (or
-    // wrong-form) normalization hash-mismatches on every row. The x144
+    // wrong-form) normalization hash-mismatches on every row. The x288
     // repeat mirrors Queries.NfcRepeat (ratchet sizing — see the scaladoc
     // there); a drifted factor hash-mismatches every digest AND the
     // chars_folded count.
     "q97_unicode_nfc" ->
       """SELECT doc_id,
-        |  md5(repeat(text || 'e' || chr(769), 144)) AS raw_md5,
-        |  md5(nfc_normalize(repeat(text || 'e' || chr(769), 144))) AS norm_md5,
-        |  CAST(length(repeat(text || 'e' || chr(769), 144))
-        |    - length(nfc_normalize(repeat(text || 'e' || chr(769), 144))) AS BIGINT) AS chars_folded
+        |  md5(repeat(text || 'e' || chr(769), 288)) AS raw_md5,
+        |  md5(nfc_normalize(repeat(text || 'e' || chr(769), 288))) AS norm_md5,
+        |  CAST(length(repeat(text || 'e' || chr(769), 288))
+        |    - length(nfc_normalize(repeat(text || 'e' || chr(769), 288))) AS BIGINT) AS chars_folded
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q99: the q93 closure rolled up into the cluster-size distribution —
     // the dedup literature's report curve, exact integers + one fraction.
