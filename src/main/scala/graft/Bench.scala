@@ -51,31 +51,38 @@ object Bench {
   /** Baseline-persistence rule for the scaling tracker. A REGRESSED query
     * keeps its previous baseline ratio, so a persistent regression keeps
     * flagging every round instead of becoming the new normal after one run;
-    * healthy queries track the current measurement. Adoption is capped at
-    * 2x per run IN BOTH DIRECTIONS:
-    *  - improvements at most halve: a single lucky-fast sample would
+    * healthy queries track the current measurement. Adoption is capped
+    * per run, ASYMMETRICALLY:
+    *  - improvements at most halve (2x): a single lucky-fast sample would
     *    otherwise poison the baseline low and turn the steady-state ratio
     *    into a permanent false regression (observed: one 1.7 sample on a
     *    query whose steady ratio is ~3.6 flagged every later run, and the
     *    regression branch then pinned the poisoned value forever);
-    *  - loosenings at most double: a single lucky-SLOW sample (the
-    *    sub-second-denominator class jitters 2-6x across QUIET windows —
-    *    observed r16: q07's 0.37 s leg posted ratio 6.17 against its quiet
-    *    1.8) would otherwise halve flag sensitivity in one run even when
-    *    the window probe certifies quiet. The window gate
-    *    ([[gatedRatchetBaseline]]) stops noisy-WINDOW loosening; this cap
-    *    stops quiet-window single-SAMPLE loosening.
-    * Either way a real persistent change converges, halving or doubling
-    * the baseline each round while a one-off spike decays back (max(r,
-    * p/2) pulls a spiked baseline down as soon as the honest ratio
-    * returns). Queries absent from this run keep their old entry. */
+    *  - loosenings at most 1.25x (tightened from 2x in r17): the r16 cap
+    *    targeted single-SAMPLE jitter (q07's 0.37 s leg posting 6.17 vs
+    *    its quiet 1.8), but r17's close-d showed a whole CLASS the probe
+    *    gate cannot catch — a window whose CPU and shuffle probes both sat
+    *    inside the quiet band (1.30/1.79 vs refs 1.257/—) while
+    *    wall-clock-driven legs (streaming triggers, service folds, FS
+    *    latency tails) inflated ~30%: the certified reseed loosened 98
+    *    ratio + 118 absolute entries at a 1.38x MEDIAN, many at the old
+    *    2x cap — flag sensitivity broadly halved by contention no fixed
+    *    probe senses. At 1.25x a certified-but-contended window costs at
+    *    most 25% sensitivity, and a TRUE persistent shift still converges
+    *    (1.25^n: 3x in five rounds) — slower convergence only delays
+    *    when the baseline catches up to a loosening, which never causes a
+    *    false flag (flags compare against the OLD, tighter baseline).
+    * A one-off spike decays back (max(r, p/2) pulls a spiked baseline
+    * down as soon as the honest value returns). Queries absent from this
+    * run keep their old entry. */
+  private[graft] val LoosenCapPerRun = 1.25
   private[graft] def ratchetBaseline(prev: Map[String, Double],
                                      current: Map[String, Double],
                                      regressed: Set[String]): Map[String, Double] =
     prev ++ current.map { case (n, r) =>
       val v = prev.get(n) match {
         case Some(p) if regressed(n) => p
-        case Some(p)                 => math.min(math.max(r, p / 2), p * 2)
+        case Some(p)                 => math.min(math.max(r, p / 2), p * LoosenCapPerRun)
         case None                    => r
       }
       n -> v
@@ -247,12 +254,18 @@ object Bench {
     * band and q65 8.7 s against ~3.2 s, both with UNCHANGED sf0.1/sf0.01
     * ratios, because a regression that inflates both scale legs equally
     * cancels out of the ratio). A flag needs the probe-normalized time to
-    * DOUBLE over the ratcheted baseline AND be >= 1 s absolutely — the
-    * same 2x + sub-second-noise discipline the ratio tracker uses (a
-    * sub-second entry's ±0.2 s jitter is whole multiples; its absolute
-    * regressions surface through the ratio tracker's legs when real). */
+    * DOUBLE over the ratcheted baseline AND to have grown by at least ONE
+    * FULL SECOND. The growth floor is the sub-second-baseline guard: a
+    * ~0.5 s-baseline entry doubled by a host stall that reproduces across
+    * both confirmation passes (stall windows here run 2-4x for minutes —
+    * observed r17: q30/q33, baselines 0.51, posted 1.04/1.27 normalized
+    * across EVERY pass of a probe-1.49-1.69 window) would otherwise flag
+    * on noise a probe can't fully divide out; sub-second noise cannot
+    * manufacture a reproduced second of growth, while the class this
+    * tracker exists for (q88: +16 s, q65: +4.9 s normalized) clears the
+    * floor by an order of magnitude. */
   private[graft] def absSuspicious(norm: Double, baseline: Double): Boolean =
-    norm > 2 * baseline && norm >= 1.0
+    norm > 2 * baseline && norm - baseline >= 1.0
 
   /** Screen -> confirm for one entry's absolute time, pure over the
     * re-time thunk (same shape as [[ratchetVerdict]]). A candidate whose
